@@ -1,0 +1,126 @@
+"""Block-level public API — the analog of the reference's `LZ4Codec` facade
+(`LZ4Codec.cs:10-267`): one-shot encode/decode with level routing, partial
+decode, and dictionary support.
+
+Backend routing:
+- ``backend="host"``: pure-Python scalar codec (`lz4_tpu.block.hostref`) or the
+  native C codec when built (`lz4_tpu.native`).
+- ``backend="tpu"``: vectorized XLA/Pallas kernels (`lz4_tpu.ops`).
+- ``backend="auto"`` (default): native host for small one-shots, TPU for
+  larger buffers when a TPU is available.
+"""
+
+from __future__ import annotations
+
+from ..constants import LZ4Level, compress_bound
+from . import hostref
+
+__all__ = [
+    "compress_bound",
+    "maximum_output_size",
+    "encode",
+    "decode",
+    "partial_decode",
+    "LZ4Level",
+]
+
+
+def maximum_output_size(length: int) -> int:
+    """Reference `LZ4Codec.MaximumOutputSize` (`LZ4Codec.cs:30-31`)."""
+    return compress_bound(length)
+
+
+def _host_encode(data: bytes, level: int, dictionary: bytes, acceleration: int) -> bytes:
+    try:
+        from .. import native
+
+        if native.available():
+            return native.encode(data, level, dictionary, acceleration)
+    except ImportError:
+        pass
+    if level < LZ4Level.L03_HC:
+        return hostref.encode_fast(data, dictionary, acceleration)
+    if level < LZ4Level.L10_OPT:
+        return hostref.encode_hc(data, dictionary, level)
+    return hostref.encode_opt(data, dictionary, level)
+
+
+def _tpu_encode(data: bytes, level: int, dictionary: bytes) -> bytes:
+    from ..ops import encode_jax
+
+    return encode_jax.encode_block_bytes(data, level=level, dictionary=dictionary)
+
+
+def encode(
+    data,
+    level: int | LZ4Level = LZ4Level.L00_FAST,
+    dictionary: bytes = b"",
+    acceleration: int = 1,
+    backend: str = "auto",
+    target_capacity: int | None = None,
+) -> bytes | None:
+    """Compress one block.  Returns the compressed bytes, or ``None`` when
+    ``target_capacity`` is given and the result does not fit (the reference
+    returns a negative length in that case, `LZ4Codec.cs:40-52`)."""
+    data = bytes(memoryview(data).cast("B"))
+    level = int(level)
+    if backend == "host":
+        out = _host_encode(data, level, dictionary, acceleration)
+    elif backend == "tpu":
+        out = _tpu_encode(data, level, dictionary)
+    else:  # auto
+        if len(data) >= 4096 and _tpu_usable():
+            out = _tpu_encode(data, level, dictionary)
+        else:
+            out = _host_encode(data, level, dictionary, acceleration)
+    if target_capacity is not None and len(out) > target_capacity:
+        return None
+    return out
+
+
+def decode(
+    data,
+    target_length: int | None = None,
+    dictionary: bytes = b"",
+    backend: str = "auto",
+) -> bytes:
+    """Decompress one block (reference `LZ4Codec.Decode`, `LZ4Codec.cs:104-266`)."""
+    data = bytes(memoryview(data).cast("B"))
+    if backend == "tpu" or (
+        backend == "auto" and target_length is not None
+        and target_length >= 4096 and _tpu_usable()
+    ):
+        from ..ops import decode_jax
+
+        return decode_jax.decode_block_bytes(
+            data, target_length=target_length, dictionary=dictionary
+        )
+    try:
+        from .. import native
+
+        if native.available():
+            return native.decode(data, target_length, dictionary)
+    except ImportError:
+        pass
+    return hostref.decode_block(data, target_length, dictionary)
+
+
+def partial_decode(
+    data, target_length: int, dictionary: bytes = b"", backend: str = "auto"
+) -> bytes:
+    """Decompress only the first ``target_length`` bytes of a block
+    (reference `LZ4Codec.PartialDecode`, `LZ4Codec.cs:123-134`)."""
+    data = bytes(memoryview(data).cast("B"))
+    return hostref.decode_block(data, target_length, dictionary, partial=True)
+
+
+def _tpu_usable() -> bool:
+    # The vectorized jax kernels run on any backend (TPU or the CPU XLA
+    # backend used in tests); "usable" just means jax initializes.
+    try:
+        import jax
+
+        jax.devices()
+        return True
+    except Exception:
+        return False
