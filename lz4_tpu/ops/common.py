@@ -1,0 +1,109 @@
+"""Shared helpers for the vectorized LZ4 kernels.
+
+Everything operates on int32 arrays (bytes widened to i32): TPU vector units
+work on 32-bit lanes, and index arithmetic needs i32 anyway.  All shapes are
+static (jit-cacheable); true lengths travel as scalar operands.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def ceil_log2(n: int) -> int:
+    return max(1, math.ceil(math.log2(max(2, n))))
+
+
+def round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def bytes_to_i32(buf: jnp.ndarray) -> jnp.ndarray:
+    """u8[N] -> i32[N] (widen)."""
+    return buf.astype(jnp.int32)
+
+
+def shift_left(b: jnp.ndarray, k: int) -> jnp.ndarray:
+    """b[i+k] with zero fill past the end (no wraparound)."""
+    if k == 0:
+        return b
+    return jnp.concatenate([b[k:], jnp.zeros((k,), b.dtype)])
+
+
+def word_le(b: jnp.ndarray) -> jnp.ndarray:
+    """w[i] = 4-byte little-endian word starting at i, as i32 (zero fill past
+    the end)."""
+    return (
+        b
+        | (shift_left(b, 1) << 8)
+        | (shift_left(b, 2) << 16)
+        | (shift_left(b, 3) << 24)
+    )
+
+
+def gather(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Clamped gather."""
+    return arr[jnp.clip(idx, 0, arr.shape[0] - 1)]
+
+
+def next_not_equal(flag_neq: jnp.ndarray, idx: jnp.ndarray, sentinel: int) -> jnp.ndarray:
+    """For each i, the smallest j >= i with flag_neq[j] True (else sentinel).
+
+    One reverse cumulative-min over masked indices.
+    """
+    m = jnp.where(flag_neq, idx, sentinel)
+    return lax.associative_scan(jnp.minimum, m, reverse=True)
+
+
+def mark_reachable(nxt: jnp.ndarray, rounds: int) -> jnp.ndarray:
+    """Pointer-doubling reachability from index 0 through nxt[] (which must be
+    strictly increasing: nxt[i] > i, with self-loop allowed only at the last
+    ("dead") index).  Returns bool mask of reached indices.
+
+    After r rounds, marks every node reachable in <= 2^r - 1 steps.
+    """
+    n = nxt.shape[0]
+    a = jnp.zeros((n,), jnp.int32).at[0].set(1)
+    d = nxt
+
+    def body(carry, _):
+        a, d = carry
+        a = jnp.maximum(a, jnp.zeros((n,), jnp.int32).at[d].max(a, mode="drop"))
+        d = d[jnp.clip(d, 0, n - 1)]
+        return (a, d), None
+
+    (a, _), _ = lax.scan(body, (a, d), None, length=rounds)
+    return a.astype(bool)
+
+
+def exclusive_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.cumsum(x) - x
+
+
+def compact_indices(mask: jnp.ndarray, max_out: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stable-compact indices where mask is True.
+
+    Returns (positions i32[max_out] in ascending order, count).  Unused slots
+    hold ``len(mask)`` (an out-of-range sentinel).
+    """
+    n = mask.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rank = exclusive_cumsum(mask.astype(jnp.int32))
+    count = jnp.sum(mask.astype(jnp.int32))
+    dest = jnp.where(mask, rank, max_out)  # OOB -> dropped
+    out = jnp.full((max_out,), n, dtype=jnp.int32).at[dest].set(idx, mode="drop")
+    return out, count
+
+
+def interval_mask(starts: jnp.ndarray, ends: jnp.ndarray, valid: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Boolean mask over [0, size) covering the union of [start, end) intervals
+    (intervals must be disjoint). Implemented as diff + cumsum."""
+    diff = jnp.zeros((size + 1,), jnp.int32)
+    s = jnp.where(valid & (ends > starts), starts, size + 1)
+    e = jnp.where(valid & (ends > starts), ends, size + 1)
+    diff = diff.at[s].add(1, mode="drop")
+    diff = diff.at[e].add(-1, mode="drop")
+    return jnp.cumsum(diff)[:size] > 0

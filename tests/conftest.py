@@ -2,14 +2,14 @@
 multi-chip sharding paths are exercised without TPU hardware (the driver
 separately dry-runs the multi-chip path; the benchmark runs on a real chip).
 
-Must run before jax is imported anywhere.
+The environment preloads jax with the TPU (axon) backend via sitecustomize,
+so we re-point jax at CPU and clear the backend cache before any test runs.
 """
 
 import os
 import random
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +17,17 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.extend import backend as _jeb  # noqa: E402
+
+    _jeb.clear_backends()
+except Exception:
+    pass
+assert jax.default_backend() == "cpu"
 
 import pytest  # noqa: E402
 
