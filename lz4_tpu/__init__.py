@@ -20,6 +20,7 @@ Layer map (mirrors reference SURVEY §1):
 from .constants import LZ4Level, compress_bound
 from .block.api import decode, encode, maximum_output_size, partial_decode
 from .block.hostref import LZ4Error
+from .pickler import pickle, unpickle, unpickled_size
 from .xxh32 import XXH32, xxh32
 
 __version__ = "0.1.0"
@@ -32,6 +33,9 @@ __all__ = [
     "encode",
     "decode",
     "partial_decode",
+    "pickle",
+    "unpickle",
+    "unpickled_size",
     "XXH32",
     "xxh32",
 ]

@@ -83,8 +83,12 @@ def decode(
     target_length: int | None = None,
     dictionary: bytes = b"",
     backend: str = "auto",
+    capacity: int | None = None,
 ) -> bytes:
-    """Decompress one block (reference `LZ4Codec.Decode`, `LZ4Codec.cs:104-266`)."""
+    """Decompress one block (reference `LZ4Codec.Decode`, `LZ4Codec.cs:104-266`).
+
+    ``capacity`` bounds the output allocation when ``target_length`` is
+    unknown (e.g. legacy-format blocks with a known maximum size)."""
     data = bytes(memoryview(data).cast("B"))
     if backend == "tpu" or (
         backend == "auto" and target_length is not None
@@ -99,7 +103,7 @@ def decode(
         from .. import native
 
         if native.available():
-            return native.decode(data, target_length, dictionary)
+            return native.decode(data, target_length, dictionary, capacity=capacity)
     except ImportError:
         pass
     return hostref.decode_block(data, target_length, dictionary)
@@ -111,6 +115,13 @@ def partial_decode(
     """Decompress only the first ``target_length`` bytes of a block
     (reference `LZ4Codec.PartialDecode`, `LZ4Codec.cs:123-134`)."""
     data = bytes(memoryview(data).cast("B"))
+    try:
+        from .. import native
+
+        if native.available():
+            return native.decode(data, target_length, dictionary, partial=True)
+    except ImportError:
+        pass
     return hostref.decode_block(data, target_length, dictionary, partial=True)
 
 

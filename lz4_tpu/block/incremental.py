@@ -1,0 +1,153 @@
+"""Incremental (streaming) block encoders/decoders — the bridge between
+"one block" and "a stream of blocks".
+
+Capability analog of the reference's `Encoders/` layer: `ILZ4Encoder`
+(`Encoders/ILZ4Encoder.cs:8-35`), `LZ4BlockEncoder`, `LZ4FastChainEncoder`,
+`LZ4HighChainEncoder`, `ILZ4Decoder`, `LZ4BlockDecoder`, `LZ4ChainDecoder`
+and the `LZ4Encoder.Create`/`LZ4Decoder.Create` factories
+(`Encoders/LZ4Encoder.cs:14-19`, `Encoders/LZ4Decoder.cs:13-21`).
+
+Design difference from the reference: the reference manages pinned input
+rings with explicit `Topup/Encode/Commit` state machines because it targets
+zero-copy .NET interop; here the carry is simply the last 64 KB of raw
+history (chained modes), kept as bytes, and blocks are encoded/decoded
+one-shot through `lz4_tpu.block.api` (TPU kernels or native host codec).
+"""
+
+from __future__ import annotations
+
+from ..constants import DISTANCE_MAX, LZ4Level
+from . import api as block_api
+
+__all__ = [
+    "BlockEncoder",
+    "ChainEncoder",
+    "BlockDecoder",
+    "ChainDecoder",
+    "create_encoder",
+    "create_decoder",
+]
+
+_WINDOW = DISTANCE_MAX + 1  # 64 KB chained-mode history window
+
+
+class BlockEncoder:
+    """Independent-block encoder (reference `LZ4BlockEncoder`,
+    `Encoders/LZ4BlockEncoder.cs:7-24`): no history between blocks."""
+
+    chaining = False
+
+    def __init__(self, level: int = 0, block_size: int = 65536, backend: str = "auto"):
+        self.level = int(level)
+        self.block_size = block_size
+        self._backend = backend
+
+    def encode_block(self, raw: bytes) -> bytes:
+        return block_api.encode(raw, level=self.level, backend=self._backend)
+
+
+class ChainEncoder:
+    """Chained-block encoder carrying a 64 KB dictionary between blocks
+    (reference `LZ4FastChainEncoder`/`LZ4HighChainEncoder` +
+    `LZ4_saveDict`, `Engine/LL.tools.cs:195-213`)."""
+
+    chaining = True
+
+    def __init__(self, level: int = 0, block_size: int = 65536, backend: str = "auto"):
+        self.level = int(level)
+        self.block_size = block_size
+        self._backend = backend
+        self._dict = b""
+
+    @property
+    def dictionary(self) -> bytes:
+        return self._dict
+
+    def encode_block(self, raw: bytes) -> bytes:
+        comp = block_api.encode(
+            raw, level=self.level, dictionary=self._dict, backend=self._backend
+        )
+        self._dict = (self._dict + raw)[-_WINDOW:]
+        return comp
+
+    def reset(self):
+        self._dict = b""
+
+
+class BlockDecoder:
+    """Independent-block decoder (reference `LZ4BlockDecoder`)."""
+
+    chaining = False
+
+    def __init__(self, block_size: int = 65536, backend: str = "auto"):
+        self.block_size = block_size
+        self._backend = backend
+
+    def decode_block(self, comp: bytes, expected_length: int | None = None) -> bytes:
+        return block_api.decode(
+            comp, target_length=expected_length, backend=self._backend
+        )
+
+    def inject_block(self, raw: bytes) -> bytes:
+        """Accept a stored (uncompressed) block (reference `Inject`)."""
+        return raw
+
+
+class ChainDecoder:
+    """Chained-block decoder with 64 KB rolling window (reference
+    `LZ4ChainDecoder`, `Encoders/LZ4ChainDecoder.cs:11-152`)."""
+
+    chaining = True
+
+    def __init__(
+        self,
+        block_size: int = 65536,
+        dictionary: bytes = b"",
+        backend: str = "auto",
+    ):
+        self.block_size = block_size
+        self._backend = backend
+        self._dict = bytes(dictionary[-_WINDOW:])
+
+    @property
+    def dictionary(self) -> bytes:
+        return self._dict
+
+    def decode_block(self, comp: bytes, expected_length: int | None = None) -> bytes:
+        raw = block_api.decode(
+            comp,
+            target_length=expected_length,
+            dictionary=self._dict,
+            backend=self._backend,
+        )
+        self._dict = (self._dict + raw)[-_WINDOW:]
+        return raw
+
+    def inject_block(self, raw: bytes) -> bytes:
+        """Stored block still participates in the history window
+        (reference `LZ4ChainDecoder.Inject`)."""
+        self._dict = (self._dict + raw)[-_WINDOW:]
+        return raw
+
+
+def create_encoder(
+    chaining: bool,
+    level: int | LZ4Level = 0,
+    block_size: int = 65536,
+    backend: str = "auto",
+):
+    """Factory (reference `LZ4Encoder.Create`, `Encoders/LZ4Encoder.cs:14-19`)."""
+    cls = ChainEncoder if chaining else BlockEncoder
+    return cls(int(level), block_size, backend)
+
+
+def create_decoder(
+    chaining: bool,
+    block_size: int = 65536,
+    dictionary: bytes = b"",
+    backend: str = "auto",
+):
+    """Factory (reference `LZ4Decoder.Create`, `Encoders/LZ4Decoder.cs:13-21`)."""
+    if chaining:
+        return ChainDecoder(block_size, dictionary, backend)
+    return BlockDecoder(block_size, backend)

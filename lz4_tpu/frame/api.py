@@ -1,0 +1,306 @@
+"""One-shot frame facades and Stream-like wrappers.
+
+Capability analog of the reference's `LZ4Frame` one-liners
+(`LZ4Frame.encode.cs:9-387`, `LZ4Frame.decode.cs:14-67`) and the
+`LZ4Stream.Encode/Decode` stream skins (`LZ4Stream.cs:8-76`).
+
+The one-shot ``compress``/``decompress`` over independent blocks route
+through the block-parallel TPU path (`lz4_tpu.parallel`) — the frame block
+loop becomes a single batched device call plus host-side frame assembly.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+from ..block import api as block_api
+from ..xxh32 import XXH32, xxh32
+from .descriptor import DecoderSettings, EncoderSettings, FrameDescriptor
+from .header import LZ4FormatError, build_header, parse_header
+from .reader import FrameReader
+from .writer import FrameWriter
+
+__all__ = [
+    "compress",
+    "decompress",
+    "open",
+    "FrameReader",
+    "FrameWriter",
+    "LZ4FrameFile",
+]
+
+_UNCOMPRESSED_FLAG = 0x80000000
+
+
+def compress(
+    data,
+    settings: EncoderSettings | None = None,
+    backend: str = "auto",
+    mesh=None,
+    store_size: bool = False,
+) -> bytes:
+    """Compress ``data`` into one LZ4 frame.
+
+    With independent blocks the block loop runs batched/block-parallel on
+    device (sharded over ``mesh`` when given); chained blocks run the
+    sequential dict-carry path through FrameWriter.
+    """
+    data = bytes(memoryview(data).cast("B"))
+    settings = settings or EncoderSettings()
+    if store_size and settings.content_length is None:
+        import dataclasses
+
+        settings = dataclasses.replace(settings, content_length=len(data))
+    if settings.chain_blocks or len(data) <= settings.block_size:
+        sink = io.BytesIO()
+        w = FrameWriter(sink, settings, backend=backend)
+        w.write(data)
+        w.close()
+        return sink.getvalue()
+
+    # independent blocks: batched block-parallel path
+    from ..parallel.blocks import encode_blocks
+
+    d = settings.to_descriptor()
+    parts = [build_header(d)]
+    content_hash = XXH32() if d.content_checksum else None
+    if content_hash is not None:
+        content_hash.update(data)
+    blocks = encode_blocks(
+        data,
+        block_size=settings.block_size,
+        level=settings.compression_level,
+        mesh=mesh,
+    )
+    n = len(data)
+    for i, comp in enumerate(blocks):
+        raw_len = min(settings.block_size, n - i * settings.block_size)
+        if len(comp) >= raw_len:
+            payload = data[i * settings.block_size : i * settings.block_size + raw_len]
+            parts.append(struct.pack("<I", raw_len | _UNCOMPRESSED_FLAG))
+        else:
+            payload = comp
+            parts.append(struct.pack("<I", len(comp)))
+        parts.append(payload)
+        if d.block_checksum:
+            parts.append(struct.pack("<I", xxh32(payload)))
+    parts.append(b"\x00\x00\x00\x00")
+    if content_hash is not None:
+        parts.append(struct.pack("<I", content_hash.digest()))
+    return b"".join(parts)
+
+
+def decompress(
+    data,
+    settings: DecoderSettings | None = None,
+    backend: str = "auto",
+    mesh=None,
+) -> bytes:
+    """Decompress LZ4 frame(s) from ``data``.
+
+    Independent-block frames without block-level surprises decode through the
+    batched block-parallel path; everything else falls back to FrameReader.
+    """
+    data = bytes(memoryview(data).cast("B"))
+    settings = settings or DecoderSettings()
+    fast = _try_parallel_decompress(data, settings, mesh)
+    if fast is not None:
+        return fast
+    r = FrameReader(
+        io.BytesIO(data), dictionary=settings.dictionary, backend=backend
+    )
+    return r.read_all()
+
+
+def _try_parallel_decompress(data: bytes, settings: DecoderSettings, mesh):
+    """Single independent-block frame → batched device decode.  Returns None
+    when the stream needs the general path (chained, multi-frame, legacy,
+    stored blocks mixed in, preset dictionary)."""
+    if settings.dictionary:
+        return None
+    src = io.BytesIO(data)
+    try:
+        info = parse_header(src.read)
+    except LZ4FormatError:
+        return None
+    if info is None or info.kind != "frame":
+        return None
+    d: FrameDescriptor = info.descriptor
+    if d.block_chaining or d.dictionary_id is not None:
+        return None
+    # scan the block table on host (cheap: just length words)
+    blocks: list[tuple[int, int, bool]] = []  # (offset, length, stored)
+    pos = info.header_length
+    n = len(data)
+    while True:
+        if pos + 4 > n:
+            return None
+        (word,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if word == 0:
+            break
+        stored = bool(word & _UNCOMPRESSED_FLAG)
+        length = word & ~_UNCOMPRESSED_FLAG
+        if pos + length > n:
+            return None
+        blocks.append((pos, length, stored))
+        pos += length
+        if d.block_checksum:
+            if pos + 4 > n:
+                return None
+            (expected,) = struct.unpack_from("<I", data, pos)
+            if xxh32(data[pos - length : pos]) != expected:
+                raise LZ4FormatError("block checksum mismatch")
+            pos += 4
+    tail_needed = 4 if d.content_checksum else 0
+    if pos + tail_needed > n:
+        return None
+    if pos + tail_needed != n:
+        return None  # multi-frame stream: general path
+
+    if any(st for _, _, st in blocks):
+        # mixed stored/compressed blocks: stored blocks interleave with the
+        # batch, assemble sequentially (rare — incompressible regions)
+        result = b"".join(
+            data[off : off + length]
+            if st
+            else block_api.decode(data[off : off + length])
+            for off, length, st in blocks
+        )
+    else:
+        from ..parallel.blocks import decode_blocks
+
+        comp_list = [data[off : off + length] for off, length, _ in blocks]
+        result = (
+            decode_blocks(comp_list, d.block_size, mesh=mesh)
+            if comp_list
+            else b""
+        )
+    if d.content_checksum:
+        (expected,) = struct.unpack_from("<I", data, pos)
+        if xxh32(result) != expected:
+            raise LZ4FormatError("content checksum mismatch")
+    if d.content_length is not None and len(result) != d.content_length:
+        raise LZ4FormatError(
+            f"content length mismatch: {len(result)} != {d.content_length}"
+        )
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Stream (file-like) facade
+# ---------------------------------------------------------------------------
+
+
+class LZ4FrameFile(io.RawIOBase):
+    """File-like LZ4 frame stream — the analog of the reference's
+    `LZ4EncoderStream`/`LZ4DecoderStream` (`LZ4EncoderStream.cs:10-79`,
+    `LZ4DecoderStream.cs:11-89`)."""
+
+    def __init__(
+        self,
+        inner,
+        mode: str = "rb",
+        settings: EncoderSettings | None = None,
+        dictionary: bytes = b"",
+        backend: str = "auto",
+        close_inner: bool = True,
+    ):
+        self._inner = inner
+        self._close_inner = close_inner
+        self._mode = mode
+        if "w" in mode or "a" in mode or "x" in mode:
+            self._writer = FrameWriter(inner, settings, backend=backend)
+            self._reader = None
+        else:
+            self._reader = FrameReader(inner, dictionary=dictionary, backend=backend)
+            self._writer = None
+        self._pos = 0
+
+    def readable(self):
+        return self._reader is not None
+
+    def writable(self):
+        return self._writer is not None
+
+    def read(self, n: int = -1) -> bytes:
+        if self._reader is None:
+            raise io.UnsupportedOperation("not open for reading")
+        out = self._reader.read(n)
+        self._pos += len(out)
+        return out
+
+    def read1(self, n: int = -1) -> bytes:
+        if self._reader is None:
+            raise io.UnsupportedOperation("not open for reading")
+        out = self._reader.read1()
+        if n is not None and 0 <= n < len(out):
+            # keep the overflow buffered
+            self._reader._buffer[:0] = out[n:]
+            out = out[:n]
+        self._pos += len(out)
+        return out
+
+    def readinto(self, b) -> int:
+        data = self.read(len(b))
+        b[: len(data)] = data
+        return len(data)
+
+    def write(self, data) -> int:
+        if self._writer is None:
+            raise io.UnsupportedOperation("not open for writing")
+        n = self._writer.write(data)
+        self._pos += n
+        return n
+
+    def flush(self):
+        if self._writer is not None:
+            self._writer.flush()
+
+    def tell(self) -> int:
+        return self._pos
+
+    @property
+    def length(self) -> int | None:
+        """Decoded content length when the frame header carries it."""
+        if self._reader is not None:
+            return self._reader.frame_length()
+        return None
+
+    def close(self):
+        if self.closed:
+            return
+        try:
+            if self._writer is not None:
+                self._writer.close()
+        finally:
+            if self._close_inner and hasattr(self._inner, "close"):
+                self._inner.close()
+            super().close()
+
+
+def open(
+    filename,
+    mode: str = "rb",
+    settings: EncoderSettings | None = None,
+    dictionary: bytes = b"",
+    backend: str = "auto",
+):
+    """Open an `.lz4` file for reading or writing (like ``gzip.open``)."""
+    import builtins
+
+    if hasattr(filename, "read") or hasattr(filename, "write"):
+        inner = filename
+        close_inner = False
+    else:
+        inner = builtins.open(filename, mode if "b" in mode else mode + "b")
+        close_inner = True
+    return LZ4FrameFile(
+        inner,
+        mode=mode,
+        settings=settings,
+        dictionary=dictionary,
+        backend=backend,
+        close_inner=close_inner,
+    )

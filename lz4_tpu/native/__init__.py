@@ -1,0 +1,146 @@
+"""Native host codec loader.
+
+Builds (once, on demand) and loads ``liblz4tpu.so`` — the C host-side block
+codec + xxHash32 (`lz4tpu.c`).  Falls back gracefully when no C compiler is
+available: ``available()`` returns False and callers use the pure-Python
+oracle or the TPU kernels instead.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "lz4tpu.c")
+_LIB = os.path.join(_HERE, f"liblz4tpu-{sys.implementation.cache_tag}.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            r = subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", "-o", _LIB + ".tmp", _SRC],
+                capture_output=True,
+                timeout=120,
+            )
+        except (OSError, subprocess.TimeoutExpired):
+            continue
+        if r.returncode == 0:
+            os.replace(_LIB + ".tmp", _LIB)
+            return True
+    return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        lib.lz4tpu_decode.restype = ctypes.c_int64
+        lib.lz4tpu_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.lz4tpu_encode_fast.restype = ctypes.c_int64
+        lib.lz4tpu_encode_fast.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ]
+        lib.lz4tpu_encode_hc.restype = ctypes.c_int64
+        lib.lz4tpu_encode_hc.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ]
+        lib.lz4tpu_xxh32.restype = ctypes.c_uint32
+        lib.lz4tpu_xxh32.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint32,
+        ]
+        lib.lz4tpu_xxh32_stripes.restype = None
+        lib.lz4tpu_xxh32_stripes.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_char_p, ctypes.c_int64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def encode(
+    data: bytes, level: int = 0, dictionary: bytes = b"", acceleration: int = 1
+) -> bytes:
+    """Compress one block; dictionary is prefixed history."""
+    from ..constants import DISTANCE_MAX, compress_bound
+
+    lib = _load()
+    dictionary = bytes(dictionary[-(DISTANCE_MAX + 1) :])
+    buf = dictionary + bytes(data)
+    out_cap = compress_bound(len(data))
+    out = ctypes.create_string_buffer(out_cap)
+    if level < 3:
+        rc = lib.lz4tpu_encode_fast(
+            buf, len(buf), len(dictionary), out, out_cap, acceleration
+        )
+    else:
+        rc = lib.lz4tpu_encode_hc(
+            buf, len(buf), len(dictionary), out, out_cap, level
+        )
+    if rc < 0:
+        raise RuntimeError(f"native encode failed ({rc})")
+    return out.raw[:rc]
+
+
+def decode(
+    data: bytes,
+    target_length: int | None = None,
+    dictionary: bytes = b"",
+    partial: bool = False,
+    capacity: int | None = None,
+) -> bytes:
+    from ..block.hostref import LZ4Error
+
+    lib = _load()
+    data = bytes(data)
+    if not data:
+        raise LZ4Error("empty input")
+    if partial and target_length is not None:
+        out_cap = target_length
+        target = target_length
+    elif target_length is not None:
+        out_cap = target_length
+        target = -1
+    else:
+        out_cap = capacity if capacity is not None else max(256, len(data) * 255)
+        target = -1
+    out = ctypes.create_string_buffer(max(out_cap, 1))
+    rc = lib.lz4tpu_decode(
+        data, len(data), bytes(dictionary), len(dictionary), out, out_cap, target
+    )
+    if rc < 0:
+        raise LZ4Error(f"malformed LZ4 block (native rc={rc})")
+    if target_length is not None and not partial and rc != target_length:
+        raise LZ4Error(f"decoded length {rc} != expected {target_length}")
+    return out.raw[:rc]
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    lib = _load()
+    return int(lib.lz4tpu_xxh32(bytes(data), len(data), seed & 0xFFFFFFFF))

@@ -1,0 +1,97 @@
+"""Pickler — self-contained one-shot compressed blobs.
+
+Wire-format compatible with the reference's `LZ4Pickler` V0 format
+(`LZ4Pickler.pickle.cs:161-228`, `LZ4Pickler.unpickle.cs:110+`):
+
+- header byte: bits 0-2 = version (0), bits 6-7 = code for the byte-width of
+  the size-diff field (0, 1, 2 bytes, or code 3 = 4 bytes);
+- compressed payload: ``diff = original_length - compressed_length`` stored
+  little-endian in that many bytes, then the LZ4 block;
+- incompressible payload: single zero header byte then the raw bytes.
+
+(The format is read from the reference's public documentation/tests, the
+implementation is clean-room.)
+"""
+
+from __future__ import annotations
+
+from .block import api as block_api
+from .constants import LZ4Level
+
+__all__ = ["pickle", "unpickle", "unpickled_size", "PickleError"]
+
+
+class PickleError(ValueError):
+    """Malformed pickle blob (analog of the reference's corrupted-header
+    exceptions)."""
+
+
+def _size_width(value: int) -> int:
+    if value < 0 or value > 0xFFFF:
+        return 4
+    if value > 0xFF:
+        return 2
+    return 1
+
+
+_WIDTH_TO_CODE = {0: 0, 1: 1, 2: 2, 4: 3}
+_CODE_TO_WIDTH = {0: 0, 1: 1, 2: 2, 3: 4}
+
+
+def pickle(
+    data,
+    level: int | LZ4Level = LZ4Level.L00_FAST,
+    backend: str = "auto",
+) -> bytes:
+    """Compress ``data`` into a self-describing blob (reference
+    `LZ4Pickler.Pickle`, `LZ4Pickler.pickle.cs:51-106`)."""
+    data = bytes(memoryview(data).cast("B"))
+    if not data:
+        return b""
+    comp = block_api.encode(data, level=level, backend=backend)
+    if comp is None or len(comp) >= len(data):
+        return b"\x00" + data
+    diff = len(data) - len(comp)
+    width = _size_width(diff)
+    header = bytes([(_WIDTH_TO_CODE[width] & 0x3) << 6])
+    return header + diff.to_bytes(width, "little") + comp
+
+
+def _decode_header(blob: bytes) -> tuple[int, int, int]:
+    """Returns (data_offset, data_length, result_length)."""
+    if not blob:
+        raise PickleError("empty pickle")
+    b0 = blob[0]
+    version = b0 & 0x07
+    if version != 0:
+        raise PickleError(f"unsupported pickle version {version}")
+    width = _CODE_TO_WIDTH[(b0 >> 6) & 0x3]
+    if len(blob) < 1 + width:
+        raise PickleError("truncated pickle header")
+    diff = int.from_bytes(blob[1 : 1 + width], "little") if width else 0
+    data_offset = 1 + width
+    data_length = len(blob) - data_offset
+    return data_offset, data_length, data_length + diff
+
+
+def unpickled_size(blob) -> int:
+    """Decoded size without decompressing (reference `UnpickledSize`)."""
+    blob = bytes(memoryview(blob).cast("B"))
+    if not blob:
+        return 0
+    return _decode_header(blob)[2]
+
+
+def unpickle(blob, backend: str = "auto") -> bytes:
+    """Decompress a pickled blob (reference `LZ4Pickler.Unpickle`)."""
+    blob = bytes(memoryview(blob).cast("B"))
+    if not blob:
+        return b""
+    off, dlen, rlen = _decode_header(blob)
+    payload = blob[off:]
+    if rlen == dlen:  # stored
+        return payload
+    out = block_api.decode(payload, target_length=rlen, backend=backend)
+    if len(out) != rlen:
+        raise PickleError(f"unpickled size {len(out)} != expected {rlen}")
+    return out

@@ -72,21 +72,19 @@ class XXH32:
         data = self._buf + data
         n_stripes = len(data) // 16
         if n_stripes:
-            body = np.frombuffer(data[: n_stripes * 16], dtype="<u4").reshape(
-                n_stripes, 4
-            )
-            a0, a1, a2, a3 = self._acc
-            # Vectorize over stripes: each accumulator consumes lane k of
-            # every stripe sequentially; the recurrence is sequential per
-            # accumulator so do it in numpy uint32 arithmetic stripe by
-            # stripe only when stripe count is small, otherwise loop in
-            # numpy-int (python ints are fine, stripes are 16B each).
-            for k in range(n_stripes):
-                a0 = _round(a0, int(body[k, 0]))
-                a1 = _round(a1, int(body[k, 1]))
-                a2 = _round(a2, int(body[k, 2]))
-                a3 = _round(a3, int(body[k, 3]))
-            self._acc = [a0, a1, a2, a3]
+            if _native_stripes(self._acc, data, n_stripes):
+                pass
+            else:
+                body = np.frombuffer(
+                    data[: n_stripes * 16], dtype="<u4"
+                ).reshape(n_stripes, 4)
+                a0, a1, a2, a3 = self._acc
+                for k in range(n_stripes):
+                    a0 = _round(a0, int(body[k, 0]))
+                    a1 = _round(a1, int(body[k, 1]))
+                    a2 = _round(a2, int(body[k, 2]))
+                    a3 = _round(a3, int(body[k, 3]))
+                self._acc = [a0, a1, a2, a3]
         self._buf = data[n_stripes * 16 :]
         return self
 
@@ -111,10 +109,34 @@ class XXH32:
         return _avalanche(acc)
 
 
+def _native_stripes(acc: list[int], data: bytes, n_stripes: int) -> bool:
+    """Advance accumulators with the native streaming body when available."""
+    try:
+        from . import native
+    except ImportError:
+        return False
+    if not native.available():
+        return False
+    import ctypes
+
+    state = (ctypes.c_uint32 * 4)(*acc)
+    native._load().lz4tpu_xxh32_stripes(state, data, n_stripes)
+    acc[:] = list(state)
+    return True
+
+
 def xxh32(data, seed: int = 0) -> int:
     """One-shot xxHash32 (like the reference's `XXH32.DigestOf`)."""
     data = bytes(memoryview(data).cast("B"))
     n = len(data)
+    if n >= 1024:
+        try:
+            from . import native
+
+            if native.available():
+                return native.xxh32(data, seed)
+        except ImportError:
+            pass
     if n >= 16:
         n_stripes = n // 16
         body = np.frombuffer(data[: n_stripes * 16], dtype="<u4").reshape(n_stripes, 4)

@@ -1,0 +1,201 @@
+"""Frame layer tests: roundtrips across settings (analog of the reference's
+Streams.Tests roundtrip/checksum suites), header codec, skippable frames,
+multi-frame streams, stream facade, error detection."""
+
+import dataclasses
+import io
+import random
+import struct
+
+import pytest
+
+from lz4_tpu import frame
+from lz4_tpu.frame.descriptor import EncoderSettings
+from lz4_tpu.frame.header import LZ4FormatError, build_header, parse_header
+from lz4_tpu.xxh32 import xxh32
+
+
+SETTINGS_MATRIX = [
+    EncoderSettings(),
+    EncoderSettings(chain_blocks=False),
+    EncoderSettings(content_checksum=True),
+    EncoderSettings(block_checksum=True),
+    EncoderSettings(chain_blocks=False, content_checksum=True, block_checksum=True),
+    EncoderSettings(block_size=256 * 1024),
+    EncoderSettings(compression_level=9),
+    EncoderSettings(chain_blocks=False, compression_level=12),
+]
+
+
+def test_header_roundtrip():
+    for s in SETTINGS_MATRIX + [
+        EncoderSettings(content_length=123456789),
+        EncoderSettings(dictionary_id=0xDEADBEEF),
+    ]:
+        d = s.to_descriptor()
+        hdr = build_header(d)
+        info = parse_header(io.BytesIO(hdr).read)
+        assert info.kind == "frame"
+        got = info.descriptor
+        assert got.block_chaining == d.block_chaining
+        assert got.block_checksum == d.block_checksum
+        assert got.content_checksum == d.content_checksum
+        assert got.content_length == d.content_length
+        assert got.dictionary_id == d.dictionary_id
+        assert got.block_size_code == d.block_size_code
+
+
+def test_header_checksum_detects_corruption():
+    hdr = bytearray(build_header(EncoderSettings().to_descriptor()))
+    hdr[4] ^= 0x04  # flip content-checksum flag
+    with pytest.raises(LZ4FormatError):
+        parse_header(io.BytesIO(bytes(hdr)).read)
+
+
+def test_frame_roundtrip_matrix(corpus):
+    for s in SETTINGS_MATRIX:
+        for name, data in corpus.items():
+            blob = frame.compress(data, settings=s, backend="host")
+            out = frame.decompress(blob, backend="host")
+            assert out == data, (name, s)
+
+
+def test_frame_roundtrip_large_chained(lorem, rng):
+    data = lorem(300_000, rng)
+    blob = frame.compress(data, backend="host")
+    assert frame.decompress(blob, backend="host") == data
+    assert len(blob) < len(data) // 2
+
+
+def test_frame_roundtrip_independent_parallel(lorem, rng):
+    """Independent-block one-shot routes through the batched device path."""
+    data = lorem(300_000, rng)
+    s = EncoderSettings(chain_blocks=False, block_size=65536, content_checksum=True)
+    blob = frame.compress(data, settings=s)
+    assert frame.decompress(blob) == data
+
+
+def test_content_size_written_and_honored(lorem, rng):
+    data = lorem(10_000, rng)
+    blob = frame.compress(data, store_size=True, backend="host")
+    r = frame.FrameReader(io.BytesIO(blob), backend="host")
+    assert r.frame_length() == len(data)
+    assert r.read_all() == data
+    # wrong content size must be rejected
+    s = EncoderSettings(content_length=len(data) + 1)
+    blob2 = frame.compress(data, settings=s, backend="host")
+    with pytest.raises(LZ4FormatError):
+        frame.decompress(blob2, backend="host")
+
+
+def test_random_write_chunks_roundtrip(lorem, rng):
+    """Randomized topup sizes (analog of reference FrameRountripTests)."""
+    data = lorem(100_000, rng)
+    sink = io.BytesIO()
+    w = frame.FrameWriter(sink, EncoderSettings(block_size=65536), backend="host")
+    i = 0
+    while i < len(data):
+        n = rng.randint(1, 9973)
+        w.write(data[i : i + n])
+        i += n
+    w.close()
+    assert frame.decompress(sink.getvalue(), backend="host") == data
+
+
+def test_random_read_chunks_roundtrip(lorem, rng):
+    data = lorem(100_000, rng)
+    blob = frame.compress(data, backend="host")
+    r = frame.FrameReader(io.BytesIO(blob), backend="host")
+    out = bytearray()
+    while True:
+        chunk = r.read(rng.randint(1, 7919))
+        if not chunk:
+            break
+        out += chunk
+    assert bytes(out) == data
+
+
+def test_slow_source_interactive(lorem, rng):
+    """1-byte-at-a-time source (analog of FakeNetworkStream tests)."""
+
+    class Slow:
+        def __init__(self, data):
+            self._b = io.BytesIO(data)
+
+        def read(self, n):
+            return self._b.read(min(1, n))
+
+    data = lorem(5000, rng)
+    blob = frame.compress(data, backend="host")
+    r = frame.FrameReader(Slow(blob), backend="host")
+    assert r.read_all() == data
+
+
+def test_multi_frame_concatenation(lorem, rng):
+    a, b = lorem(5000, rng), lorem(7000, rng)
+    blob = frame.compress(a, backend="host") + frame.compress(b, backend="host")
+    assert frame.decompress(blob, backend="host") == a + b
+
+
+def test_skippable_frame():
+    payload = b"user metadata"
+    skip = struct.pack("<II", 0x184D2A50, len(payload)) + payload
+    data = b"hello lz4 world" * 10
+    blob = skip + frame.compress(data, backend="host")
+    assert frame.decompress(blob, backend="host") == data
+
+
+def test_legacy_frame_decode():
+    """lz4 CLI legacy format: magic 0x184C2102 + [u32 csize][block]*."""
+    from lz4_tpu.block import api as block_api
+
+    data = b"legacy format payload " * 100
+    comp = block_api.encode(data, backend="host")
+    blob = struct.pack("<I", 0x184C2102) + struct.pack("<I", len(comp)) + comp
+    assert frame.decompress(blob, backend="host") == data
+
+
+def test_block_checksum_detects_corruption(lorem, rng):
+    data = lorem(5000, rng)
+    s = EncoderSettings(block_checksum=True)
+    blob = bytearray(frame.compress(data, settings=s, backend="host"))
+    blob[12] ^= 0xFF  # flip a payload byte
+    with pytest.raises((LZ4FormatError, Exception)):
+        frame.decompress(bytes(blob), backend="host")
+
+
+def test_content_checksum_detects_truncation(lorem, rng):
+    data = lorem(5000, rng)
+    s = EncoderSettings(content_checksum=True)
+    blob = frame.compress(data, settings=s, backend="host")
+    with pytest.raises(LZ4FormatError):
+        frame.decompress(blob[:-2], backend="host")
+
+
+def test_stream_facade_roundtrip(tmp_path, lorem, rng):
+    data = lorem(50_000, rng)
+    path = tmp_path / "x.lz4"
+    with frame.open(path, "wb", backend="host") as f:
+        for i in range(0, len(data), 1000):
+            f.write(data[i : i + 1000])
+    with frame.open(path, "rb", backend="host") as f:
+        assert f.read() == data
+    with frame.open(path, "rb", backend="host") as f:
+        import io as _io
+
+        buffered = _io.BufferedReader(f)
+        assert buffered.read() == data
+
+
+def test_invalid_magic_rejected():
+    with pytest.raises(LZ4FormatError):
+        frame.decompress(b"\x00\x01\x02\x03\x04\x05\x06\x07")
+
+
+def test_empty_content_frame():
+    blob = frame.compress(b"", backend="host")
+    assert frame.decompress(blob, backend="host") == b""
+    blob2 = frame.compress(
+        b"", settings=EncoderSettings(content_checksum=True), backend="host"
+    )
+    assert frame.decompress(blob2, backend="host") == b""
