@@ -2,25 +2,29 @@
 
 The canonical decoder (reference `x64/LL64.dec.cs:124-467`) is a sequential
 token scan with wildcopies.  A TPU is a vector machine, so this decoder is
-re-derived as four data-parallel phases with **no sequential scan at all**
+re-derived as data-parallel phases with **no sequential scan at all**
 (cf. "Massively-Parallel Lossless Data Decompression", PAPERS.md):
 
 1. **Speculative parse**: every input position parses *as if* a token started
    there; VLE runs are resolved with one reverse cumulative-min over the
    "next non-255 byte" index, giving literal length / offset / match length /
    next-token position per position in O(1) vector ops.
-2. **Token-chain resolution**: the true token positions are exactly the
-   positions reachable from 0 through next[]; pointer doubling marks them in
-   ceil(log2(n)) gather/scatter rounds.
-3. **Per-output-byte source map**: prefix sums over sequence lengths give
-   every output byte either a literal source (input index) or a match source
-   (output index j - offset), built with interval scatter + segment-id trick.
+2. **Chain materialization**: the true token positions are the orbit of 0
+   under next[]; binary lifting (`ops.chain.materialize_chain`) produces the
+   ascending token-position table directly — no reachability scatter, no
+   compaction.
+3. **Per-output-byte source map**: a `searchsorted` against the interleaved
+   (literal-start, match-start) output-offset boundaries assigns each output
+   byte its segment; literal bytes map to input positions, match bytes to
+   `j - offset`.
 4. **Match-chain resolution**: matches referencing output produced by other
    matches are resolved by pointer doubling on the source map (every chain
-   terminates at a literal or dictionary byte), again log2(n) rounds.
+   terminates at a literal or dictionary byte), log2(n) gather rounds.
 
-Total work: ~40 gather/scan passes over the block — all dense vector ops that
-XLA fuses and tiles; per-block state fits VMEM for 64 KB blocks.
+Every op here lowers to compact TPU code (cummin / cumsum / gathers /
+searchsorted / one small scatter-free token table): the whole executable is
+~10 MB vs ~33 MB for the earlier scatter-based formulation, which matters
+because the serving runtime reloads cold programs at ~25 MB/s.
 
 Capability parity: safe decode, partial decode (via target clamp), dictionary
 (prefix or external) decode — analog of `LZ4_decompress_safe[_partial|
@@ -36,13 +40,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import MIN_MATCH
+from .chain import materialize_chain
 from .common import (
     ceil_log2,
     exclusive_cumsum,
     gather,
-    mark_reachable,
     next_not_equal,
     shift_left,
+    word_le,
 )
 
 _PAD = 8  # trailing zero pad so speculative parses never read OOB
@@ -60,30 +65,34 @@ def _parse_and_decode(comp, comp_len, dictionary, dict_len, out_cap: int):
     b = comp
 
     # ---- phase 1: speculative per-position parse -------------------------
-    # VLE helper arrays: nn255[i] = first j >= i with b[j] != 255
+    # dynamic gathers are the dominant TPU cost (~100 Melem/s), so the VLE
+    # state (delta to the next non-255 byte + that byte) is packed into ONE
+    # array: pk[q] = (nn255[q]-q) << 8 | b[nn255[q]] — then each use is a
+    # single gather (or a free static shift)
     nn255 = next_not_equal(b != 255, idx, cap - 1)
-    ext_val = 255 * (nn255 - idx) + gather(b, nn255)
-    ext_bytes = nn255 - idx + 1
+    pk = ((nn255 - idx) << 8) | gather(b, nn255)
+
+    def unpack_ext(pk_v):
+        delta = pk_v >> 8
+        return 255 * delta + (pk_v & 0xFF), delta + 1  # (ext_val, ext_bytes)
+
+    w = word_le(b)  # w[q] = 4-byte LE word at q (static shifts, no gathers)
 
     tok = b
     ll_nib = tok >> 4
     ml_nib = tok & 15
     has_ll_ext = ll_nib == 15
-    i1 = jnp.minimum(idx + 1, cap - 1)
-    ll = jnp.where(has_ll_ext, 15 + gather(ext_val, i1), ll_nib)
-    llb = jnp.where(has_ll_ext, gather(ext_bytes, i1), 0)
+    ev1, eb1 = unpack_ext(shift_left(pk, 1))  # VLE starting at idx+1
+    ll = jnp.where(has_ll_ext, 15 + ev1, ll_nib)
+    llb = jnp.where(has_ll_ext, eb1, 0)
     lit_start = idx + 1 + llb
     lit_end = lit_start + ll  # position of the offset field
     is_last = lit_end >= comp_len
-    off = gather(b, lit_end) | (gather(b, lit_end + 1) << 8)
+    off = gather(w, lit_end) & 0xFFFF
     has_ml_ext = ml_nib == 15
-    ml_ext_at = lit_end + 2
-    ml = jnp.where(
-        has_ml_ext,
-        MIN_MATCH + 15 + gather(ext_val, ml_ext_at),
-        ml_nib + MIN_MATCH,
-    )
-    mlb = jnp.where(has_ml_ext, gather(ext_bytes, ml_ext_at), 0)
+    ev2, eb2 = unpack_ext(gather(pk, lit_end + 2))
+    ml = jnp.where(has_ml_ext, MIN_MATCH + 15 + ev2, ml_nib + MIN_MATCH)
+    mlb = jnp.where(has_ml_ext, eb2, 0)
     ml = jnp.where(is_last, 0, ml)
 
     dead = cap - 1
@@ -92,29 +101,35 @@ def _parse_and_decode(comp, comp_len, dictionary, dict_len, out_cap: int):
     nxt = jnp.maximum(nxt, idx + 1)  # safety: strict progress
     nxt = nxt.at[dead].set(dead)
 
-    # ---- phase 2: mark true token positions -----------------------------
-    reach = mark_reachable(nxt, ceil_log2(cap) + 1)
-    is_tok = reach & (idx < comp_len)
+    # ---- phase 2: materialize the true token chain -----------------------
+    # every sequence consumes >= 3 input bytes (token + offset), so the
+    # chain has at most cap//3 + 2 tokens
+    max_seq = cap // 3 + 2
+    p_tab = materialize_chain(nxt, max_seq)  # i32[S], ascending, sticks @dead
+    s_cap = p_tab.shape[0]
+    valid = p_tab < comp_len  # dead >= comp_len always
 
-    # ---- sequence table (kept full-width: scatter/gather stays dense) ----
-    # output start of each token's sequence = cumsum of (ll+ml) over tokens
-    # *before* it, computed full-width with masked contributions.
-    contrib = jnp.where(is_tok, ll + ml, 0)
-    out_start = exclusive_cumsum(contrib)  # valid at token positions
+    ps = jnp.where(valid, p_tab, 0)
+    ll_s = jnp.where(valid, gather(ll, ps), 0)
+    ml_s = jnp.where(valid, gather(ml, ps), 0)
+    off_s = jnp.where(valid, gather(off, ps), 1)
+    lit_start_s = jnp.where(valid, gather(lit_start, ps), 0)
+    lit_end_s = jnp.where(valid, gather(lit_end, ps), 0)
+    is_last_s = valid & gather(is_last, ps)
+
+    contrib = ll_s + ml_s
+    out_start_s = exclusive_cumsum(contrib)
     out_len = jnp.sum(contrib)
 
-    # error detection (safe decode)
-    match_at = out_start + ll  # output position where the match begins
-    bad = is_tok & ~is_last & (
-        (off == 0)
-        | (off > match_at + dict_len)  # window underflow
-        | (lit_end > comp_len)  # literal run past end of input
+    # ---- error detection (safe decode) -----------------------------------
+    match_at = out_start_s + ll_s
+    bad = valid & ~is_last_s & (
+        (off_s == 0)
+        | (off_s > match_at + dict_len)  # window underflow
+        | (lit_end_s > comp_len)  # literal run past end of input
     )
-    # the last token must consume the input exactly
-    bad_last = is_tok & is_last & (lit_end != comp_len)
-    # exactly one reachable terminating token must exist (catches truncation:
-    # a stream whose token chain walks past comp_len never sets is_last)
-    has_term = jnp.any(is_tok & is_last)
+    bad_last = is_last_s & (lit_end_s != comp_len)
+    has_term = jnp.any(is_last_s)
     err = (
         jnp.sum(bad.astype(jnp.int32))
         + jnp.sum(bad_last.astype(jnp.int32))
@@ -124,41 +139,42 @@ def _parse_and_decode(comp, comp_len, dictionary, dict_len, out_cap: int):
     )
 
     # ---- phase 3: per-output-byte source map -----------------------------
-    # segment-start markers: literal segment at out_start, match segment at
-    # out_start + ll (empty segments still bump the segment counter so the
-    # segment-ordinal <-> (token, kind) mapping stays aligned).
-    # Segment ordinal: tokens in input order; token rank via cumsum.
-    tok_i32 = is_tok.astype(jnp.int32)
-    rank = exclusive_cumsum(tok_i32)  # token ordinal at token positions
+    # segment id per output byte via boundary markers + cumsum (dynamic
+    # gathers cost ~100 Melem/s on TPU while scatter+cumsum is ~5x cheaper
+    # than a vectorized binary search; searchsorted here measured 344 ms/2MiB)
+    big = out_cap + 1
+    bnd = jnp.stack(
+        [jnp.where(valid, out_start_s, big), jnp.where(valid, match_at, big)],
+        axis=1,
+    ).reshape(-1)  # i32[2S], non-decreasing
+    bases = jnp.stack(
+        [out_cap + lit_start_s - out_start_s, -off_s], axis=1
+    ).reshape(-1)
 
     marker = jnp.zeros((out_cap + 1,), jnp.int32)
-    lit_seg_start = jnp.where(is_tok, out_start, out_cap + 1)
-    mat_seg_start = jnp.where(is_tok, out_start + ll, out_cap + 1)
-    marker = marker.at[lit_seg_start].add(1, mode="drop")
-    marker = marker.at[mat_seg_start].add(1, mode="drop")
-    sid = jnp.cumsum(marker)[:out_cap]  # 1-based segment ordinal per byte
-
-    # bases[2r] (literal segment of token r): OUT_TAG + lit_start - out_start
-    # bases[2r+1] (match segment):            -off
-    max_tok = out_cap  # bases sized generously; scatter by 2*rank(+1)
-    n_bases = 2 * (cap // 3 + 2)
-    base_lit = out_cap + lit_start - out_start  # tag: >= out_cap => literal
-    base_mat = -off
-    dest = jnp.where(is_tok, 2 * rank, n_bases)
-    bases = jnp.zeros((n_bases,), jnp.int32).at[dest].set(base_lit, mode="drop")
-    dest2 = jnp.where(is_tok, 2 * rank + 1, n_bases)
-    bases = bases.at[dest2].set(base_mat, mode="drop")
+    marker = marker.at[jnp.minimum(bnd, out_cap + 1)].add(1, mode="drop")
+    sid = jnp.cumsum(marker)[:out_cap]  # segments entered at or before j
 
     j = jnp.arange(out_cap, dtype=jnp.int32)
     src_map = gather(bases, jnp.maximum(sid - 1, 0)) + j
 
     # ---- phase 4: resolve match chains by pointer doubling ---------------
-    def body(f, _):
+    # early-exit while_loop: real data resolves in a handful of doubling
+    # rounds (chains deeper than 2^k are rare); each skipped round saves a
+    # full-width gather (~20 ms/2MiB), the dominant TPU cost
+    max_rounds = ceil_log2(out_cap) + 1
+
+    def p4_cond(state):
+        f, k = state
+        return jnp.any((f >= 0) & (f < out_cap)) & (k < max_rounds)
+
+    def p4_body(state):
+        f, k = state
         g = f[jnp.clip(f, 0, out_cap - 1)]
         f = jnp.where((f >= 0) & (f < out_cap), g, f)
-        return f, None
+        return f, k + 1
 
-    src_map, _ = jax.lax.scan(body, src_map, None, length=ceil_log2(out_cap) + 1)
+    src_map, _ = jax.lax.while_loop(p4_cond, p4_body, (src_map, jnp.int32(0)))
 
     # negative -> dictionary byte; >= out_cap -> comp literal byte
     err = err + jnp.sum(((j < out_len) & (src_map + dict_len < 0)).astype(jnp.int32))

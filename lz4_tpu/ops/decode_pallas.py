@@ -1,0 +1,230 @@
+"""Pallas TPU LZ4 block decoder — the per-chip performance path.
+
+The XLA dense-vector decoder (`decode_jax`) is elegant but gather-bound:
+TPU dynamic gathers run at ~100 Melem/s, so its ~30 full-width passes cap it
+at a few MB/s per chip.  This kernel uses the mapping the hardware rewards:
+
+- **grid over blocks** — each grid step decodes one independent LZ4 block;
+- **scalar sequence walk over SMEM** — the token/VLE state machine runs on
+  the scalar unit against an SMEM copy of the compressed bytes (Mosaic
+  forbids dynamic-lane scalar reads from VMEM), the same loop shape as the
+  reference's `LZ4_decompress_generic` (`x64/LL64.dec.cs:124-467`);
+- **row+roll vector copies** — output lives as (rows, 128) i32 lanes in
+  VMEM; byte-granular copies read two adjacent rows, `pltpu.roll` aligns
+  them, and masked merges write exact spans — 128 bytes per step through
+  the VPU (the vector analog of the reference's `WildCopy8`,
+  `Internal/x64/Mem64.cs:141-151`);
+- **overlap doubling** — matches with offset < 128 replicate their period by
+  doubling copies until a full-width copy is safe (the vector analog of the
+  inc32/dec64 overlap trick, `x64/LL64.dec.cs:408-425`).
+
+Bytes are widened to i32 lanes (the VPU is a 32-bit machine).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import MIN_MATCH
+
+_LANES = 128
+
+
+def _lane_iota():
+    return jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+
+
+def _decode_one(clen, comp_s, comp_v, out_ref, meta_ref):
+    """Decode one block.
+
+    comp_s:  SMEM i32[1, 1, CAP]   compressed bytes (scalar access)
+    comp_v:  VMEM i32[1, CR, 128]  same bytes as lane rows (vector access)
+    out_ref: VMEM i32[1, OR, 128]  decoded bytes as lane rows
+    meta_ref:VMEM i32[1, 1, 128]   lane0 = produced length, lane1 = error
+    """
+    ocap = (out_ref.shape[-2] - 1) * _LANES  # last row is slack
+    lane = _lane_iota()
+
+    def read_byte(p):
+        return comp_s[0, 0, p]
+
+    def read_chunk(ref, src):
+        """(1,128) i32 = bytes [src, src+128) of ref's flat lane space."""
+        row = src // _LANES
+        ln = src % _LANES
+        r0 = ref[0, pl.ds(row, 1), :]
+        r1 = ref[0, pl.ds(row + 1, 1), :]
+        sh = (_LANES - ln) % _LANES
+        v0 = pltpu.roll(r0, shift=sh, axis=1)  # element i = r0[i+ln]
+        v1 = pltpu.roll(r1, shift=sh, axis=1)
+        return jnp.where(lane < _LANES - ln, v0, v1)
+
+    def write_chunk(dst, vec, n):
+        """Write the first n (<=128) bytes of vec at flat position dst."""
+        row = dst // _LANES
+        ln = dst % _LANES
+        rolled = pltpu.roll(vec, shift=ln, axis=1)  # element i = vec[i-ln]
+        m0 = (lane >= ln) & (lane < ln + n)
+        r0 = out_ref[0, pl.ds(row, 1), :]
+        out_ref[0, pl.ds(row, 1), :] = jnp.where(m0, rolled, r0)
+        m1 = (lane + _LANES >= ln) & (lane + _LANES < ln + n)
+        r1 = out_ref[0, pl.ds(row + 1, 1), :]
+        out_ref[0, pl.ds(row + 1, 1), :] = jnp.where(m1, rolled, r1)
+
+    def copy_span(dst, src, n, from_comp):
+        """Copy n bytes; source from comp_v (literals) or out_ref (match)."""
+
+        def body(k, _):
+            pos = k * _LANES
+            take = jnp.minimum(_LANES, n - pos)
+            vec = jax.lax.cond(
+                from_comp,
+                lambda _: read_chunk(comp_v, src + pos),
+                lambda _: read_chunk(out_ref, src + pos),
+                None,
+            )
+            write_chunk(dst + pos, vec, take)
+            return 0
+
+        jax.lax.fori_loop(0, (n + _LANES - 1) // _LANES, body, 0)
+
+    def read_vle(p):
+        def cond(s):
+            v, q, last = s
+            return (last == 255) & (q < clen)
+
+        def body(s):
+            v, q, last = s
+            b = read_byte(q)
+            return v + b, q + 1, b
+
+        v0, q0, _ = jax.lax.while_loop(cond, body, (0, p, 255))
+        return v0, q0
+
+    def seq_cond(state):
+        ip, op, err, done = state
+        return (~done) & (err == 0)
+
+    def seq_body(state):
+        ip, op, err, done = state
+        bad = ip >= clen
+        token = read_byte(jnp.minimum(ip, clen - 1))
+        ip = ip + 1
+        ll = token >> 4
+
+        def ll_ext(_):
+            v, q = read_vle(ip)
+            return 15 + v, q
+
+        ll, ip = jax.lax.cond(ll == 15, ll_ext, lambda _: (ll, ip), None)
+        bad = bad | (ip + ll > clen) | (op + ll > ocap)
+
+        @pl.when(~bad & (ll > 0))
+        def _():
+            copy_span(op, ip, ll, True)
+
+        ip = ip + ll
+        op = op + ll
+        is_last = ip >= clen
+
+        def do_match(args):
+            ip, op, bad = args
+            off = read_byte(jnp.minimum(ip, clen - 1)) | (
+                read_byte(jnp.minimum(ip + 1, clen - 1)) << 8
+            )
+            ip = ip + 2
+            ml = (token & 15) + MIN_MATCH
+
+            def ml_ext(_):
+                v, q = read_vle(ip)
+                return MIN_MATCH + 15 + v, q
+
+            ml, ip = jax.lax.cond(
+                (token & 15) == 15, ml_ext, lambda _: (ml, ip), None
+            )
+            bad = bad | (off == 0) | (off > op) | (op + ml > ocap) | (ip > clen)
+
+            @pl.when(~bad)
+            def _():
+                def dbl_cond(s):
+                    dist, copied = s
+                    return (dist < _LANES) & (copied < ml)
+
+                def dbl_body(s):
+                    dist, copied = s
+                    n = jnp.minimum(dist, ml - copied)
+                    copy_span(op + copied, op + copied - dist, n, False)
+                    return dist * 2, copied + n
+
+                dist_f, copied = jax.lax.while_loop(dbl_cond, dbl_body, (off, 0))
+
+                @pl.when(copied < ml)
+                def _():
+                    # dist_f is a period multiple >= 128: chunk copies are safe
+                    copy_span(op + copied, op + copied - dist_f, ml - copied, False)
+
+            return ip, op + jnp.where(bad, 0, ml), bad
+
+        ip, op, bad = jax.lax.cond(is_last, lambda a: a, do_match, (ip, op, bad))
+        return ip, op, jnp.where(bad, 1, 0), is_last
+
+    ip, op, err, _ = jax.lax.while_loop(seq_cond, seq_body, (0, 0, 0, False))
+    errv = jnp.where(err != 0, err, jnp.where(ip != clen, 2, 0))
+    meta_ref[0, :, :] = jnp.where(lane == 0, op, jnp.where(lane == 1, errv, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def pallas_decode(comps_i32, comp_lens, out_cap: int):
+    """comps_i32: i32[B, CAP] (one byte per lane, zero padded; CAP % 128 == 0).
+
+    Returns (out i32[B, out_cap + 128], meta i32[B, 128]):
+    meta[:, 0] = produced length, meta[:, 1] = error flag.
+    """
+    b, cap = comps_i32.shape
+    assert cap % _LANES == 0, cap
+    cr = cap // _LANES
+    orows = out_cap // _LANES + 1  # one slack row for the chunk spill
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, cap), lambda i, lens: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((1, cr, _LANES), lambda i, lens: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, orows, _LANES), lambda i, lens: (i, 0, 0)),
+            pl.BlockSpec((1, 1, _LANES), lambda i, lens: (i, 0, 0)),
+        ],
+    )
+
+    def kernel(lens_ref, comp_s, comp_v, out_ref, meta_ref):
+        i = pl.program_id(0)
+        _decode_one(lens_ref[i], comp_s, comp_v, out_ref, meta_ref)
+
+    out, meta = pl.pallas_call(
+        kernel,
+        grid_spec=grid,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, orows, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, _LANES), jnp.int32),
+        ],
+    )(comp_lens, comps_i32.reshape(b, 1, cap), comps_i32.reshape(b, cr, _LANES))
+    return out.reshape(b, orows * _LANES), meta.reshape(b, _LANES)
+
+
+def decode_blocks_pallas(comps_u8: np.ndarray, comp_lens: np.ndarray, out_cap: int):
+    """Host wrapper: u8[B, CAP] compressed blocks -> (u8[B, out_cap], lens, errs)."""
+    comps_i32 = jnp.asarray(comps_u8, jnp.int32)
+    out, meta = pallas_decode(comps_i32, jnp.asarray(comp_lens, jnp.int32), out_cap)
+    out = np.asarray(out[:, :out_cap]).astype(np.uint8)
+    meta = np.asarray(meta)
+    return out, meta[:, 0], meta[:, 1]

@@ -12,15 +12,25 @@ encoder re-derives greedy LZ4 parsing as dense data-parallel passes:
    the K nearest predecessors in the same run.
 2. **Match lengths**: analytic for offsets <= 8 (periodic runs: one reverse
    cumulative-min per period gives *exact unbounded* lengths — this covers
-   RLE-heavy data that would otherwise serialize), plus a static 16-round
-   word-compare ladder up to 68 bytes, plus a masked while_loop extension
-   (64 B/round) for the rare long large-offset matches.
-3. **Greedy parse** (replaces the sequential anchor walk): next[p] =
-   p + matchlen (match) or p + 1 (literal); the chosen sequence positions are
-   exactly the pointer-doubling closure of next[] from 0 — log2(n) rounds.
-4. **Sequence emission**: output offsets by prefix sums over exact sequence
-   sizes; tokens/offsets/VLE tails by masked scatters; literal runs by a
-   segment-id gather; 255-runs by interval masks.  No sequential emitter.
+   RLE-heavy data that would otherwise serialize), plus a static word-compare
+   ladder, plus a masked while_loop extension for the rare long large-offset
+   matches.
+3. **Greedy parse** (replaces the sequential anchor walk): from any anchor
+   the next sequence starts at the first match position at or after it
+   (one reverse cummin); anchors are the orbit of 0 under
+   `jump(a) = seq_start(a) + match_len(seq_start(a))`, materialized by
+   binary lifting (`ops.chain.materialize_chain`) — the anchor/sequence
+   table emerges in ascending order with no reachability marking and no
+   compaction.
+4. **Sequence emission**: output offsets by a prefix sum over exact sequence
+   sizes; every output byte then locates its sequence with one
+   `searchsorted` and computes its value (token / VLE / literal / offset
+   bytes) purely with gathers — the emitter is scatter-free.
+
+All ops lower to compact TPU code (cummin / cumsum / sort / gather /
+searchsorted); program size is what determines cold-start cost on the
+serving runtime, and the scatter/associative_scan formulation this replaces
+compiled to ~165 MB of TPU code vs ~25 MB for this one.
 
 Output is valid LZ4 (validated against the scalar oracle and the reference's
 golden assets); compressed size typically *beats* the reference FAST level
@@ -36,18 +46,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import LAST_LITERALS, MF_LIMIT, MIN_MATCH, compress_bound
-from .common import (
-    ceil_log2,
-    compact_indices,
-    exclusive_cumsum,
-    gather,
-    interval_mask,
-    mark_reachable,
-    shift_left,
-    word_le,
-)
+from .chain import materialize_chain
+from .common import align1024, gather, reverse_cummin, word_le
 
-_PAD_TAIL = 80  # static word-scan reads up to ~72B past a position
+# Trailing pad: the static word-scan reads up to ~72 B past a position, and
+# padding to a 1024 multiple keeps every buffer extent aligned (unaligned
+# extents bloat TPU codegen 4-5x; see `common.align1024`).
+_PAD_TAIL = 1024
 _STATIC_SCAN_WORDS = 16  # 4 + 16*4 = 68 bytes covered without the loop
 _ANALYTIC_MAX_OFF = 8  # exact analytic lengths for periodic offsets 1..8
 
@@ -137,16 +142,17 @@ def _find_candidates(w, k_depth: int):
 
 def _analytic_periodic_lengths(b, full):
     """nxtdiff_k[i] = first j >= i with b[j] != b[j-k], for k = 1..8.
-    Gives exact match length for offset k: L = nxtdiff_k[p] - p."""
+    Gives exact match length for offset k: L = nxtdiff_k[p] - p.
+
+    One stacked reverse cummin for all 8 periods (a single fused XLA op).
+    """
     idx = jnp.arange(full, dtype=jnp.int32)
-    outs = []
+    rows = []
     for k in range(1, _ANALYTIC_MAX_OFF + 1):
         prev = jnp.concatenate([jnp.full((k,), -1, jnp.int32), b[:-k]])
         neq = b != prev
-        m = jnp.where(neq, idx, full - 1)
-        nxtdiff = jax.lax.associative_scan(jnp.minimum, m, reverse=True)
-        outs.append(nxtdiff)
-    return jnp.stack(outs)  # (8, FULL)
+        rows.append(jnp.where(neq, idx, full - 1))
+    return reverse_cummin(jnp.stack(rows))  # (8, FULL)
 
 
 def _encode_core(buf_u8, n, dict_len, dcap: int, bcap: int, k_depth: int):
@@ -156,7 +162,7 @@ def _encode_core(buf_u8, n, dict_len, dcap: int, bcap: int, k_depth: int):
     Returns (out u8[OCAP], out_len i32).
     """
     full = buf_u8.shape[0]
-    ocap = compress_bound(bcap)
+    ocap = align1024(compress_bound(bcap))
     d0 = dcap  # block start (absolute)
     b = buf_u8.astype(jnp.int32)
     w = word_le(b)
@@ -198,35 +204,40 @@ def _encode_core(buf_u8, n, dict_len, dcap: int, bcap: int, k_depth: int):
 
     has_match = best_ml >= MIN_MATCH
 
-    # ---- greedy parse via pointer doubling (block-relative) --------------
-    m_sz = bcap + 2
+    # ---- greedy parse via anchor-chain materialization -------------------
+    # block-relative arrays, aligned size, with a terminal "dead" slot
+    m_sz = bcap + 1024
     dead = m_sz - 1
+    pad_m = m_sz - bcap
     rel = jnp.arange(m_sz, dtype=jnp.int32)
-    ml_rel = jnp.pad(best_ml[d0 : d0 + bcap], (0, 2))
-    off_rel = jnp.pad(best_off[d0 : d0 + bcap], (0, 2))
-    hm_rel = jnp.pad(has_match[d0 : d0 + bcap], (0, 2))
-    step = jnp.where(hm_rel, ml_rel, 1)
-    nxt = jnp.where(rel < n, jnp.minimum(rel + step, dead), dead)
-    nxt = nxt.at[dead].set(dead)
-    reached = mark_reachable(nxt, ceil_log2(m_sz) + 1)
-    is_seq = reached & hm_rel & (rel < n)
+    ml_rel = jnp.pad(best_ml[d0 : d0 + bcap], (0, pad_m))
+    off_rel = jnp.pad(best_off[d0 : d0 + bcap], (0, pad_m))
+    hm_rel = jnp.pad(has_match[d0 : d0 + bcap], (0, pad_m)) & (rel < n)
 
-    # ---- sequence table ---------------------------------------------------
+    # first match position at or after p (one reverse cummin)
+    next_match = reverse_cummin(jnp.where(hm_rel, rel, dead))
+    # anchor jump: seq start -> seq end; dead once no matches remain
+    s_of = next_match
+    jump_tgt = jnp.minimum(gather(rel + ml_rel, jnp.minimum(s_of, dead)), dead)
+    jump = jnp.where(s_of < dead, jump_tgt, dead)
+    jump = jump.at[dead].set(dead)
+
     max_seq = bcap // 4 + 3
-    seq_pos, n_seq = compact_indices(is_seq, max_seq + 1)
-    seq_pos = seq_pos.at[n_seq].set(n)  # tail pseudo-sequence (final literals)
+    anchors = materialize_chain(jump, max_seq + 1)  # ascending, sticks @dead
+    s_cap = anchors.shape[0]
+    s_idx = jnp.arange(s_cap, dtype=jnp.int32)
 
-    s_idx = jnp.arange(max_seq + 1, dtype=jnp.int32)
-    s_real = s_idx < n_seq
-    s_used = s_idx <= n_seq
-    pos_s = jnp.where(s_used, jnp.minimum(seq_pos, n), 0)
-    ml_s = jnp.where(s_real, gather(ml_rel, pos_s), 0)
-    off_s = jnp.where(s_real, gather(off_rel, pos_s), 1)
+    a_cl = jnp.minimum(anchors, dead)
+    seq_at = gather(next_match, a_cl)  # seq position per anchor (dead = none)
+    s_real = (anchors < dead) & (seq_at < dead)
+    n_seq = jnp.sum(s_real.astype(jnp.int32))
+    s_used = s_idx <= n_seq  # real seqs + the tail pseudo-sequence
 
-    end_s = pos_s + ml_s
-    prev_end = jnp.concatenate([jnp.zeros((1,), jnp.int32), end_s[:-1]])
-    prev_end = jnp.where(s_used, prev_end, 0)
+    pos_s = jnp.where(s_real, seq_at, n)  # tail: final literals end at n
+    prev_end = jnp.where(s_used, jnp.minimum(a_cl, n), 0)
     lit_len = jnp.where(s_used, pos_s - prev_end, 0)
+    ml_s = jnp.where(s_real, gather(ml_rel, jnp.minimum(pos_s, dead)), 0)
+    off_s = jnp.where(s_real, gather(off_rel, jnp.minimum(pos_s, dead)), 1)
 
     mlv = jnp.maximum(ml_s - MIN_MATCH, 0)
     ll_ext = jnp.where(lit_len >= 15, _vle_extra_bytes(lit_len - 15), 0)
@@ -236,56 +247,58 @@ def _encode_core(buf_u8, n, dict_len, dcap: int, bcap: int, k_depth: int):
         1 + ll_ext + lit_len + jnp.where(s_real, 2 + ml_ext, 0),
         0,
     )
-    out_pos = exclusive_cumsum(size_s)
+    out_pos = jnp.cumsum(size_s) - size_s
     total = jnp.sum(size_s)
 
-    # ---- emission ----------------------------------------------------------
-    tok = (jnp.minimum(lit_len, 15) << 4) | jnp.where(
-        s_real, jnp.minimum(mlv, 15), 0
+    # ---- emission: per-output-byte gather (scatter-free) -----------------
+    # each output byte finds its sequence by searchsorted over out_pos, then
+    # computes its value from the sequence fields
+    bnd = jnp.where(s_used, out_pos, ocap + 1)
+    o = jnp.arange(ocap, dtype=jnp.int32)
+    sid = jnp.searchsorted(bnd, o, side="right")
+    sg = jnp.clip(sid - 1, 0, s_cap - 1)
+
+    op_g = gather(out_pos, sg)
+    ll_g = gather(lit_len, sg)
+    lx_g = gather(ll_ext, sg)
+    mx_g = gather(ml_ext, sg)
+    mv_g = gather(mlv, sg)
+    of_g = gather(off_s, sg)
+    pe_g = gather(prev_end, sg)
+    real_g = gather(s_real.astype(jnp.int32), sg) == 1
+
+    r = o - op_g
+    tok = (jnp.minimum(ll_g, 15) << 4) | jnp.where(real_g, jnp.minimum(mv_g, 15), 0)
+    ll_v = jnp.maximum(ll_g - 15, 0)
+    ml_v = jnp.maximum(mv_g - 15, 0)
+    lit_off = 1 + lx_g  # literal field offset within the sequence
+    mo = lit_off + ll_g  # offset field position within the sequence
+
+    lit_byte = gather(b, jnp.clip(d0 + pe_g + (r - lit_off), 0, full - 1))
+    val = jnp.where(
+        r == 0,
+        tok,
+        jnp.where(
+            r <= lx_g,  # literal-length VLE field [1, lx]
+            jnp.where(r == lx_g, ll_v % 255, 255),
+            jnp.where(
+                r < mo,  # literal bytes
+                lit_byte,
+                jnp.where(
+                    r == mo,
+                    of_g & 0xFF,
+                    jnp.where(
+                        r == mo + 1,
+                        of_g >> 8,
+                        jnp.where(  # match-length VLE field [mo+2, mo+1+mx]
+                            r == mo + 1 + mx_g, ml_v % 255, 255
+                        ),
+                    ),
+                ),
+            ),
+        ),
     )
-    lit_out = out_pos + 1 + ll_ext
-    mo = lit_out + lit_len  # offset field position (real seqs)
-
-    const = jnp.zeros((ocap,), jnp.int32)
-    drop = ocap + 1
-
-    def sc(arr, pos_arr, val_arr, mask):
-        return arr.at[jnp.where(mask, pos_arr, drop)].set(val_arr, mode="drop")
-
-    const = sc(const, out_pos, tok, s_used)
-    # literal-length VLE: (ll-15)//255 bytes of 255 then (ll-15)%255
-    ll_v = jnp.maximum(lit_len - 15, 0)
-    const = sc(const, out_pos + ll_ext, ll_v % 255, s_used & (ll_ext > 0))
-    run_ll = interval_mask(
-        out_pos + 1, out_pos + ll_ext, s_used & (ll_ext > 0), ocap
-    )
-    # offset
-    const = sc(const, mo, off_s & 0xFF, s_real)
-    const = sc(const, mo + 1, off_s >> 8, s_real)
-    # match-length VLE: ext bytes occupy [mo+2, mo+2+ml_ext), final byte last
-    ml_v = jnp.maximum(mlv - 15, 0)
-    const = sc(const, mo + 1 + ml_ext, ml_v % 255, s_real & (ml_ext > 0))
-    run_ml = interval_mask(
-        mo + 2, mo + 1 + ml_ext, s_real & (ml_ext > 0), ocap
-    )
-    const = jnp.where(run_ll | run_ml, 255, const)
-
-    # literal bytes: segment-id gather
-    marker = jnp.zeros((ocap + 1,), jnp.int32)
-    marker = marker.at[jnp.where(s_used, lit_out, drop)].add(1, mode="drop")
-    sid = jnp.cumsum(marker)[:ocap]
-    # base per segment ordinal: src position d0 + prev_end - lit_out
-    bases = jnp.zeros((max_seq + 2,), jnp.int32)
-    bases = bases.at[jnp.where(s_used, s_idx, max_seq + 1)].set(
-        d0 + prev_end - lit_out, mode="drop"
-    )
-    j = jnp.arange(ocap, dtype=jnp.int32)
-    lit_src = gather(bases, jnp.maximum(sid - 1, 0)) + j
-    lit_bytes = gather(b, lit_src)
-    lit_mask = interval_mask(lit_out, lit_out + lit_len, s_used, ocap)
-
-    out = jnp.where(lit_mask, lit_bytes, const)
-    return out.astype(jnp.uint8), total
+    return val.astype(jnp.uint8), total
 
 
 @functools.partial(

@@ -28,12 +28,20 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import compress_bound
+from ..ops.common import align1024
 from ..ops.decode_jax import _parse_and_decode
 from ..ops.encode_jax import _PAD_TAIL, _encode_core, level_to_depth
+
+
+def comp_capacity(block_size: int) -> int:
+    """Aligned compressed-buffer width for decode inputs."""
+    return align1024(compress_bound(block_size) + 8)
 
 __all__ = [
     "encode_blocks",
     "decode_blocks",
+    "encode_chunked",
+    "decode_chunked",
     "make_mesh",
     "batched_encode_fn",
     "batched_decode_fn",
@@ -42,6 +50,20 @@ __all__ = [
     "split_blocks",
     "pack_blocks",
 ]
+
+
+# Per-dispatch batch cap: the whole kernel pipeline must stay VMEM-resident
+# (~16 MB/core).  At 32 x 64KB blocks the i32 intermediates are ~8 MB and XLA
+# keeps the fused pipeline on-chip (~0.2 ms/call); much larger batches spill
+# to HBM and fall off a performance cliff.  Larger payloads are dispatched as
+# a pipeline of capped calls (async dispatch overlaps them).
+MAX_BLOCKS_PER_CALL = 32
+
+
+def _batch_cap(block_size: int) -> int:
+    """Scale the per-call batch so batch*block_size stays ~2 MiB."""
+    target = MAX_BLOCKS_PER_CALL * 65536
+    return max(1, min(MAX_BLOCKS_PER_CALL, target // max(block_size, 1)))
 
 
 # ---------------------------------------------------------------------------
@@ -76,6 +98,93 @@ def batched_decode(comps, comp_lens, out_cap: int):
         return _parse_and_decode(c.astype(jnp.int32), n, d, dl, out_cap)
 
     return jax.vmap(f)(comps, comp_lens, nodict, zero)
+
+
+def stage_encode_chunks(bufs, lens, bcap: int):
+    """Pre-stage host block arrays as device-resident VMEM-sized chunks."""
+    nb = bufs.shape[0]
+    cap = _batch_cap(bcap)
+    chunks = []
+    for i in range(0, nb, cap):
+        b = np.asarray(bufs[i : i + cap])
+        l = np.asarray(lens[i : i + cap])
+        if b.shape[0] < cap:
+            b = np.pad(b, ((0, cap - b.shape[0]), (0, 0)))
+            l = np.pad(l, (0, cap - l.shape[0]))
+        chunks.append((jax.device_put(jnp.asarray(b)), jax.device_put(jnp.asarray(l))))
+    jax.block_until_ready([c[0] for c in chunks])
+    return chunks, nb
+
+
+def run_encode_chunks(chunks, bcap: int, k_depth: int = 1):
+    """Dispatch all staged chunks (async) and block once: the timed hot path."""
+    outs = [batched_encode(b, l, bcap, k_depth) for b, l in chunks]
+    jax.block_until_ready(outs)
+    return outs
+
+
+def stage_decode_chunks(comps, comp_lens, out_cap: int):
+    nb = comps.shape[0]
+    cap = _batch_cap(out_cap)
+    chunks = []
+    for i in range(0, nb, cap):
+        c = np.asarray(comps[i : i + cap])
+        l = np.asarray(comp_lens[i : i + cap])
+        if c.shape[0] < cap:
+            pad = cap - c.shape[0]
+            c = np.concatenate([c, np.tile(c[:1], (pad, 1))])
+            l = np.concatenate([l, np.tile(l[:1], (pad,))])
+        chunks.append((jax.device_put(jnp.asarray(c)), jax.device_put(jnp.asarray(l))))
+    jax.block_until_ready([c[0] for c in chunks])
+    return chunks, nb
+
+
+def run_decode_chunks(chunks, out_cap: int):
+    outs = [batched_decode(c, l, out_cap) for c, l in chunks]
+    jax.block_until_ready(outs)
+    return outs
+
+
+def encode_chunked(bufs, lens, bcap: int, k_depth: int = 1):
+    """Encode any number of blocks by pipelining VMEM-sized batched calls.
+
+    bufs/lens may be numpy or jax arrays; returns (out, out_lens) as numpy.
+    """
+    nb = bufs.shape[0]
+    cap = _batch_cap(bcap)
+    outs, olens = [], []
+    for i in range(0, nb, cap):
+        b = jnp.asarray(bufs[i : i + cap])
+        l = jnp.asarray(lens[i : i + cap])
+        if b.shape[0] < cap:  # pad to the jitted shape
+            pad = cap - b.shape[0]
+            b = jnp.pad(b, ((0, pad), (0, 0)))
+            l = jnp.pad(l, (0, pad))
+        outs.append(batched_encode(b, l, bcap, k_depth))
+    jax.block_until_ready(outs)
+    out = np.concatenate([np.asarray(o[0]) for o in outs])[:nb]
+    ol = np.concatenate([np.asarray(o[1]) for o in outs])[:nb]
+    return out, ol
+
+
+def decode_chunked(comps, comp_lens, out_cap: int):
+    """Decode any number of blocks by pipelining VMEM-sized batched calls."""
+    nb = comps.shape[0]
+    cap = _batch_cap(out_cap)
+    outs = []
+    for i in range(0, nb, cap):
+        c = jnp.asarray(comps[i : i + cap])
+        l = jnp.asarray(comp_lens[i : i + cap])
+        if c.shape[0] < cap:
+            pad = cap - c.shape[0]
+            c = jnp.concatenate([c, jnp.tile(c[:1], (pad, 1))])
+            l = jnp.concatenate([l, jnp.tile(l[:1], (pad,))])
+        outs.append(batched_decode(c, l, out_cap))
+    jax.block_until_ready(outs)
+    out = np.concatenate([np.asarray(o[0]) for o in outs])[:nb]
+    ol = np.concatenate([np.asarray(o[1]) for o in outs])[:nb]
+    er = np.concatenate([np.asarray(o[2]) for o in outs])[:nb]
+    return out, ol, er
 
 
 def batched_encode_fn(bcap: int, k_depth: int = 1):
@@ -192,9 +301,7 @@ def encode_blocks(
         outs, out_lens = fn(bufs, lens_d)
     else:
         bufs, lens = split_blocks(data, block_size)
-        outs, out_lens = batched_encode(
-            jnp.asarray(bufs), jnp.asarray(lens), block_size, k_depth
-        )
+        outs, out_lens = encode_chunked(bufs, lens, block_size, k_depth)
     outs = np.asarray(outs)
     out_lens = np.asarray(out_lens)
     nb_real = max(1, -(-len(data) // block_size)) if data else 0
@@ -212,7 +319,7 @@ def decode_blocks(
 
     if not blocks:
         return b""
-    cap = compress_bound(block_size) + 8
+    cap = comp_capacity(block_size)
     nb = len(blocks)
     nd = mesh.devices.size if mesh is not None else 1
     nb_pad = -(-nb // nd) * nd
@@ -233,9 +340,7 @@ def decode_blocks(
             jax.device_put(jnp.asarray(clens), sh),
         )
     else:
-        outs, out_lens, errs = batched_decode(
-            jnp.asarray(comps), jnp.asarray(clens), block_size
-        )
+        outs, out_lens, errs = decode_chunked(comps, clens, block_size)
     outs = np.asarray(outs)
     out_lens = np.asarray(out_lens)
     errs = np.asarray(errs)
