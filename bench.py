@@ -87,7 +87,7 @@ def main():
     import jax.numpy as jnp
 
     from lz4_tpu.ops.decode_pallas import pallas_decode
-    from lz4_tpu.ops.encode_jax import _encode_core
+    from lz4_tpu.ops.encode_pallas import pallas_encode
     from lz4_tpu.parallel.blocks import comp_capacity, split_blocks
 
     block_size = int(os.environ.get("LZ4TPU_BENCH_BLOCK", 64 * 1024))
@@ -103,35 +103,30 @@ def main():
     # digest output (np.asarray), which cannot complete before the kernel.
     uniq = int(time.time()) % 1000000
 
-    @jax.jit
-    def enc_digest(bufs, lens):
-        f = functools.partial(
-            _encode_core, dcap=0, bcap=block_size, k_depth=1
-        )
-        out, ol = jax.vmap(f)(bufs, lens, jnp.zeros_like(lens))
-        return out, ol, jnp.sum(out.astype(jnp.int32))
-
     enc_batches = []
     datas = []
     for s in range(iters + 1):
         data = make_corpus(total, seed=uniq * 10 + s)
         bufs_np, lens_np = split_blocks(data, block_size)
-        enc_batches.append((jnp.asarray(bufs_np), jnp.asarray(lens_np)))
+        enc_batches.append(
+            (jnp.asarray(bufs_np, jnp.int32), jnp.asarray(lens_np))
+        )
         datas.append(data)
     jax.block_until_ready([b[0] for b in enc_batches])
     n_blocks = -(-total // block_size)
 
-    # --- encode (L00, XLA dense path) -------------------------------------
-    out, ol, dig = enc_digest(*enc_batches[0])
-    _ = np.asarray(dig)  # compile + warm + drain
+    # --- encode (L00, Pallas kernel) --------------------------------------
+    out, meta = pallas_encode(*enc_batches[0], block_size)
+    _ = np.asarray(meta)  # compile + warm + drain
     enc_times = []
     enc_outs = []
     for s in range(1, iters + 1):
         t0 = time.perf_counter()
-        out, ol, dig = enc_digest(*enc_batches[s])
-        _ = np.asarray(dig)
+        out, meta = pallas_encode(*enc_batches[s], block_size)
+        mh = np.asarray(meta)
         enc_times.append(time.perf_counter() - t0)
-        enc_outs.append((np.asarray(out), np.asarray(ol)))
+        assert int(mh[:, 1].sum()) == 0
+        enc_outs.append((np.asarray(out), mh[:, 0]))
     enc_s = min(enc_times)
     enc_gbps = total / enc_s / 1e9
     ratio = float(enc_outs[0][1].sum()) / total
@@ -142,7 +137,8 @@ def main():
     for s in range(len(enc_outs)):
         out_np, ol_np = enc_outs[s]
         comps = np.zeros((out_np.shape[0], cap), np.uint8)
-        comps[:, : out_np.shape[1]] = out_np
+        w = min(cap, out_np.shape[1])
+        comps[:, :w] = out_np[:, :w]
         dec_batches.append(
             (
                 jnp.asarray(comps, jnp.int32),
@@ -186,7 +182,7 @@ def main():
         "backend": backend,
         "n_blocks": n_blocks,
         "decode_kernel": "pallas",
-        "encode_kernel": "xla-dense",
+        "encode_kernel": "pallas",
     }
     print(json.dumps(result))
 

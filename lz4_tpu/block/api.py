@@ -64,15 +64,15 @@ def encode(
     returns a negative length in that case, `LZ4Codec.cs:40-52`)."""
     data = bytes(memoryview(data).cast("B"))
     level = int(level)
-    if backend == "host":
-        out = _host_encode(data, level, dictionary, acceleration)
-    elif backend == "tpu":
+    if backend == "tpu":
         out = _tpu_encode(data, level, dictionary)
-    else:  # auto
-        if len(data) >= 4096 and _tpu_usable():
-            out = _tpu_encode(data, level, dictionary)
-        else:
-            out = _host_encode(data, level, dictionary, acceleration)
+    else:
+        # "auto" prefers the native host codec for one-shot blocks: a single
+        # block cannot amortize a device round-trip (and a cold jit shape
+        # costs minutes on the remote-compile tunnel).  The TPU kernels are
+        # used by the batched block-parallel paths (`lz4_tpu.parallel`) and
+        # on explicit request.
+        out = _host_encode(data, level, dictionary, acceleration)
     if target_capacity is not None and len(out) > target_capacity:
         return None
     return out
@@ -90,10 +90,7 @@ def decode(
     ``capacity`` bounds the output allocation when ``target_length`` is
     unknown (e.g. legacy-format blocks with a known maximum size)."""
     data = bytes(memoryview(data).cast("B"))
-    if backend == "tpu" or (
-        backend == "auto" and target_length is not None
-        and target_length >= 4096 and _tpu_usable()
-    ):
+    if backend == "tpu":
         from ..ops import decode_jax
 
         return decode_jax.decode_block_bytes(
@@ -125,13 +122,3 @@ def partial_decode(
     return hostref.decode_block(data, target_length, dictionary, partial=True)
 
 
-def _tpu_usable() -> bool:
-    # The vectorized jax kernels run on any backend (TPU or the CPU XLA
-    # backend used in tests); "usable" just means jax initializes.
-    try:
-        import jax
-
-        jax.devices()
-        return True
-    except Exception:
-        return False

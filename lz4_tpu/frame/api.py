@@ -52,7 +52,12 @@ def compress(
         import dataclasses
 
         settings = dataclasses.replace(settings, content_length=len(data))
-    if settings.chain_blocks or len(data) <= settings.block_size:
+    device_path = backend == "tpu" or mesh is not None
+    if (
+        settings.chain_blocks
+        or not device_path
+        or len(data) <= settings.block_size
+    ):
         sink = io.BytesIO()
         w = FrameWriter(sink, settings, backend=backend)
         w.write(data)
@@ -104,9 +109,10 @@ def decompress(
     """
     data = bytes(memoryview(data).cast("B"))
     settings = settings or DecoderSettings()
-    fast = _try_parallel_decompress(data, settings, mesh)
-    if fast is not None:
-        return fast
+    if backend == "tpu" or mesh is not None:
+        fast = _try_parallel_decompress(data, settings, mesh)
+        if fast is not None:
+            return fast
     r = FrameReader(
         io.BytesIO(data), dictionary=settings.dictionary, backend=backend
     )

@@ -1,0 +1,312 @@
+"""Pallas TPU LZ4 FAST encoder — the per-chip performance path.
+
+Same hardware mapping as `decode_pallas`: grid over independent blocks, the
+greedy hash-probe parse on the scalar unit against SMEM (the identical loop
+shape to the canonical FAST compressor the reference ports,
+`x64/LL64.fast.cs:35-513`, including the skip-acceleration heuristic and
+backward match extension), with the byte movement vectorized:
+
+- **match lengths** compare 128-byte chunks through the VPU and locate the
+  first mismatch with a masked min-reduce (the vector analog of the
+  reference's `LZ4_count` + CTZ, `x64/LL64.tools.cs:87-133`);
+- **literal runs** copy via dynamic-row + lane-roll chunks;
+- **sequence headers** (token, VLE runs, offset) are assembled in a lane
+  register and stored with one masked row write per header.
+
+The hash table (2^13 entries) lives in SMEM scratch — the analog of the
+reference's 16 KB `LZ4_stream_t.hashTable` (`Engine/LL.types.cs:32`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import LAST_LITERALS, MF_LIMIT, MIN_MATCH, compress_bound
+from .common import align1024
+
+_LANES = 128
+_HLOG = 13  # 8K-entry hash table in SMEM
+_SKIP_TRIGGER = 6
+
+
+def _lane_iota():
+    return jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+
+
+def _encode_one(n, src_s, src_v, htab, out_ref, meta_ref):
+    """Encode one block.
+
+    src_s:  SMEM i32[1, 1, CAP]    block bytes (scalar access)
+    src_v:  VMEM i32[1, CR, 128]   same bytes as lane rows
+    htab:   SMEM i32[2^HLOG]       hash table scratch
+    out_ref:VMEM i32[1, OR, 128]   compressed bytes out
+    meta_ref: VMEM i32[1, 1, 128]  lane0 = compressed length
+    """
+    lane = _lane_iota()
+    ocap = (out_ref.shape[-2] - 1) * _LANES
+
+    def byte(p):
+        return src_s[0, 0, p]
+
+    def read4(p):
+        return (
+            byte(p)
+            | (byte(p + 1) << 8)
+            | (byte(p + 2) << 16)
+            | (byte(p + 3) << 24)
+        )
+
+    def hash4(w):
+        prod = (w * jnp.int32(-1640531535)).astype(jnp.uint32)
+        return (prod >> (32 - _HLOG)).astype(jnp.int32)
+
+    def read_chunk(src):
+        row = src // _LANES
+        ln = src % _LANES
+        r0 = src_v[0, pl.ds(row, 1), :]
+        r1 = src_v[0, pl.ds(row + 1, 1), :]
+        sh = (_LANES - ln) % _LANES
+        v0 = pltpu.roll(r0, shift=sh, axis=1)
+        v1 = pltpu.roll(r1, shift=sh, axis=1)
+        return jnp.where(lane < _LANES - ln, v0, v1)
+
+    def write_chunk(dst, vec, cnt):
+        row = dst // _LANES
+        ln = dst % _LANES
+        rolled = pltpu.roll(vec, shift=ln, axis=1)
+        m0 = (lane >= ln) & (lane < ln + cnt)
+        r0 = out_ref[0, pl.ds(row, 1), :]
+        out_ref[0, pl.ds(row, 1), :] = jnp.where(m0, rolled, r0)
+        m1 = (lane + _LANES >= ln) & (lane + _LANES < ln + cnt)
+        r1 = out_ref[0, pl.ds(row + 1, 1), :]
+        out_ref[0, pl.ds(row + 1, 1), :] = jnp.where(m1, rolled, r1)
+
+    def copy_literals(dst, src, cnt):
+        def body(k, _):
+            pos = k * _LANES
+            write_chunk(dst + pos, read_chunk(src + pos), jnp.minimum(_LANES, cnt - pos))
+            return 0
+
+        jax.lax.fori_loop(0, (cnt + _LANES - 1) // _LANES, body, 0)
+
+    def match_length(a, b, limit):
+        """Common run length of positions a vs b, scanning 128-byte chunks."""
+
+        def cond(s):
+            ml, alive = s
+            return alive
+
+        def body(s):
+            ml, alive = s
+            va = read_chunk(a + ml)
+            vb = read_chunk(b + ml)
+            neq = (va != vb) | (lane + b + ml >= limit)
+            first = jnp.min(jnp.where(neq, lane, _LANES))
+            return ml + first, first == _LANES
+
+        ml, _ = jax.lax.while_loop(cond, body, (0, True))
+        return jnp.minimum(ml, limit - b)
+
+    def emit_header(op, lit_len, mlv, off, has_match):
+        """Token + literal VLE + offset; returns new op.  VLE runs longer
+        than ~120 bytes of 255s spill into extra writes (rare)."""
+        t_ll = jnp.minimum(lit_len, 15)
+        t_ml = jnp.where(has_match, jnp.minimum(mlv, 15), 0)
+        token = (t_ll << 4) | t_ml
+
+        # fast path: header fits in one chunk (token + <=13 VLE + offset)
+        v = lit_len - 15
+        n255 = jnp.where(lit_len >= 15, v // 255, -1)  # -1 = no VLE field
+
+        def small(_):
+            # lanes: 0 = token, [1, 1+n255] = 255s/terminator
+            hdr = jnp.where(lane == 0, token, 255)
+            hdr = jnp.where(
+                (n255 >= 0) & (lane == n255 + 1), v % 255, hdr
+            )
+            cnt = 1 + jnp.where(n255 >= 0, n255 + 1, 0)
+            write_chunk(op, hdr, cnt)
+            return op + cnt
+
+        def big(_):
+            # long 255 run: write token, then chunks of 255, then remainder
+            write_chunk(op, jnp.where(lane == 0, token, 255), 1)
+            o = op + 1
+
+            def body(k, o):
+                write_chunk(o, jnp.full((1, _LANES), 255, jnp.int32), _LANES)
+                return o + _LANES
+
+            full_chunks = n255 // _LANES
+            o = jax.lax.fori_loop(0, full_chunks, body, o)
+            rem = n255 - full_chunks * _LANES
+            tail = jnp.where(lane == rem, v % 255, 255)
+            write_chunk(o, tail, rem + 1)
+            return o + rem + 1
+
+        return jax.lax.cond(n255 >= _LANES - 2, big, small, None)
+
+    def emit_offset_mlv(op, off, mlv):
+        v = mlv - 15
+        n255 = jnp.where(mlv >= 15, v // 255, -1)
+
+        def small(_):
+            fld = jnp.where(lane == 0, off & 0xFF, 255)
+            fld = jnp.where(lane == 1, off >> 8, fld)
+            fld = jnp.where((n255 >= 0) & (lane == n255 + 2), v % 255, fld)
+            cnt = 2 + jnp.where(n255 >= 0, n255 + 1, 0)
+            write_chunk(op, fld, cnt)
+            return op + cnt
+
+        def big(_):
+            fld = jnp.where(lane == 0, off & 0xFF, jnp.where(lane == 1, off >> 8, 255))
+            write_chunk(op, fld, 2)
+            o = op + 2
+
+            def body(k, o):
+                write_chunk(o, jnp.full((1, _LANES), 255, jnp.int32), _LANES)
+                return o + _LANES
+
+            full_chunks = n255 // _LANES
+            o = jax.lax.fori_loop(0, full_chunks, body, o)
+            rem = n255 - full_chunks * _LANES
+            tail = jnp.where(lane == rem, v % 255, 255)
+            write_chunk(o, tail, rem + 1)
+            return o + rem + 1
+
+        return jax.lax.cond(n255 >= _LANES - 3, big, small, None)
+
+    def emit_sequence(op, anchor, p, off, ml):
+        """Emit literals [anchor, p) then a match (ml == 0: final literals)."""
+        lit_len = p - anchor
+        has_match = ml > 0
+        mlv = jnp.maximum(ml - MIN_MATCH, 0)
+        op = emit_header(op, lit_len, mlv, off, has_match)
+        copy_literals(op, anchor, lit_len)
+        op = op + lit_len
+        return jax.lax.cond(
+            has_match, lambda o: emit_offset_mlv(o, off, mlv), lambda o: o, op
+        )
+
+    # ---- init hash table -------------------------------------------------
+    def init_body(i, _):
+        htab[i] = -1
+        return 0
+
+    jax.lax.fori_loop(0, 1 << _HLOG, init_body, 0)
+
+    mf_limit = n - MF_LIMIT
+    match_limit = n - LAST_LITERALS
+
+    def scan_cond(state):
+        p, anchor, op, search = state
+        return p < mf_limit
+
+    def scan_body(state):
+        p, anchor, op, search = state
+        w = read4(p)
+        h = hash4(w)
+        cand = htab[h]
+        htab[h] = p
+
+        hit = (cand >= 0) & (p - cand <= 65535) & (read4(cand) == w)
+
+        def take(args):
+            p, anchor, op, cand = args
+
+            # extend backwards
+            def back_cond(s):
+                pp, cc = s
+                return (pp > anchor) & (cc > 0) & (byte(pp - 1) == byte(cc - 1))
+
+            def back_body(s):
+                pp, cc = s
+                return pp - 1, cc - 1
+
+            p2, c2 = jax.lax.while_loop(back_cond, back_body, (p, cand))
+            ml = MIN_MATCH + match_length(
+                c2 + MIN_MATCH, p2 + MIN_MATCH, match_limit
+            )
+            op2 = emit_sequence(op, anchor, p2, p2 - c2, ml)
+            np_ = p2 + ml
+            # seed one in-match position (improves future finds)
+            htab[hash4(read4(np_ - 2))] = np_ - 2
+            return np_, np_, op2, jnp.int32(1 << _SKIP_TRIGGER)
+
+        def skip(args):
+            p, anchor, op, _ = args
+            return p + (search >> _SKIP_TRIGGER), anchor, op, search + 1
+
+        p, anchor, op, search = jax.lax.cond(
+            hit, take, skip, (p, anchor, op, cand)
+        )
+        return p, anchor, op, search
+
+    small_block = n < MF_LIMIT + 1
+    p0 = jnp.where(small_block, mf_limit, 0)  # skip scan for tiny blocks
+    p, anchor, op, _ = jax.lax.while_loop(
+        scan_cond, scan_body, (p0, 0, 0, jnp.int32(1 << _SKIP_TRIGGER))
+    )
+    # final literals
+    op = emit_sequence(op, anchor, n, 0, 0)
+
+    errv = jnp.where(op > ocap, 1, 0)
+    meta_ref[0, :, :] = jnp.where(lane == 0, op, jnp.where(lane == 1, errv, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("bcap",))
+def pallas_encode(src_i32, lens, bcap: int):
+    """src_i32: i32[B, CAP] block bytes (CAP % 128 == 0, >= bcap + 128 pad).
+
+    Returns (out i32[B, OCAP], meta i32[B, 128]): meta[:,0] = compressed
+    length, meta[:,1] = overflow flag.
+    """
+    b, cap = src_i32.shape
+    # row+roll reads touch row+1, so >= 2 rows of tail pad are required
+    assert cap % _LANES == 0 and cap >= bcap + 2 * _LANES, (cap, bcap)
+    cr = cap // _LANES
+    orows = align1024(compress_bound(bcap)) // _LANES + 1
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, cap), lambda i, lens: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((1, cr, _LANES), lambda i, lens: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, orows, _LANES), lambda i, lens: (i, 0, 0)),
+            pl.BlockSpec((1, 1, _LANES), lambda i, lens: (i, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.SMEM((1 << _HLOG,), jnp.int32)],
+    )
+
+    def kernel(lens_ref, src_s, src_v, out_ref, meta_ref, htab):
+        i = pl.program_id(0)
+        _encode_one(lens_ref[i], src_s, src_v, htab, out_ref, meta_ref)
+
+    out, meta = pl.pallas_call(
+        kernel,
+        grid_spec=grid,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, orows, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, _LANES), jnp.int32),
+        ],
+    )(lens, src_i32.reshape(b, 1, cap), src_i32.reshape(b, cr, _LANES))
+    return out.reshape(b, orows * _LANES), meta.reshape(b, _LANES)
+
+
+def encode_blocks_pallas(bufs_u8: np.ndarray, lens: np.ndarray, bcap: int):
+    """Host wrapper: u8[B, CAP] raw blocks -> (u8[B, OCAP], clens, errs)."""
+    src = jnp.asarray(bufs_u8, jnp.int32)
+    out, meta = pallas_encode(src, jnp.asarray(lens, jnp.int32), bcap)
+    meta = np.asarray(meta)
+    return np.asarray(out).astype(np.uint8), meta[:, 0], meta[:, 1]
