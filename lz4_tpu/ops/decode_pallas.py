@@ -36,6 +36,15 @@ from ..constants import MIN_MATCH
 _LANES = 128
 
 
+def _words_le(x):
+    """Per-row 4-byte little-endian words: w[b, p] = bytes p..p+3 of row b."""
+    z = jnp.zeros((x.shape[0], 3), x.dtype)
+    x1 = jnp.concatenate([x[:, 1:], z[:, :1]], axis=1)
+    x2 = jnp.concatenate([x[:, 2:], z[:, :2]], axis=1)
+    x3 = jnp.concatenate([x[:, 3:], z], axis=1)
+    return x | (x1 << 8) | (x2 << 16) | (x3 << 24)
+
+
 def _lane_iota():
     return jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
 
@@ -43,7 +52,8 @@ def _lane_iota():
 def _decode_one(clen, comp_s, comp_v, out_ref, meta_ref):
     """Decode one block.
 
-    comp_s:  SMEM i32[1, 1, CAP]   compressed bytes (scalar access)
+    comp_s:  SMEM i32[1, 1, CAP]   LE words: comp_s[p] = 4 bytes at p
+             (scalar access; byte(p) = word & 0xFF, offset = word & 0xFFFF)
     comp_v:  VMEM i32[1, CR, 128]  same bytes as lane rows (vector access)
     out_ref: VMEM i32[1, OR, 128]  decoded bytes as lane rows
     meta_ref:VMEM i32[1, 1, 128]   lane0 = produced length, lane1 = error
@@ -52,7 +62,7 @@ def _decode_one(clen, comp_s, comp_v, out_ref, meta_ref):
     lane = _lane_iota()
 
     def read_byte(p):
-        return comp_s[0, 0, p]
+        return comp_s[0, 0, p] & 0xFF
 
     def read_chunk(ref, src):
         """(1,128) i32 = bytes [src, src+128) of ref's flat lane space."""
@@ -73,23 +83,20 @@ def _decode_one(clen, comp_s, comp_v, out_ref, meta_ref):
         m0 = (lane >= ln) & (lane < ln + n)
         r0 = out_ref[0, pl.ds(row, 1), :]
         out_ref[0, pl.ds(row, 1), :] = jnp.where(m0, rolled, r0)
-        m1 = (lane + _LANES >= ln) & (lane + _LANES < ln + n)
-        r1 = out_ref[0, pl.ds(row + 1, 1), :]
-        out_ref[0, pl.ds(row + 1, 1), :] = jnp.where(m1, rolled, r1)
 
-    def copy_span(dst, src, n, from_comp):
-        """Copy n bytes; source from comp_v (literals) or out_ref (match)."""
+        @pl.when(ln + n > _LANES)  # span spills into the next row
+        def _():
+            m1 = lane + _LANES < ln + n
+            r1 = out_ref[0, pl.ds(row + 1, 1), :]
+            out_ref[0, pl.ds(row + 1, 1), :] = jnp.where(m1, rolled, r1)
+
+    def copy_span(dst, src, n, src_ref):
+        """Copy n bytes from src_ref's flat lane space into out."""
 
         def body(k, _):
             pos = k * _LANES
             take = jnp.minimum(_LANES, n - pos)
-            vec = jax.lax.cond(
-                from_comp,
-                lambda _: read_chunk(comp_v, src + pos),
-                lambda _: read_chunk(out_ref, src + pos),
-                None,
-            )
-            write_chunk(dst + pos, vec, take)
+            write_chunk(dst + pos, read_chunk(src_ref, src + pos), take)
             return 0
 
         jax.lax.fori_loop(0, (n + _LANES - 1) // _LANES, body, 0)
@@ -127,7 +134,7 @@ def _decode_one(clen, comp_s, comp_v, out_ref, meta_ref):
 
         @pl.when(~bad & (ll > 0))
         def _():
-            copy_span(op, ip, ll, True)
+            copy_span(op, ip, ll, comp_v)
 
         ip = ip + ll
         op = op + ll
@@ -135,9 +142,7 @@ def _decode_one(clen, comp_s, comp_v, out_ref, meta_ref):
 
         def do_match(args):
             ip, op, bad = args
-            off = read_byte(jnp.minimum(ip, clen - 1)) | (
-                read_byte(jnp.minimum(ip + 1, clen - 1)) << 8
-            )
+            off = comp_s[0, 0, jnp.minimum(ip, clen - 1)] & 0xFFFF
             ip = ip + 2
             ml = (token & 15) + MIN_MATCH
 
@@ -159,7 +164,7 @@ def _decode_one(clen, comp_s, comp_v, out_ref, meta_ref):
                 def dbl_body(s):
                     dist, copied = s
                     n = jnp.minimum(dist, ml - copied)
-                    copy_span(op + copied, op + copied - dist, n, False)
+                    copy_span(op + copied, op + copied - dist, n, out_ref)
                     return dist * 2, copied + n
 
                 dist_f, copied = jax.lax.while_loop(dbl_cond, dbl_body, (off, 0))
@@ -167,7 +172,7 @@ def _decode_one(clen, comp_s, comp_v, out_ref, meta_ref):
                 @pl.when(copied < ml)
                 def _():
                     # dist_f is a period multiple >= 128: chunk copies are safe
-                    copy_span(op + copied, op + copied - dist_f, ml - copied, False)
+                    copy_span(op + copied, op + copied - dist_f, ml - copied, out_ref)
 
             return ip, op + jnp.where(bad, 0, ml), bad
 
@@ -210,6 +215,7 @@ def pallas_decode(comps_i32, comp_lens, out_cap: int):
         i = pl.program_id(0)
         _decode_one(lens_ref[i], comp_s, comp_v, out_ref, meta_ref)
 
+    words = _words_le(comps_i32)
     out, meta = pl.pallas_call(
         kernel,
         grid_spec=grid,
@@ -217,7 +223,7 @@ def pallas_decode(comps_i32, comp_lens, out_cap: int):
             jax.ShapeDtypeStruct((b, orows, _LANES), jnp.int32),
             jax.ShapeDtypeStruct((b, 1, _LANES), jnp.int32),
         ],
-    )(comp_lens, comps_i32.reshape(b, 1, cap), comps_i32.reshape(b, cr, _LANES))
+    )(comp_lens, words.reshape(b, 1, cap), comps_i32.reshape(b, cr, _LANES))
     return out.reshape(b, orows * _LANES), meta.reshape(b, _LANES)
 
 

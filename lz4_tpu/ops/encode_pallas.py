@@ -30,6 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import LAST_LITERALS, MF_LIMIT, MIN_MATCH, compress_bound
 from .common import align1024
 
+from .decode_pallas import _words_le
+
 _LANES = 128
 _HLOG = 13  # 8K-entry hash table in SMEM
 _SKIP_TRIGGER = 6
@@ -42,7 +44,7 @@ def _lane_iota():
 def _encode_one(n, src_s, src_v, htab, out_ref, meta_ref):
     """Encode one block.
 
-    src_s:  SMEM i32[1, 1, CAP]    block bytes (scalar access)
+    src_s:  SMEM i32[1, 1, CAP]    LE words (byte(p) = word & 0xFF)
     src_v:  VMEM i32[1, CR, 128]   same bytes as lane rows
     htab:   SMEM i32[2^HLOG]       hash table scratch
     out_ref:VMEM i32[1, OR, 128]   compressed bytes out
@@ -52,15 +54,10 @@ def _encode_one(n, src_s, src_v, htab, out_ref, meta_ref):
     ocap = (out_ref.shape[-2] - 1) * _LANES
 
     def byte(p):
-        return src_s[0, 0, p]
+        return src_s[0, 0, p] & 0xFF
 
     def read4(p):
-        return (
-            byte(p)
-            | (byte(p + 1) << 8)
-            | (byte(p + 2) << 16)
-            | (byte(p + 3) << 24)
-        )
+        return src_s[0, 0, p]
 
     def hash4(w):
         prod = (w * jnp.int32(-1640531535)).astype(jnp.uint32)
@@ -83,9 +80,12 @@ def _encode_one(n, src_s, src_v, htab, out_ref, meta_ref):
         m0 = (lane >= ln) & (lane < ln + cnt)
         r0 = out_ref[0, pl.ds(row, 1), :]
         out_ref[0, pl.ds(row, 1), :] = jnp.where(m0, rolled, r0)
-        m1 = (lane + _LANES >= ln) & (lane + _LANES < ln + cnt)
-        r1 = out_ref[0, pl.ds(row + 1, 1), :]
-        out_ref[0, pl.ds(row + 1, 1), :] = jnp.where(m1, rolled, r1)
+
+        @pl.when(ln + cnt > _LANES)  # span spills into the next row
+        def _():
+            m1 = lane + _LANES < ln + cnt
+            r1 = out_ref[0, pl.ds(row + 1, 1), :]
+            out_ref[0, pl.ds(row + 1, 1), :] = jnp.where(m1, rolled, r1)
 
     def copy_literals(dst, src, cnt):
         def body(k, _):
@@ -300,7 +300,7 @@ def pallas_encode(src_i32, lens, bcap: int):
             jax.ShapeDtypeStruct((b, orows, _LANES), jnp.int32),
             jax.ShapeDtypeStruct((b, 1, _LANES), jnp.int32),
         ],
-    )(lens, src_i32.reshape(b, 1, cap), src_i32.reshape(b, cr, _LANES))
+    )(lens, _words_le(src_i32).reshape(b, 1, cap), src_i32.reshape(b, cr, _LANES))
     return out.reshape(b, orows * _LANES), meta.reshape(b, _LANES)
 
 

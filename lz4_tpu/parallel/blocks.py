@@ -42,6 +42,8 @@ __all__ = [
     "decode_blocks",
     "encode_chunked",
     "decode_chunked",
+    "encode_blocks_device",
+    "decode_blocks_device",
     "make_mesh",
     "batched_encode_fn",
     "batched_decode_fn",
@@ -98,6 +100,50 @@ def batched_decode(comps, comp_lens, out_cap: int):
         return _parse_and_decode(c.astype(jnp.int32), n, d, dl, out_cap)
 
     return jax.vmap(f)(comps, comp_lens, nodict, zero)
+
+
+def _use_pallas() -> bool:
+    """Pallas kernels are the device path on real TPUs; the XLA dense
+    kernels remain for CPU meshes (tests, the driver's virtual-device
+    dry-run) where Mosaic cannot compile."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def encode_blocks_device(bufs_np, lens_np, bcap: int, k_depth: int = 1):
+    """Encode a batch on the device with the best available kernel.
+
+    Returns (out u8[B, OCAP], out_lens i32[B]) as numpy.
+    """
+    if _use_pallas():
+        from ..ops.encode_pallas import pallas_encode
+
+        out, meta = pallas_encode(
+            jnp.asarray(np.asarray(bufs_np), jnp.int32),
+            jnp.asarray(np.asarray(lens_np), jnp.int32),
+            bcap,
+        )
+        meta = np.asarray(meta)
+        if meta[:, 1].any():
+            raise RuntimeError("pallas encoder overflow")
+        return np.asarray(out).astype(np.uint8), meta[:, 0]
+    return encode_chunked(bufs_np, lens_np, bcap, k_depth)
+
+
+def decode_blocks_device(comps_np, clens_np, out_cap: int):
+    """Decode a batch on the device with the best available kernel.
+
+    Returns (out u8[B, out_cap], lens i32[B], errs i32[B]) as numpy.
+    """
+    if _use_pallas():
+        from ..ops.decode_pallas import decode_blocks_pallas
+
+        return decode_blocks_pallas(
+            np.asarray(comps_np), np.asarray(clens_np), out_cap
+        )
+    return decode_chunked(comps_np, clens_np, out_cap)
 
 
 def stage_encode_chunks(bufs, lens, bcap: int):
@@ -301,7 +347,7 @@ def encode_blocks(
         outs, out_lens = fn(bufs, lens_d)
     else:
         bufs, lens = split_blocks(data, block_size)
-        outs, out_lens = encode_chunked(bufs, lens, block_size, k_depth)
+        outs, out_lens = encode_blocks_device(bufs, lens, block_size, k_depth)
     outs = np.asarray(outs)
     out_lens = np.asarray(out_lens)
     nb_real = max(1, -(-len(data) // block_size)) if data else 0
@@ -340,7 +386,7 @@ def decode_blocks(
             jax.device_put(jnp.asarray(clens), sh),
         )
     else:
-        outs, out_lens, errs = decode_chunked(comps, clens, block_size)
+        outs, out_lens, errs = decode_blocks_device(comps, clens, block_size)
     outs = np.asarray(outs)
     out_lens = np.asarray(out_lens)
     errs = np.asarray(errs)
