@@ -34,6 +34,7 @@ class FrameWriter:
         sink,
         settings: EncoderSettings | None = None,
         backend: str = "auto",
+        dictionary: bytes = b"",
     ):
         self._sink = sink
         self._settings = settings or EncoderSettings()
@@ -47,6 +48,16 @@ class FrameWriter:
             self._block_size,
             backend,
         )
+        if dictionary:
+            if not self._descriptor.block_chaining:
+                raise ValueError(
+                    "preset dictionaries require chained (dependent) blocks"
+                )
+            # seed the 64KB window with the preset dictionary (the reference
+            # reserves the frame dictionary-id field but does not implement
+            # preset dictionaries; this writer pairs with
+            # FrameReader(dictionary=...))
+            self._encoder._dict = bytes(dictionary[-65536:])
         self._content_hash = XXH32() if self._descriptor.content_checksum else None
         self._header_written = False
         self._closed = False

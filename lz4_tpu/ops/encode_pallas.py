@@ -41,12 +41,16 @@ def _lane_iota():
     return jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
 
 
-def _encode_one(n, src_s, src_v, htab, out_ref, meta_ref):
+def _encode_one(n, src_s, src_v, htab, prev, out_ref, meta_ref, attempts: int):
     """Encode one block.
 
     src_s:  SMEM i32[1, 1, CAP]    LE words (byte(p) = word & 0xFF)
     src_v:  VMEM i32[1, CR, 128]   same bytes as lane rows
     htab:   SMEM i32[2^HLOG]       hash table scratch
+    prev:   SMEM i32[bcap] | None  hash-chain links (HC levels only)
+    attempts: python int           0 = FAST single probe; >0 = HC chain
+             search depth (analog of the reference clTable nbSearches,
+             `x64/LL64.high.cs:1124-1138`)
     out_ref:VMEM i32[1, OR, 128]   compressed bytes out
     meta_ref: VMEM i32[1, 1, 128]  lane0 = compressed length
     """
@@ -208,7 +212,7 @@ def _encode_one(n, src_s, src_v, htab, out_ref, meta_ref):
         p, anchor, op, search = state
         return p < mf_limit
 
-    def scan_body(state):
+    def fast_body(state):
         p, anchor, op, search = state
         w = read4(p)
         h = hash4(w)
@@ -248,6 +252,95 @@ def _encode_one(n, src_s, src_v, htab, out_ref, meta_ref):
         )
         return p, anchor, op, search
 
+    def hc_insert(p):
+        w = read4(p)
+        h = hash4(w)
+        prev[p] = htab[h]
+        htab[h] = p
+
+    def hc_search(p):
+        """Walk the chain, return (best_len, best_cand); p already inserted."""
+        w = read4(p)
+        max_possible = match_limit - p
+
+        def walk_cond(s):
+            cand, best_len, best_cand, k = s
+            return (
+                (cand >= 0)
+                & (p - cand <= 65535)
+                & (k < attempts)
+                & (best_len < max_possible)
+            )
+
+        def walk_body(s):
+            cand, best_len, best_cand, k = s
+            # quick rejects: 4-byte word and the byte that would extend best
+            ok = (read4(cand) == w) & (
+                byte(cand + best_len) == byte(p + best_len)
+            )
+
+            def measure(_):
+                l = MIN_MATCH + match_length(
+                    cand + MIN_MATCH, p + MIN_MATCH, match_limit
+                )
+                better = l > best_len
+                return (
+                    jnp.where(better, l, best_len),
+                    jnp.where(better, cand, best_cand),
+                )
+
+            best_len2, best_cand2 = jax.lax.cond(
+                ok, measure, lambda _: (best_len, best_cand), None
+            )
+            return prev[cand], best_len2, best_cand2, k + 1
+
+        cand0 = prev[p]
+        _, best_len, best_cand, _ = jax.lax.while_loop(
+            walk_cond, walk_body, (cand0, 0, -1, 0)
+        )
+        return best_len, best_cand
+
+    def hc_body(state):
+        p, anchor, op, search = state
+        hc_insert(p)
+        best_len, best_cand = hc_search(p)
+        hit = best_len >= MIN_MATCH
+
+        def take(args):
+            p, anchor, op, cand = args
+
+            def back_cond(s):
+                pp, cc = s
+                return (pp > anchor) & (cc > 0) & (byte(pp - 1) == byte(cc - 1))
+
+            def back_body(s):
+                pp, cc = s
+                return pp - 1, cc - 1
+
+            p2, c2 = jax.lax.while_loop(back_cond, back_body, (p, cand))
+            ml = best_len + (p - p2)
+            op2 = emit_sequence(op, anchor, p2, p2 - c2, ml)
+            np_ = p2 + ml
+
+            # insert the skipped in-match positions so later chains see them
+            def ins_body(q, _):
+                hc_insert(q)
+                return 0
+
+            jax.lax.fori_loop(p + 1, jnp.minimum(np_, mf_limit), ins_body, 0)
+            return np_, np_, op2, search
+
+        def skip(args):
+            p, anchor, op, _ = args
+            return p + 1, anchor, op, search
+
+        p, anchor, op, search = jax.lax.cond(
+            hit, take, skip, (p, anchor, op, best_cand)
+        )
+        return p, anchor, op, search
+
+    scan_body = fast_body if attempts == 0 else hc_body
+
     small_block = n < MF_LIMIT + 1
     p0 = jnp.where(small_block, mf_limit, 0)  # skip scan for tiny blocks
     p, anchor, op, _ = jax.lax.while_loop(
@@ -260,12 +353,20 @@ def _encode_one(n, src_s, src_v, htab, out_ref, meta_ref):
     meta_ref[0, :, :] = jnp.where(lane == 0, op, jnp.where(lane == 1, errv, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("bcap",))
-def pallas_encode(src_i32, lens, bcap: int):
+LEVEL_ATTEMPTS = {
+    0: 0, 1: 0, 2: 0,
+    3: 4, 4: 8, 5: 16, 6: 32, 7: 64, 8: 128, 9: 256,
+    10: 512, 11: 1024, 12: 2048,
+}
+
+
+@functools.partial(jax.jit, static_argnames=("bcap", "attempts"))
+def pallas_encode(src_i32, lens, bcap: int, attempts: int = 0):
     """src_i32: i32[B, CAP] block bytes (CAP % 128 == 0, >= bcap + 128 pad).
 
-    Returns (out i32[B, OCAP], meta i32[B, 128]): meta[:,0] = compressed
-    length, meta[:,1] = overflow flag.
+    attempts = 0 selects the FAST single-probe parse; > 0 selects hash-chain
+    search of that depth (HC levels).  Returns (out i32[B, OCAP],
+    meta i32[B, 128]): meta[:,0] = compressed length, meta[:,1] = overflow.
     """
     b, cap = src_i32.shape
     # row+roll reads touch row+1, so >= 2 rows of tail pad are required
@@ -286,12 +387,17 @@ def pallas_encode(src_i32, lens, bcap: int):
             pl.BlockSpec((1, orows, _LANES), lambda i, lens: (i, 0, 0)),
             pl.BlockSpec((1, 1, _LANES), lambda i, lens: (i, 0, 0)),
         ],
-        scratch_shapes=[pltpu.SMEM((1 << _HLOG,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((1 << _HLOG,), jnp.int32),
+            pltpu.SMEM((bcap if attempts else 8,), jnp.int32),
+        ],
     )
 
-    def kernel(lens_ref, src_s, src_v, out_ref, meta_ref, htab):
+    def kernel(lens_ref, src_s, src_v, out_ref, meta_ref, htab, prev):
         i = pl.program_id(0)
-        _encode_one(lens_ref[i], src_s, src_v, htab, out_ref, meta_ref)
+        _encode_one(
+            lens_ref[i], src_s, src_v, htab, prev, out_ref, meta_ref, attempts
+        )
 
     out, meta = pl.pallas_call(
         kernel,
@@ -304,9 +410,12 @@ def pallas_encode(src_i32, lens, bcap: int):
     return out.reshape(b, orows * _LANES), meta.reshape(b, _LANES)
 
 
-def encode_blocks_pallas(bufs_u8: np.ndarray, lens: np.ndarray, bcap: int):
+def encode_blocks_pallas(
+    bufs_u8: np.ndarray, lens: np.ndarray, bcap: int, level: int = 0
+):
     """Host wrapper: u8[B, CAP] raw blocks -> (u8[B, OCAP], clens, errs)."""
     src = jnp.asarray(bufs_u8, jnp.int32)
-    out, meta = pallas_encode(src, jnp.asarray(lens, jnp.int32), bcap)
+    attempts = LEVEL_ATTEMPTS.get(int(level), 0)
+    out, meta = pallas_encode(src, jnp.asarray(lens, jnp.int32), bcap, attempts)
     meta = np.asarray(meta)
     return np.asarray(out).astype(np.uint8), meta[:, 0], meta[:, 1]

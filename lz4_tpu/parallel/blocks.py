@@ -112,24 +112,25 @@ def _use_pallas() -> bool:
         return False
 
 
-def encode_blocks_device(bufs_np, lens_np, bcap: int, k_depth: int = 1):
+def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0):
     """Encode a batch on the device with the best available kernel.
 
     Returns (out u8[B, OCAP], out_lens i32[B]) as numpy.
     """
     if _use_pallas():
-        from ..ops.encode_pallas import pallas_encode
+        from ..ops.encode_pallas import LEVEL_ATTEMPTS, pallas_encode
 
         out, meta = pallas_encode(
             jnp.asarray(np.asarray(bufs_np), jnp.int32),
             jnp.asarray(np.asarray(lens_np), jnp.int32),
             bcap,
+            LEVEL_ATTEMPTS.get(int(level), 0),
         )
         meta = np.asarray(meta)
         if meta[:, 1].any():
             raise RuntimeError("pallas encoder overflow")
         return np.asarray(out).astype(np.uint8), meta[:, 0]
-    return encode_chunked(bufs_np, lens_np, bcap, k_depth)
+    return encode_chunked(bufs_np, lens_np, bcap, level_to_depth(level))
 
 
 def decode_blocks_device(comps_np, clens_np, out_cap: int):
@@ -347,7 +348,7 @@ def encode_blocks(
         outs, out_lens = fn(bufs, lens_d)
     else:
         bufs, lens = split_blocks(data, block_size)
-        outs, out_lens = encode_blocks_device(bufs, lens, block_size, k_depth)
+        outs, out_lens = encode_blocks_device(bufs, lens, block_size, level)
     outs = np.asarray(outs)
     out_lens = np.asarray(out_lens)
     nb_real = max(1, -(-len(data) // block_size)) if data else 0

@@ -199,3 +199,66 @@ def test_empty_content_frame():
         b"", settings=EncoderSettings(content_checksum=True), backend="host"
     )
     assert frame.decompress(blob2, backend="host") == b""
+
+
+def test_preset_dictionary_writer_reader(lorem, rng):
+    """Writer-side preset dictionary pairs with FrameReader(dictionary=...)
+    — a capability beyond the reference (which reserves but does not
+    implement frame dictionaries)."""
+    d = lorem(30_000, rng)
+    data = d[:8000] + lorem(4000, rng)  # correlates with the dictionary
+    sink = io.BytesIO()
+    w = frame.FrameWriter(sink, EncoderSettings(), backend="host", dictionary=d)
+    w.write(data)
+    w.close()
+    with_dict = sink.getvalue()
+    plain = frame.compress(data, backend="host")
+    assert len(with_dict) < len(plain)
+    r = frame.FrameReader(io.BytesIO(with_dict), dictionary=d, backend="host")
+    assert r.read_all() == data
+    # stored-blocks frame must reject a dict-on-independent-blocks writer
+    with pytest.raises(ValueError):
+        frame.FrameWriter(
+            io.BytesIO(), EncoderSettings(chain_blocks=False), dictionary=d
+        )
+
+
+def test_async_facades(lorem, rng):
+    import asyncio
+
+    from lz4_tpu.frame import aio
+
+    data = lorem(30_000, rng)
+
+    async def run():
+        blob = await aio.compress(data, backend="host")
+        out = await aio.decompress(blob, backend="host")
+        return blob, out
+
+    blob, out = asyncio.run(run())
+    assert out == data
+
+    class Sink:
+        def __init__(self):
+            self.parts = []
+
+        async def write(self, b):
+            self.parts.append(bytes(b))
+
+    class Source:
+        def __init__(self, data):
+            self.data = data
+
+        async def read(self, n):
+            return self.data
+
+    async def run_stream():
+        sink = Sink()
+        async with aio.AsyncFrameWriter(sink, backend="host") as w:
+            for i in range(0, len(data), 7000):
+                await w.write(data[i : i + 7000])
+        blob = b"".join(sink.parts)
+        r = aio.AsyncFrameReader(Source(blob), backend="host")
+        return await r.read(-1)
+
+    assert asyncio.run(run_stream()) == data
