@@ -130,18 +130,15 @@ def _decode_one(clen, comp_s, comp_v, out_ref, meta_ref):
             return 15 + v, q
 
         ll, ip = jax.lax.cond(ll == 15, ll_ext, lambda _: (ll, ip), None)
+        lit_at = ip
         bad = bad | (ip + ll > clen) | (op + ll > ocap)
-
-        @pl.when(~bad & (ll > 0))
-        def _():
-            copy_span(op, ip, ll, comp_v)
-
         ip = ip + ll
-        op = op + ll
         is_last = ip >= clen
 
-        def do_match(args):
-            ip, op, bad = args
+        # parse match fields before any copying (the reference's token
+        # shortcut, `x64/LL64.dec.cs:182-225`, parses then moves bytes)
+        def parse_match(args):
+            ip, bad = args
             off = comp_s[0, 0, jnp.minimum(ip, clen - 1)] & 0xFFFF
             ip = ip + 2
             ml = (token & 15) + MIN_MATCH
@@ -153,9 +150,41 @@ def _decode_one(clen, comp_s, comp_v, out_ref, meta_ref):
             ml, ip = jax.lax.cond(
                 (token & 15) == 15, ml_ext, lambda _: (ml, ip), None
             )
-            bad = bad | (off == 0) | (off > op) | (op + ml > ocap) | (ip > clen)
+            bad = (
+                bad
+                | (off == 0)
+                | (off > op + ll)
+                | (op + ll + ml > ocap)
+                | (ip > clen)
+            )
+            return ip, bad, off, ml
 
-            @pl.when(~bad)
+        ip, bad, off, ml = jax.lax.cond(
+            is_last,
+            lambda a: (a[0], a[1], jnp.int32(1), jnp.int32(0)),
+            parse_match,
+            (ip, bad),
+        )
+
+        m0 = op + ll
+        # fast path: the whole sequence output fits one chunk and the match
+        # source is entirely before it -> ONE masked row write
+        merged = ~bad & (ll + ml <= 120) & ((ml == 0) | (off >= ll + ml))
+
+        @pl.when(merged & (ll + ml > 0))
+        def _():
+            lit = read_chunk(comp_v, lit_at)
+            mat = read_chunk(out_ref, jnp.maximum(m0 - off, 0))
+            vec = jnp.where(lane < ll, lit, pltpu.roll(mat, shift=ll, axis=1))
+            write_chunk(op, vec, ll + ml)
+
+        @pl.when(~merged & ~bad)
+        def _():
+            @pl.when(ll > 0)
+            def _():
+                copy_span(op, lit_at, ll, comp_v)
+
+            @pl.when(ml > 0)
             def _():
                 def dbl_cond(s):
                     dist, copied = s
@@ -164,7 +193,7 @@ def _decode_one(clen, comp_s, comp_v, out_ref, meta_ref):
                 def dbl_body(s):
                     dist, copied = s
                     n = jnp.minimum(dist, ml - copied)
-                    copy_span(op + copied, op + copied - dist, n, out_ref)
+                    copy_span(m0 + copied, m0 + copied - dist, n, out_ref)
                     return dist * 2, copied + n
 
                 dist_f, copied = jax.lax.while_loop(dbl_cond, dbl_body, (off, 0))
@@ -172,11 +201,9 @@ def _decode_one(clen, comp_s, comp_v, out_ref, meta_ref):
                 @pl.when(copied < ml)
                 def _():
                     # dist_f is a period multiple >= 128: chunk copies are safe
-                    copy_span(op + copied, op + copied - dist_f, ml - copied, out_ref)
+                    copy_span(m0 + copied, m0 + copied - dist_f, ml - copied, out_ref)
 
-            return ip, op + jnp.where(bad, 0, ml), bad
-
-        ip, op, bad = jax.lax.cond(is_last, lambda a: a, do_match, (ip, op, bad))
+        op = op + jnp.where(bad, 0, ll + ml)
         return ip, op, jnp.where(bad, 1, 0), is_last
 
     ip, op, err, _ = jax.lax.while_loop(seq_cond, seq_body, (0, 0, 0, False))

@@ -186,8 +186,50 @@ def _encode_one(n, src_s, src_v, htab, prev, out_ref, meta_ref, attempts: int):
 
         return jax.lax.cond(n255 >= _LANES - 3, big, small, None)
 
-    def emit_sequence(op, anchor, p, off, ml):
-        """Emit literals [anchor, p) then a match (ml == 0: final literals)."""
+    def emit_sequence_fast(op, anchor, p, off, ml):
+        """Single-write emission for the common case: the whole sequence
+        (token + short literal run + offset + short match VLE) fits in one
+        128-lane chunk, so header fields and literals merge into ONE masked
+        row write instead of three."""
+        lit_len = p - anchor
+        mlv = ml - MIN_MATCH
+        lv = lit_len - 15
+        n255l = jnp.where(lit_len >= 15, lv // 255, -1)
+        hdr_len = 1 + jnp.where(n255l >= 0, n255l + 1, 0)
+        mv = mlv - 15
+        n255m = jnp.where(mlv >= 15, mv // 255, -1)
+        tail_len = 2 + jnp.where(n255m >= 0, n255m + 1, 0)
+        total = hdr_len + lit_len + tail_len
+
+        token = (jnp.minimum(lit_len, 15) << 4) | jnp.minimum(mlv, 15)
+        # literals, shifted into their field
+        lits = pltpu.roll(read_chunk(anchor), shift=hdr_len, axis=1)
+        mo = hdr_len + lit_len  # offset field start
+        vec = jnp.where(
+            lane == 0,
+            token,
+            jnp.where(
+                lane < hdr_len,
+                jnp.where(lane == n255l + 1, lv % 255, 255),
+                jnp.where(
+                    lane < mo,
+                    lits,
+                    jnp.where(
+                        lane == mo,
+                        off & 0xFF,
+                        jnp.where(
+                            lane == mo + 1,
+                            off >> 8,
+                            jnp.where(lane == mo + 1 + n255m + 1, mv % 255, 255),
+                        ),
+                    ),
+                ),
+            ),
+        )
+        write_chunk(op, vec, total)
+        return op + total, total
+
+    def emit_sequence_slow(op, anchor, p, off, ml):
         lit_len = p - anchor
         has_match = ml > 0
         mlv = jnp.maximum(ml - MIN_MATCH, 0)
@@ -197,6 +239,18 @@ def _encode_one(n, src_s, src_v, htab, prev, out_ref, meta_ref, attempts: int):
         return jax.lax.cond(
             has_match, lambda o: emit_offset_mlv(o, off, mlv), lambda o: o, op
         )
+
+    def emit_sequence(op, anchor, p, off, ml):
+        """Emit literals [anchor, p) then a match (ml == 0: final literals)."""
+        lit_len = p - anchor
+        # fast path bound: worst header 1+1, tail 2+1+1 with lit_len <= 110
+        fits = (ml > 0) & (lit_len <= 110) & (ml - MIN_MATCH < 15 + 255 * 2)
+
+        def fast(_):
+            o2, _t = emit_sequence_fast(op, anchor, p, off, ml)
+            return o2
+
+        return jax.lax.cond(fits, fast, lambda _: emit_sequence_slow(op, anchor, p, off, ml), None)
 
     # ---- init hash table -------------------------------------------------
     def init_body(i, _):
