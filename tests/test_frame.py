@@ -262,3 +262,18 @@ def test_async_facades(lorem, rng):
         return await r.read(-1)
 
     assert asyncio.run(run_stream()) == data
+
+
+def test_host_parallel_matches_single_thread(lorem, rng):
+    """The threaded independent-block path must produce byte-identical
+    frames to the sequential writer path."""
+    data = lorem(700_000, rng)
+    s = EncoderSettings(
+        chain_blocks=False, block_size=65536, content_checksum=True,
+        block_checksum=True,
+    )
+    multi = frame.compress(data, settings=s, workers=4)
+    single = frame.compress(data, settings=s, workers=0)
+    assert multi == single
+    assert frame.decompress(multi, workers=4) == data
+    assert frame.decompress(multi, workers=0) == data
