@@ -68,6 +68,11 @@ def _load():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
         ]
+        lib.lz4tpu_encode_opt.restype = ctypes.c_int64
+        lib.lz4tpu_encode_opt.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ]
         lib.lz4tpu_xxh32.restype = ctypes.c_uint32
         lib.lz4tpu_xxh32.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint32,
@@ -99,8 +104,12 @@ def encode(
         rc = lib.lz4tpu_encode_fast(
             buf, len(buf), len(dictionary), out, out_cap, acceleration
         )
-    else:
+    elif level < 10:
         rc = lib.lz4tpu_encode_hc(
+            buf, len(buf), len(dictionary), out, out_cap, level
+        )
+    else:
+        rc = lib.lz4tpu_encode_opt(
             buf, len(buf), len(dictionary), out, out_cap, level
         )
     if rc < 0:

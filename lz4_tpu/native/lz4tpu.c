@@ -440,3 +440,112 @@ void lz4tpu_xxh32_stripes(uint32_t *state, const uint8_t *p, int64_t n) {
     }
     state[0] = a0; state[1] = a1; state[2] = a2; state[3] = a3;
 }
+
+/* ------------------------------------------------- optimal parse (L10+) */
+
+/* Backward dynamic program minimizing encoded bytes: literal cost 1/byte
+ * (VLE overhead folded at emission), match cost exact (token+offset+VLE).
+ * Longest-match candidates from a full hash-chain search, with backward
+ * match-extension propagation so truncated chains still yield long matches.
+ * Same cost model shape as the canonical optimal parser's price functions,
+ * re-derived independently (see block/hostref.py encode_opt). */
+int64_t lz4tpu_encode_opt(
+    const uint8_t *buf, int64_t buf_len, int64_t src_off,
+    uint8_t *out, int64_t out_cap, int32_t level)
+{
+    int64_t n = buf_len - src_off;
+    uint8_t *op = out, *oend = out + out_cap;
+    if (n <= 0) {
+        if (out_cap < 1) return ERR_OUTPUT_OVERFLOW;
+        *op++ = 0;
+        return 1;
+    }
+    const uint8_t *base = buf;
+    const uint8_t *src_end = buf + buf_len;
+    const uint8_t *mflimit = src_end - MFLIMIT;
+    const uint8_t *match_limit = src_end - LASTLITERALS;
+    int32_t attempts = level >= 12 ? 16384 : (level >= 11 ? 512 : 96);
+
+    chain_t c;
+    c.head = (int32_t *)malloc(sizeof(int32_t) << HC_HASH_LOG);
+    c.prev = (int32_t *)malloc(sizeof(int32_t) * (size_t)buf_len);
+    int32_t *cost = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n + 2));
+    int32_t *cml = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n + 2));
+    int32_t *cmo = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n + 2));
+    int32_t *bl = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n + 2));
+    int32_t *bo = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n + 2));
+    if (!c.head || !c.prev || !cost || !cml || !cmo || !bl || !bo) {
+        free(c.head); free(c.prev); free(cost); free(cml); free(cmo);
+        free(bl); free(bo);
+        return ERR_MALFORMED;
+    }
+    c.base = base;
+    c.inserted = 0;
+    for (int64_t i = 0; i < (1 << HC_HASH_LOG); i++) c.head[i] = -1;
+    chain_insert(&c, buf_len - MINMATCH > 0 ? buf_len - MINMATCH : 0);
+
+    cost[n] = 0; cost[n + 1] = 0;
+    cml[n] = cml[n + 1] = 0;
+    bl[n] = bl[n + 1] = 0;
+    bo[n] = bo[n + 1] = 0;
+    for (int64_t i = n - 1; i >= 0; i--) {
+        const uint8_t *p = base + src_off + i;
+        int32_t best_cost = cost[i + 1] + 1; /* literal */
+        int32_t best_ml = 0, best_off = 0;
+        bl[i] = 0; bo[i] = 0;
+        if (p < mflimit) {
+            int64_t moff = 0;
+            int64_t mlen = chain_best_match(&c, p, match_limit, attempts, &moff);
+            /* back-extension: the match at i+1 extends to i when the
+             * preceding byte matches too */
+            if (i + 1 < n && bl[i + 1] > 0) {
+                int64_t o = bo[i + 1];
+                if ((int64_t)(p - base) >= o && p[0] == *(p - o)) {
+                    int64_t ext = bl[i + 1] + 1;
+                    int64_t maxl = match_limit - p;
+                    if (ext > maxl) ext = maxl;
+                    if (ext > mlen) { mlen = ext; moff = o; }
+                }
+            }
+            bl[i] = (int32_t)mlen; bo[i] = (int32_t)moff;
+            if (mlen >= MINMATCH) {
+                /* candidate lengths: the longest, plus the nibble boundary */
+                int64_t lens[2]; int nlens = 1;
+                lens[0] = mlen;
+                if (mlen > 18) { lens[1] = 18; nlens = 2; }
+                for (int k = 0; k < nlens; k++) {
+                    int64_t L = lens[k];
+                    int64_t ml = L - MINMATCH;
+                    int32_t cc = 3; /* token + offset */
+                    if (ml >= 15) cc += 1 + (int32_t)((ml - 15) / 255);
+                    cc += cost[i + L];
+                    if (cc < best_cost) {
+                        best_cost = cc;
+                        best_ml = (int32_t)L;
+                        best_off = (int32_t)moff;
+                    }
+                }
+            }
+        }
+        cost[i] = best_cost;
+        cml[i] = best_ml;
+        cmo[i] = best_off;
+    }
+
+    /* emit along the optimal path */
+    int64_t i = 0, anchor = 0, rc = 0;
+    while (i < n) {
+        if (cml[i] == 0) { i++; continue; }
+        rc = emit_sequence(&op, oend, base + src_off + anchor, i - anchor,
+                           (uint32_t)cmo[i], cml[i]);
+        if (rc < 0) goto done;
+        i += cml[i];
+        anchor = i;
+    }
+    rc = emit_sequence(&op, oend, base + src_off + anchor, n - anchor, 0, 0);
+done:
+    free(c.head); free(c.prev); free(cost); free(cml); free(cmo);
+    free(bl); free(bo);
+    if (rc < 0) return rc;
+    return op - out;
+}

@@ -49,17 +49,35 @@ def _lane_iota():
     return jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
 
 
-def _decode_one(clen, comp_s, comp_v, out_ref, meta_ref):
+def _decode_one(clen, dict_len, comp_s, comp_v, dict_v, out_ref, meta_ref):
     """Decode one block.
 
     comp_s:  SMEM i32[1, 1, CAP]   LE words: comp_s[p] = 4 bytes at p
              (scalar access; byte(p) = word & 0xFF, offset = word & 0xFFFF)
     comp_v:  VMEM i32[1, CR, 128]  same bytes as lane rows (vector access)
-    out_ref: VMEM i32[1, OR, 128]  decoded bytes as lane rows
+    dict_v:  VMEM i32[1, DR, 128]  dictionary bytes, right-aligned in DR rows
+    out_ref: VMEM i32[1, OR, 128]  first DR rows = dictionary window, decoded
+             bytes from row DR (op starts at DR*128); caller slices
     meta_ref:VMEM i32[1, 1, 128]   lane0 = produced length, lane1 = error
     """
+    dr = dict_v.shape[-2] - 1  # last dict row is read slack
+    dcap = dr * _LANES  # output writing starts here
     ocap = (out_ref.shape[-2] - 1) * _LANES  # last row is slack
     lane = _lane_iota()
+
+    # window floor: match offsets may reach back into the dictionary
+    lo = dcap - dict_len
+
+    # copy the dictionary window into the output prefix so match copies see
+    # one flat history space (the analog of the reference chain decoder's
+    # 64KB output ring head, `Encoders/LZ4ChainDecoder.cs:11-152`)
+    @pl.when(dict_len > 0)
+    def _():
+        def cp(r, _):
+            out_ref[0, pl.ds(r, 1), :] = dict_v[0, pl.ds(r, 1), :]
+            return 0
+
+        jax.lax.fori_loop(lo // _LANES, dr, cp, 0)
 
     def read_byte(p):
         return comp_s[0, 0, p] & 0xFF
@@ -131,7 +149,7 @@ def _decode_one(clen, comp_s, comp_v, out_ref, meta_ref):
 
         ll, ip = jax.lax.cond(ll == 15, ll_ext, lambda _: (ll, ip), None)
         lit_at = ip
-        bad = bad | (ip + ll > clen) | (op + ll > ocap)
+        bad = bad | (ip + ll > clen) | (op + ll > ocap)  # ocap includes dcap
         ip = ip + ll
         is_last = ip >= clen
 
@@ -153,7 +171,7 @@ def _decode_one(clen, comp_s, comp_v, out_ref, meta_ref):
             bad = (
                 bad
                 | (off == 0)
-                | (off > op + ll)
+                | (off > op + ll - lo)  # window floor includes the dictionary
                 | (op + ll + ml > ocap)
                 | (ip > clen)
             )
@@ -206,41 +224,70 @@ def _decode_one(clen, comp_s, comp_v, out_ref, meta_ref):
         op = op + jnp.where(bad, 0, ll + ml)
         return ip, op, jnp.where(bad, 1, 0), is_last
 
-    ip, op, err, _ = jax.lax.while_loop(seq_cond, seq_body, (0, 0, 0, False))
+    ip, op, err, _ = jax.lax.while_loop(
+        seq_cond, seq_body, (0, dcap, 0, False)
+    )
     errv = jnp.where(err != 0, err, jnp.where(ip != clen, 2, 0))
-    meta_ref[0, :, :] = jnp.where(lane == 0, op, jnp.where(lane == 1, errv, 0))
+    meta_ref[0, :, :] = jnp.where(
+        lane == 0, op - dcap, jnp.where(lane == 1, errv, 0)
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("out_cap",))
-def pallas_decode(comps_i32, comp_lens, out_cap: int):
+_DICT_ROWS = 65536 // _LANES + 1  # 64KB window + read slack row
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "with_dict"))
+def pallas_decode(comps_i32, comp_lens, out_cap: int, dicts_i32=None,
+                  dict_lens=None, with_dict: bool = False):
     """comps_i32: i32[B, CAP] (one byte per lane, zero padded; CAP % 128 == 0).
 
+    With ``with_dict``, ``dicts_i32`` is i32[B, 65536] (window bytes
+    right-aligned) and matches may reach back into it (chained frame blocks,
+    the analog of `LZ4_decompress_safe_usingDict`).
+
     Returns (out i32[B, out_cap + 128], meta i32[B, 128]):
-    meta[:, 0] = produced length, meta[:, 1] = error flag.
+    meta[:, 0] = produced length, meta[:, 1] = error flag.  ``out`` holds the
+    decoded bytes from lane 0 (the dictionary prefix is stripped).
     """
     b, cap = comps_i32.shape
     assert cap % _LANES == 0, cap
     cr = cap // _LANES
-    orows = out_cap // _LANES + 1  # one slack row for the chunk spill
+    if with_dict:
+        dr = _DICT_ROWS
+        assert dicts_i32 is not None and dicts_i32.shape == (b, 65536)
+        dict_rows = jnp.concatenate(
+            [dicts_i32, jnp.zeros((b, _LANES), jnp.int32)], axis=1
+        ).reshape(b, dr, _LANES)
+    else:
+        dr = 1
+        dict_rows = jnp.zeros((b, dr, _LANES), jnp.int32)
+        dict_lens = jnp.zeros_like(comp_lens)
+    dcap = (dr - 1) * _LANES
+    orows = dcap // _LANES + out_cap // _LANES + 1  # + slack row
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, cap), lambda i, lens: (i, 0, 0), memory_space=pltpu.SMEM
+                (1, 1, cap),
+                lambda i, lens, dlens: (i, 0, 0),
+                memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec((1, cr, _LANES), lambda i, lens: (i, 0, 0)),
+            pl.BlockSpec((1, cr, _LANES), lambda i, lens, dlens: (i, 0, 0)),
+            pl.BlockSpec((1, dr, _LANES), lambda i, lens, dlens: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, orows, _LANES), lambda i, lens: (i, 0, 0)),
-            pl.BlockSpec((1, 1, _LANES), lambda i, lens: (i, 0, 0)),
+            pl.BlockSpec((1, orows, _LANES), lambda i, lens, dlens: (i, 0, 0)),
+            pl.BlockSpec((1, 1, _LANES), lambda i, lens, dlens: (i, 0, 0)),
         ],
     )
 
-    def kernel(lens_ref, comp_s, comp_v, out_ref, meta_ref):
+    def kernel(lens_ref, dlens_ref, comp_s, comp_v, dict_v, out_ref, meta_ref):
         i = pl.program_id(0)
-        _decode_one(lens_ref[i], comp_s, comp_v, out_ref, meta_ref)
+        _decode_one(
+            lens_ref[i], dlens_ref[i], comp_s, comp_v, dict_v, out_ref, meta_ref
+        )
 
     words = _words_le(comps_i32)
     out, meta = pl.pallas_call(
@@ -250,14 +297,41 @@ def pallas_decode(comps_i32, comp_lens, out_cap: int):
             jax.ShapeDtypeStruct((b, orows, _LANES), jnp.int32),
             jax.ShapeDtypeStruct((b, 1, _LANES), jnp.int32),
         ],
-    )(comp_lens, words.reshape(b, 1, cap), comps_i32.reshape(b, cr, _LANES))
-    return out.reshape(b, orows * _LANES), meta.reshape(b, _LANES)
+    )(
+        comp_lens,
+        dict_lens,
+        words.reshape(b, 1, cap),
+        comps_i32.reshape(b, cr, _LANES),
+        dict_rows,
+    )
+    out = out.reshape(b, orows * _LANES)[:, dcap:]
+    return out, meta.reshape(b, _LANES)
 
 
-def decode_blocks_pallas(comps_u8: np.ndarray, comp_lens: np.ndarray, out_cap: int):
-    """Host wrapper: u8[B, CAP] compressed blocks -> (u8[B, out_cap], lens, errs)."""
+def decode_blocks_pallas(
+    comps_u8: np.ndarray,
+    comp_lens: np.ndarray,
+    out_cap: int,
+    dicts_u8: np.ndarray | None = None,
+    dict_lens: np.ndarray | None = None,
+):
+    """Host wrapper: u8[B, CAP] compressed blocks -> (u8[B, out_cap], lens,
+    errs).  ``dicts_u8``: u8[B, 65536] right-aligned window bytes for
+    chained blocks (`LZ4_decompress_safe_usingDict` analog)."""
     comps_i32 = jnp.asarray(comps_u8, jnp.int32)
-    out, meta = pallas_decode(comps_i32, jnp.asarray(comp_lens, jnp.int32), out_cap)
+    if dicts_u8 is not None:
+        out, meta = pallas_decode(
+            comps_i32,
+            jnp.asarray(comp_lens, jnp.int32),
+            out_cap,
+            jnp.asarray(dicts_u8, jnp.int32),
+            jnp.asarray(dict_lens, jnp.int32),
+            with_dict=True,
+        )
+    else:
+        out, meta = pallas_decode(
+            comps_i32, jnp.asarray(comp_lens, jnp.int32), out_cap
+        )
     out = np.asarray(out[:, :out_cap]).astype(np.uint8)
     meta = np.asarray(meta)
     return out, meta[:, 0], meta[:, 1]

@@ -1,0 +1,105 @@
+"""Cross-backend fuzz: random structured data encoded by every encoder must
+decode identically through every decoder (the analog of the reference's
+32/64-bit dual-engine equivalence tests, SURVEY.md §4)."""
+
+import random
+
+import pytest
+
+from lz4_tpu.block import hostref
+from lz4_tpu.block import api as block_api
+from lz4_tpu import native
+from lz4_tpu.ops import decode_jax, encode_jax
+
+
+def _random_structured(rng: random.Random, n: int) -> bytes:
+    """Mixture of runs, copies, and noise that stresses parser edge cases."""
+    out = bytearray()
+    while len(out) < n:
+        k = rng.randrange(6)
+        if k == 0:
+            out += bytes([rng.randrange(256)]) * rng.randrange(1, 300)
+        elif k == 1:
+            out += rng.randbytes(rng.randrange(1, 200))
+        elif k == 2 and out:
+            start = rng.randrange(len(out))
+            out += bytes(out[start : start + rng.randrange(1, 400)])
+        elif k == 3:
+            out += b"abcdefgh"[: rng.randrange(1, 8)] * rng.randrange(1, 60)
+        elif k == 4:
+            out += bytes(rng.randrange(64) for _ in range(rng.randrange(1, 64)))
+        else:
+            out += b"\x00" * rng.randrange(1, 100)
+    return bytes(out[:n])
+
+
+ENCODERS = [
+    ("hostref-fast", lambda d: hostref.encode_fast(d)),
+    ("hostref-hc", lambda d: hostref.encode_hc(d, level=6)),
+    ("hostref-opt", lambda d: hostref.encode_opt(d, level=12)),
+    ("xla", lambda d: encode_jax.encode_block_bytes(d, level=0)),
+]
+if native.available():
+    ENCODERS += [
+        ("native-fast", lambda d: native.encode(d, 0)),
+        ("native-hc", lambda d: native.encode(d, 9)),
+    ]
+
+DECODERS = [
+    ("hostref", lambda c, n: hostref.decode_block(c, n)),
+    ("xla", lambda c, n: decode_jax.decode_block_bytes(c, target_length=n)),
+]
+if native.available():
+    DECODERS.append(("native", lambda c, n: native.decode(c, n)))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_cross_backend(seed):
+    rng = random.Random(seed)
+    n = rng.choice([17, 333, 5000, 20000])
+    data = _random_structured(rng, n)
+    for ename, enc in ENCODERS:
+        comp = enc(data)
+        for dname, dec in DECODERS:
+            assert dec(comp, n) == data, (seed, ename, dname)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_pallas_interpret(seed, monkeypatch):
+    import functools
+
+    import numpy as np
+    from jax.experimental import pallas as pl
+
+    from lz4_tpu.ops import decode_pallas as DP
+    from lz4_tpu.ops import encode_pallas as EP
+    from lz4_tpu.parallel.blocks import comp_capacity
+
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    DP.pallas_decode.clear_cache()
+    EP.pallas_encode.clear_cache()
+    try:
+        rng = random.Random(100 + seed)
+        N = 4096
+        data = _random_structured(rng, rng.choice([100, 2000, 4000]))
+        bufs = np.zeros((1, N + 1024), np.uint8)
+        bufs[0, : len(data)] = np.frombuffer(data, np.uint8)
+        out, clens, errs = EP.encode_blocks_pallas(
+            bufs, np.asarray([len(data)], np.int32), N
+        )
+        assert errs[0] == 0
+        comp = out[0, : clens[0]].tobytes()
+        assert hostref.decode_block(comp, len(data)) == data
+        cap = comp_capacity(N)
+        comps = np.zeros((1, cap), np.uint8)
+        comps[0, : len(comp)] = np.frombuffer(comp, np.uint8)
+        dec, lens, derr = DP.decode_blocks_pallas(
+            comps, np.asarray([len(comp)], np.int32), N
+        )
+        assert derr[0] == 0
+        assert dec[0, : len(data)].tobytes() == data
+    finally:
+        DP.pallas_decode.clear_cache()
+        EP.pallas_encode.clear_cache()

@@ -1,0 +1,68 @@
+"""Pallas decoder dictionary mode (interpret): chained blocks whose matches
+reach into a preset 64KB window, mixed dict/no-dict batches, window-floor
+violation detection."""
+
+import functools
+import random
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from lz4_tpu.block import hostref
+from lz4_tpu.ops import decode_pallas as DP
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    DP.pallas_decode.clear_cache()
+    yield
+    DP.pallas_decode.clear_cache()
+
+
+def test_dict_decode_and_violation(rng):
+    N, cap = 4096, 8192
+    b1 = rng.randbytes(3000)  # incompressible alone
+    b2 = b1[200:2200] + rng.randbytes(100)  # matches must reach the dict
+    c2 = hostref.encode_fast(b2, dictionary=b1)
+    c1 = hostref.encode_fast(b1)
+    comps = np.zeros((2, cap), np.uint8)
+    clens = np.zeros((2,), np.int32)
+    comps[0, : len(c2)] = np.frombuffer(c2, np.uint8)
+    clens[0] = len(c2)
+    comps[1, : len(c1)] = np.frombuffer(c1, np.uint8)
+    clens[1] = len(c1)
+    dicts = np.zeros((2, 65536), np.int32)
+    dicts[0, 65536 - len(b1) :] = np.frombuffer(b1, np.uint8)
+    dlens = np.asarray([len(b1), 0], np.int32)
+
+    out, meta = DP.pallas_decode(
+        jnp.asarray(comps, jnp.int32),
+        jnp.asarray(clens),
+        N,
+        jnp.asarray(dicts),
+        jnp.asarray(dlens),
+        with_dict=True,
+    )
+    out = np.asarray(out)
+    meta = np.asarray(meta)
+    assert meta[0, 1] == 0 and meta[1, 1] == 0
+    assert out[0, : len(b2)].astype(np.uint8).tobytes() == b2
+    assert out[1, : len(b1)].astype(np.uint8).tobytes() == b1
+
+    # too-short window -> flagged, not garbage
+    dlens_bad = np.asarray([100, 0], np.int32)
+    _, meta2 = DP.pallas_decode(
+        jnp.asarray(comps, jnp.int32),
+        jnp.asarray(clens),
+        N,
+        jnp.asarray(dicts),
+        jnp.asarray(dlens_bad),
+        with_dict=True,
+    )
+    assert np.asarray(meta2)[0, 1] != 0
