@@ -196,8 +196,8 @@ def _try_host_parallel_decompress(data, settings, workers):
     return result
 
 
-def _scan_single_frame(data: bytes):
-    """Parse one independent-block frame's block table on the host.
+def _scan_single_frame(data: bytes, allow_chained: bool = False):
+    """Parse one frame's block table on the host.
 
     Returns (descriptor, [(offset, length, stored)], tail_pos) or None."""
     src = io.BytesIO(data)
@@ -208,7 +208,7 @@ def _scan_single_frame(data: bytes):
     if info is None or info.kind != "frame":
         return None
     d = info.descriptor
-    if d.block_chaining or d.dictionary_id is not None:
+    if (d.block_chaining and not allow_chained) or d.dictionary_id is not None:
         return None
     blocks = []
     pos = info.header_length
@@ -239,6 +239,62 @@ def _scan_single_frame(data: bytes):
     return d, blocks, pos
 
 
+def _try_chained_device_decompress(data: bytes, settings: DecoderSettings):
+    """Chained-block frame decoded block-by-block on device with the Pallas
+    dictionary decoder carrying the 64KB window (the device analog of
+    `LZ4_decompress_safe_continue`)."""
+    import numpy as np
+
+    scan = _scan_single_frame(data, allow_chained=True)
+    if scan is None:
+        return None
+    d, blocks, pos = scan
+    if not d.block_chaining or not blocks:
+        return None
+    from ..parallel.blocks import comp_capacity, decode_blocks_device, _use_pallas
+
+    if not _use_pallas():
+        return None
+    from ..ops.decode_pallas import decode_blocks_pallas
+
+    cap = comp_capacity(d.block_size)
+    window = bytes(settings.dictionary[-65536:])
+    parts = []
+    dict_buf = np.zeros((1, 65536), np.uint8)
+    for off, length, stored in blocks:
+        chunk = data[off : off + length]
+        if stored:
+            raw = chunk
+        else:
+            comps = np.zeros((1, cap), np.uint8)
+            comps[0, : len(chunk)] = np.frombuffer(chunk, np.uint8)
+            dict_buf[:] = 0
+            if window:
+                dict_buf[0, 65536 - len(window) :] = np.frombuffer(window, np.uint8)
+            out, lens, errs = decode_blocks_pallas(
+                comps,
+                np.asarray([len(chunk)], np.int32),
+                d.block_size,
+                dict_buf,
+                np.asarray([len(window)], np.int32),
+            )
+            if errs[0] != 0:
+                raise LZ4FormatError(f"malformed chained block (err={errs[0]})")
+            raw = out[0, : lens[0]].tobytes()
+        parts.append(raw)
+        window = (window + raw)[-65536:]
+    result = b"".join(parts)
+    if d.content_checksum:
+        (expected,) = struct.unpack_from("<I", data, pos)
+        if xxh32(result) != expected:
+            raise LZ4FormatError("content checksum mismatch")
+    if d.content_length is not None and len(result) != d.content_length:
+        raise LZ4FormatError(
+            f"content length mismatch: {len(result)} != {d.content_length}"
+        )
+    return result
+
+
 def decompress(
     data,
     settings: DecoderSettings | None = None,
@@ -257,6 +313,9 @@ def decompress(
         fast = _try_parallel_decompress(data, settings, mesh)
         if fast is not None:
             return fast
+        fast = _try_chained_device_decompress(data, settings)
+        if fast is not None:
+            return fast
     elif backend != "tpu":
         fast = _try_host_parallel_decompress(data, settings, workers)
         if fast is not None:
@@ -273,45 +332,10 @@ def _try_parallel_decompress(data: bytes, settings: DecoderSettings, mesh):
     stored blocks mixed in, preset dictionary)."""
     if settings.dictionary:
         return None
-    src = io.BytesIO(data)
-    try:
-        info = parse_header(src.read)
-    except LZ4FormatError:
+    scan = _scan_single_frame(data)
+    if scan is None:
         return None
-    if info is None or info.kind != "frame":
-        return None
-    d: FrameDescriptor = info.descriptor
-    if d.block_chaining or d.dictionary_id is not None:
-        return None
-    # scan the block table on host (cheap: just length words)
-    blocks: list[tuple[int, int, bool]] = []  # (offset, length, stored)
-    pos = info.header_length
-    n = len(data)
-    while True:
-        if pos + 4 > n:
-            return None
-        (word,) = struct.unpack_from("<I", data, pos)
-        pos += 4
-        if word == 0:
-            break
-        stored = bool(word & _UNCOMPRESSED_FLAG)
-        length = word & ~_UNCOMPRESSED_FLAG
-        if pos + length > n:
-            return None
-        blocks.append((pos, length, stored))
-        pos += length
-        if d.block_checksum:
-            if pos + 4 > n:
-                return None
-            (expected,) = struct.unpack_from("<I", data, pos)
-            if xxh32(data[pos - length : pos]) != expected:
-                raise LZ4FormatError("block checksum mismatch")
-            pos += 4
-    tail_needed = 4 if d.content_checksum else 0
-    if pos + tail_needed > n:
-        return None
-    if pos + tail_needed != n:
-        return None  # multi-frame stream: general path
+    d, blocks, pos = scan
 
     if any(st for _, _, st in blocks):
         # mixed stored/compressed blocks: stored blocks interleave with the

@@ -66,3 +66,16 @@ def test_dict_decode_and_violation(rng):
         with_dict=True,
     )
     assert np.asarray(meta2)[0, 1] != 0
+
+
+def test_chained_frame_device_path(monkeypatch, lorem, rng):
+    """Chained frames route through the Pallas dict decoder when the device
+    path is active (forced on here; pallas runs interpreted on CPU)."""
+    from lz4_tpu import frame
+    from lz4_tpu.parallel import blocks as pb
+
+    monkeypatch.setattr(pb, "_use_pallas", lambda: True)
+    data = lorem(200_000, rng)
+    blob = frame.compress(data, backend="host")  # chained by default
+    out = frame.decompress(blob, backend="tpu")
+    assert out == data
