@@ -52,6 +52,8 @@ def main(argv=None) -> int:
     c.add_argument("--no-content-checksum", action="store_true")
     c.add_argument("--store-size", action="store_true")
     c.add_argument("--backend", default="auto", choices=("auto", "host", "tpu"))
+    c.add_argument("-T", "--workers", type=int, default=None,
+                   help="thread workers for independent blocks (0=serial)")
 
     d = sub.add_parser("decompress", help="decompress LZ4 frame(s)")
     d.add_argument("input")
@@ -84,7 +86,11 @@ def main(argv=None) -> int:
             content_checksum=not a.no_content_checksum,
         )
         blob = frame.compress(
-            data, settings=settings, backend=a.backend, store_size=a.store_size
+            data,
+            settings=settings,
+            backend=a.backend,
+            store_size=a.store_size,
+            workers=a.workers,
         )
         _write(a.output, blob, a.input + ".lz4")
         print(

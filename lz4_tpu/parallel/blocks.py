@@ -102,10 +102,21 @@ def batched_decode(comps, comp_lens, out_cap: int):
     return jax.vmap(f)(comps, comp_lens, nodict, zero)
 
 
-def _use_pallas() -> bool:
+# The Pallas kernels keep the whole compressed/raw block in SMEM for the
+# scalar parse; SMEM is 1 MB and block inputs are double-buffered, so blocks
+# above 64 KB do not fit (measured: a 256 KB block needs 2 x 1.05 MB).
+# Larger blocks fall back to the XLA kernels (or the host codec at the
+# frame layer).  Round-2: stream the compressed bytes through a rolling
+# SMEM window via DMA instead of staging the whole block.
+PALLAS_MAX_BLOCK = 65536
+
+
+def _use_pallas(block_size: int = 65536) -> bool:
     """Pallas kernels are the device path on real TPUs; the XLA dense
     kernels remain for CPU meshes (tests, the driver's virtual-device
     dry-run) where Mosaic cannot compile."""
+    if block_size > PALLAS_MAX_BLOCK:
+        return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:
@@ -117,7 +128,7 @@ def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0):
 
     Returns (out u8[B, OCAP], out_lens i32[B]) as numpy.
     """
-    if _use_pallas():
+    if _use_pallas(bcap):
         from ..ops.encode_pallas import LEVEL_ATTEMPTS, pallas_encode
 
         out, meta = pallas_encode(
@@ -138,7 +149,7 @@ def decode_blocks_device(comps_np, clens_np, out_cap: int):
 
     Returns (out u8[B, out_cap], lens i32[B], errs i32[B]) as numpy.
     """
-    if _use_pallas():
+    if _use_pallas(out_cap):
         from ..ops.decode_pallas import decode_blocks_pallas
 
         return decode_blocks_pallas(

@@ -74,7 +74,7 @@ def test_chained_frame_device_path(monkeypatch, lorem, rng):
     from lz4_tpu import frame
     from lz4_tpu.parallel import blocks as pb
 
-    monkeypatch.setattr(pb, "_use_pallas", lambda: True)
+    monkeypatch.setattr(pb, "_use_pallas", lambda *a: True)
     data = lorem(200_000, rng)
     blob = frame.compress(data, backend="host")  # chained by default
     out = frame.decompress(blob, backend="tpu")
