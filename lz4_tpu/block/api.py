@@ -94,7 +94,10 @@ def decode(
         from ..ops import decode_jax
 
         return decode_jax.decode_block_bytes(
-            data, target_length=target_length, dictionary=dictionary
+            data,
+            target_length=target_length,
+            dictionary=dictionary,
+            capacity=capacity,
         )
     try:
         from .. import native
@@ -103,7 +106,7 @@ def decode(
             return native.decode(data, target_length, dictionary, capacity=capacity)
     except ImportError:
         pass
-    return hostref.decode_block(data, target_length, dictionary)
+    return hostref.decode_block(data, target_length, dictionary, capacity=capacity)
 
 
 def partial_decode(

@@ -43,6 +43,7 @@ def decode_block(
     target_length: int | None = None,
     dictionary: bytes = b"",
     partial: bool = False,
+    capacity: int | None = None,
 ) -> bytes:
     """Decode one LZ4 block.
 
@@ -51,12 +52,17 @@ def decode_block(
     (like the reference's `PartialDecode`, `LZ4Codec.cs:123-134`); otherwise a
     stream that does not exactly fill/end is an error only in the sense of
     malformed input (the output length is returned as produced).
+    ``capacity`` rejects outputs larger than the caller's bound (a crafted
+    block cannot balloon past it).
     """
     src = bytes(src)
     n = len(src)
     dlen = len(dictionary)
     out = bytearray()
     limit = target_length if partial and target_length is not None else None
+    hard_cap = capacity
+    if target_length is not None and not partial:
+        hard_cap = target_length if hard_cap is None else min(hard_cap, target_length)
     i = 0
     if n == 0:
         raise LZ4Error("empty input")
@@ -78,6 +84,8 @@ def decode_block(
                     break
         if i + lit_len > n:
             raise LZ4Error("literal run past end of input")
+        if hard_cap is not None and len(out) + lit_len > hard_cap:
+            raise LZ4Error("decoded output exceeds capacity")
         out += src[i : i + lit_len]
         i += lit_len
         if limit is not None and len(out) >= limit:
@@ -105,6 +113,8 @@ def decode_block(
         pos = len(out) - offset
         if pos < -dlen:
             raise LZ4Error("offset beyond window start")
+        if hard_cap is not None and len(out) + match_len > hard_cap and limit is None:
+            raise LZ4Error("decoded output exceeds capacity")
         for k in range(match_len):
             p = pos + k
             out.append(out[p] if p >= 0 else dictionary[dlen + p])

@@ -85,7 +85,10 @@ class BlockDecoder:
 
     def decode_block(self, comp: bytes, expected_length: int | None = None) -> bytes:
         return block_api.decode(
-            comp, target_length=expected_length, backend=self._backend
+            comp,
+            target_length=expected_length,
+            backend=self._backend,
+            capacity=self.block_size,
         )
 
     def inject_block(self, raw: bytes) -> bytes:
@@ -119,6 +122,7 @@ class ChainDecoder:
             target_length=expected_length,
             dictionary=self._dict,
             backend=self._backend,
+            capacity=self.block_size,
         )
         self._dict = (self._dict + raw)[-_WINDOW:]
         return raw

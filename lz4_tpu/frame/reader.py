@@ -59,12 +59,6 @@ class FrameReader:
         self._bytes_read += len(out)
         return bytes(out)
 
-    def _read_upto(self, n: int) -> bytes:
-        chunk = self._source.read(n)
-        if chunk:
-            self._bytes_read += len(chunk)
-        return chunk or b""
-
     @property
     def bytes_read(self) -> int:
         """Raw compressed bytes consumed (reference `GetBytesRead`)."""
@@ -143,8 +137,9 @@ class FrameReader:
     def _next_block(self) -> bool:
         """Decode one block into the buffer.  False when the frame ended."""
         if self._legacy:
-            # legacy: u32 compressed length (or next magic / EOF ends frame)
-            head = self._read_upto(4)
+            # legacy: u32 compressed length (or next magic / EOF ends frame);
+            # _read_exact loops so dribbling sources (sockets) work
+            head = self._read_exact(4)
             if len(head) == 0:
                 self._in_frame = False
                 self._eof = True

@@ -138,6 +138,12 @@ class FrameWriter:
             self._pending.clear()
             self._write_block(block)
         self._ensure_header()  # zero-length content still emits a valid frame
+        declared = self._descriptor.content_length
+        if declared is not None and self._content_bytes != declared:
+            raise ValueError(
+                f"content length mismatch: declared {declared}, "
+                f"wrote {self._content_bytes}"
+            )
         self._emit(_END_MARK)
         if self._content_hash is not None:
             self._emit(struct.pack("<I", self._content_hash.digest()))

@@ -262,9 +262,11 @@ typedef struct {
     int32_t *prev;   /* position -> previous position with same hash */
     const uint8_t *base;
     int64_t inserted; /* positions [0, inserted) are in the tables */
+    int64_t max_insert; /* read32 must stay in bounds: <= buf_len - 4 + 1 */
 } chain_t;
 
 static void chain_insert(chain_t *c, int64_t upto) {
+    if (upto > c->max_insert) upto = c->max_insert;
     for (int64_t i = c->inserted; i < upto; i++) {
         uint32_t h = hash4(read32(c->base + i));
         c->prev[i] = c->head[h];
@@ -341,6 +343,7 @@ int64_t lz4tpu_encode_hc(
     c.prev = (int32_t *)malloc(sizeof(int32_t) * (size_t)buf_len);
     c.base = base;
     c.inserted = 0;
+    c.max_insert = buf_len - MINMATCH + 1 > 0 ? buf_len - MINMATCH + 1 : 0;
     if (!c.head || !c.prev) { free(c.head); free(c.prev); return ERR_MALFORMED; }
     for (int64_t i = 0; i < (1 << HC_HASH_LOG); i++) c.head[i] = -1;
     chain_insert(&c, src_off);
@@ -481,6 +484,7 @@ int64_t lz4tpu_encode_opt(
     }
     c.base = base;
     c.inserted = 0;
+    c.max_insert = buf_len - MINMATCH + 1 > 0 ? buf_len - MINMATCH + 1 : 0;
     for (int64_t i = 0; i < (1 << HC_HASH_LOG); i++) c.head[i] = -1;
     chain_insert(&c, buf_len - MINMATCH > 0 ? buf_len - MINMATCH : 0);
 

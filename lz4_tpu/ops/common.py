@@ -32,11 +32,6 @@ def align1024(x: int) -> int:
     return round_up(x, 1024)
 
 
-def bytes_to_i32(buf: jnp.ndarray) -> jnp.ndarray:
-    """u8[N] -> i32[N] (widen)."""
-    return buf.astype(jnp.int32)
-
-
 def shift_left(b: jnp.ndarray, k: int) -> jnp.ndarray:
     """b[i+k] with zero fill past the end (no wraparound)."""
     if k == 0:
@@ -79,52 +74,5 @@ def next_not_equal(flag_neq: jnp.ndarray, idx: jnp.ndarray, sentinel: int) -> jn
     return reverse_cummin(m)
 
 
-def mark_reachable(nxt: jnp.ndarray, rounds: int) -> jnp.ndarray:
-    """Pointer-doubling reachability from index 0 through nxt[] (which must be
-    strictly increasing: nxt[i] > i, with self-loop allowed only at the last
-    ("dead") index).  Returns bool mask of reached indices.
-
-    After r rounds, marks every node reachable in <= 2^r - 1 steps.
-    """
-    n = nxt.shape[0]
-    a = jnp.zeros((n,), jnp.int32).at[0].set(1)
-    d = nxt
-
-    def body(carry, _):
-        a, d = carry
-        a = jnp.maximum(a, jnp.zeros((n,), jnp.int32).at[d].max(a, mode="drop"))
-        d = d[jnp.clip(d, 0, n - 1)]
-        return (a, d), None
-
-    (a, _), _ = lax.scan(body, (a, d), None, length=rounds)
-    return a.astype(bool)
-
-
 def exclusive_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.cumsum(x) - x
-
-
-def compact_indices(mask: jnp.ndarray, max_out: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Stable-compact indices where mask is True.
-
-    Returns (positions i32[max_out] in ascending order, count).  Unused slots
-    hold ``len(mask)`` (an out-of-range sentinel).
-    """
-    n = mask.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    rank = exclusive_cumsum(mask.astype(jnp.int32))
-    count = jnp.sum(mask.astype(jnp.int32))
-    dest = jnp.where(mask, rank, max_out)  # OOB -> dropped
-    out = jnp.full((max_out,), n, dtype=jnp.int32).at[dest].set(idx, mode="drop")
-    return out, count
-
-
-def interval_mask(starts: jnp.ndarray, ends: jnp.ndarray, valid: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Boolean mask over [0, size) covering the union of [start, end) intervals
-    (intervals must be disjoint). Implemented as diff + cumsum."""
-    diff = jnp.zeros((size + 1,), jnp.int32)
-    s = jnp.where(valid & (ends > starts), starts, size + 1)
-    e = jnp.where(valid & (ends > starts), ends, size + 1)
-    diff = diff.at[s].add(1, mode="drop")
-    diff = diff.at[e].add(-1, mode="drop")
-    return jnp.cumsum(diff)[:size] > 0

@@ -210,9 +210,15 @@ def _bucket(n: int, floor: int = 1 << 12) -> int:
 
 
 def decode_block_bytes(
-    data: bytes, target_length: int | None = None, dictionary: bytes = b""
+    data: bytes,
+    target_length: int | None = None,
+    dictionary: bytes = b"",
+    capacity: int | None = None,
 ) -> bytes:
-    """Host convenience wrapper: decode one block via the vectorized kernel."""
+    """Host convenience wrapper: decode one block via the vectorized kernel.
+
+    ``capacity`` bounds the output when ``target_length`` is unknown (e.g.
+    a frame block whose decoded size is at most the block-size limit)."""
     from ..block.hostref import LZ4Error
 
     n = len(data)
@@ -221,12 +227,13 @@ def decode_block_bytes(
     cap = _bucket(n + _PAD)
     comp = np.zeros(cap, np.uint8)
     comp[:n] = np.frombuffer(data, np.uint8)
-    if target_length is None:
-        # worst-case expansion of LZ4 is 255x per extra byte; without a hint
-        # allocate generously based on input size
-        out_cap = _bucket(max(64, n * 255 // 16))
-    else:
+    if target_length is not None:
         out_cap = _bucket(max(64, target_length))
+    elif capacity is not None:
+        out_cap = _bucket(max(64, capacity))
+    else:
+        # true worst-case LZ4 expansion is ~255x the input
+        out_cap = _bucket(max(64, n * 255))
     dlen = min(len(dictionary), 65536)
     dcap = _bucket(dlen, floor=1 << 8) if dlen else 1 << 8
     d = np.zeros(dcap, np.uint8)

@@ -279,6 +279,7 @@ def make_mesh(devices=None, axis: str = "block") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+@functools.lru_cache(maxsize=32)
 def sharded_encode_fn(mesh: Mesh, bcap: int, k_depth: int = 1, axis: str = "block"):
     """jit(shard_map(batched encode)) over ``mesh``: batch dim sharded across
     the block axis, zero collectives (blocks are independent)."""
@@ -294,6 +295,7 @@ def sharded_encode_fn(mesh: Mesh, bcap: int, k_depth: int = 1, axis: str = "bloc
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=32)
 def sharded_decode_fn(mesh: Mesh, out_cap: int, axis: str = "block"):
     run = batched_decode_fn(out_cap)
     spec = P(axis)

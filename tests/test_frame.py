@@ -81,11 +81,24 @@ def test_content_size_written_and_honored(lorem, rng):
     r = frame.FrameReader(io.BytesIO(blob), backend="host")
     assert r.frame_length() == len(data)
     assert r.read_all() == data
-    # wrong content size must be rejected
+
+    # the writer refuses to close a frame whose declared size was not met
     s = EncoderSettings(content_length=len(data) + 1)
-    blob2 = frame.compress(data, settings=s, backend="host")
+    w = frame.FrameWriter(io.BytesIO(), s, backend="host")
+    w.write(data)
+    with pytest.raises(ValueError):
+        w.close()
+
+    # a frame whose header lies about the content size (crafted by patching
+    # the 8-byte size field + header checksum) must be rejected on decode
+    from lz4_tpu.frame.header import _header_checksum
+
+    patched = bytearray(blob)
+    (wrong,) = struct.unpack_from("<Q", patched, 6)
+    struct.pack_into("<Q", patched, 6, wrong + 1)
+    patched[14] = _header_checksum(bytes(patched[4:14]))
     with pytest.raises(LZ4FormatError):
-        frame.decompress(blob2, backend="host")
+        frame.decompress(bytes(patched), backend="host")
 
 
 def test_random_write_chunks_roundtrip(lorem, rng):
