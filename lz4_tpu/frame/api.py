@@ -4,9 +4,11 @@ Capability analog of the reference's `LZ4Frame` one-liners
 (`LZ4Frame.encode.cs:9-387`, `LZ4Frame.decode.cs:14-67`) and the
 `LZ4Stream.Encode/Decode` stream skins (`LZ4Stream.cs:8-76`).
 
-The one-shot ``compress``/``decompress`` over independent blocks route
-through the block-parallel TPU path (`lz4_tpu.parallel`) — the frame block
-loop becomes a single batched device call plus host-side frame assembly.
+One-shot ``compress``/``decompress`` over independent blocks run
+block-parallel: a thread pool over the native host codec by default (ctypes
+releases the GIL), or the batched device kernels / mesh sharding when the
+TPU backend is requested; chained frames with the TPU backend decode through
+the Pallas dictionary decoder.
 """
 
 from __future__ import annotations

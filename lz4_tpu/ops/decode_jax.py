@@ -13,18 +13,19 @@ re-derived as data-parallel phases with **no sequential scan at all**
    under next[]; binary lifting (`ops.chain.materialize_chain`) produces the
    ascending token-position table directly — no reachability scatter, no
    compaction.
-3. **Per-output-byte source map**: a `searchsorted` against the interleaved
-   (literal-start, match-start) output-offset boundaries assigns each output
-   byte its segment; literal bytes map to input positions, match bytes to
-   `j - offset`.
+3. **Per-output-byte source map**: boundary markers + one cumsum assign each
+   output byte its (literal|match) segment; literal bytes map to input
+   positions, match bytes to `j - offset`.
 4. **Match-chain resolution**: matches referencing output produced by other
    matches are resolved by pointer doubling on the source map (every chain
    terminates at a literal or dictionary byte), log2(n) gather rounds.
 
-Every op here lowers to compact TPU code (cummin / cumsum / gathers /
-searchsorted / one small scatter-free token table): the whole executable is
-~10 MB vs ~33 MB for the earlier scatter-based formulation, which matters
-because the serving runtime reloads cold programs at ~25 MB/s.
+Every op here lowers to compact TPU code (cummin / cumsum / gathers / one
+marker scatter): ~15 MB of generated code vs ~33 MB for the original
+formulation, which matters because the serving runtime reloads cold
+programs at ~25 MB/s.  Still gather-bound (~100 Melem/s on TPU) — the
+Pallas decoder (`decode_pallas`) is the per-chip performance path; this
+kernel serves CPU meshes and the multi-device dry-run.
 
 Capability parity: safe decode, partial decode (via target clamp), dictionary
 (prefix or external) decode — analog of `LZ4_decompress_safe[_partial|

@@ -267,13 +267,35 @@ def _encode_one(n, src_s, src_v, htab, prev, out_ref, meta_ref, attempts: int):
         return p < mf_limit
 
     def fast_body(state):
-        p, anchor, op, search = state
-        w = read4(p)
-        h = hash4(w)
-        cand = htab[h]
-        htab[h] = p
+        """One iteration = one emitted sequence.
 
-        hit = (cand >= 0) & (p - cand <= 65535) & (read4(cand) == w)
+        The probe scan runs in its own tight while_loop containing only
+        scalar ops — keeping the emit machinery out of the hot loop matters
+        because Mosaic predicates `lax.cond` branches (a cond body's cost is
+        paid whether taken or not)."""
+        p, anchor, op, search = state
+
+        def find_cond(s):
+            p, search, cand = s
+            return (cand < 0) & (p < mf_limit)
+
+        def find_body(s):
+            p, search, cand = s
+            w = read4(p)
+            h = hash4(w)
+            c = htab[h]
+            htab[h] = p
+            good = (c >= 0) & (p - c <= 65535) & (read4(c) == w)
+            step = jnp.where(good, 0, search >> _SKIP_TRIGGER)
+            return (
+                p + step,
+                search + jnp.where(good, 0, 1),
+                jnp.where(good, c, -1),
+            )
+
+        p, search, cand = jax.lax.while_loop(
+            find_cond, find_body, (p, search, jnp.int32(-1))
+        )
 
         def take(args):
             p, anchor, op, cand = args
@@ -297,12 +319,12 @@ def _encode_one(n, src_s, src_v, htab, prev, out_ref, meta_ref, attempts: int):
             htab[hash4(read4(np_ - 2))] = np_ - 2
             return np_, np_, op2, jnp.int32(1 << _SKIP_TRIGGER)
 
-        def skip(args):
+        def no_match(args):
             p, anchor, op, _ = args
-            return p + (search >> _SKIP_TRIGGER), anchor, op, search + 1
+            return p, anchor, op, search
 
         p, anchor, op, search = jax.lax.cond(
-            hit, take, skip, (p, anchor, op, cand)
+            cand >= 0, take, no_match, (p, anchor, op, cand)
         )
         return p, anchor, op, search
 
@@ -356,8 +378,21 @@ def _encode_one(n, src_s, src_v, htab, prev, out_ref, meta_ref, attempts: int):
 
     def hc_body(state):
         p, anchor, op, search = state
-        hc_insert(p)
-        best_len, best_cand = hc_search(p)
+
+        def find_cond(s):
+            p, blen, bcand = s
+            return (blen < MIN_MATCH) & (p < mf_limit)
+
+        def find_body(s):
+            p, _, _ = s
+            hc_insert(p)
+            blen, bcand = hc_search(p)
+            found = blen >= MIN_MATCH
+            return jnp.where(found, p, p + 1), blen, bcand
+
+        p, best_len, best_cand = jax.lax.while_loop(
+            find_cond, find_body, (p, jnp.int32(0), jnp.int32(-1))
+        )
         hit = best_len >= MIN_MATCH
 
         def take(args):
