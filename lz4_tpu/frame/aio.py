@@ -70,28 +70,57 @@ class AsyncFrameWriter:
         return False
 
 
+class _SyncOverAsyncSource:
+    """Blocking ``read(n)`` adapter over an async source.
+
+    FrameReader pulls synchronously; each pull is forwarded to the async
+    source on the event loop via ``run_coroutine_threadsafe``.  Must only be
+    called from a worker thread (never the loop thread itself).
+    """
+
+    def __init__(self, source, loop):
+        self._source = source
+        self._loop = loop
+        self._buf = b""
+
+    def read(self, n: int) -> bytes:
+        if self._buf:
+            out, self._buf = self._buf[:n], self._buf[n:]
+            return out
+        fut = asyncio.run_coroutine_threadsafe(self._source.read(n), self._loop)
+        chunk = bytes(fut.result() or b"")
+        if len(chunk) > n:  # over-returning source: keep the excess buffered
+            self._buf = chunk[n:]
+            chunk = chunk[:n]
+        return chunk
+
+
 class AsyncFrameReader:
-    """Async streaming decompressor over an object with ``async read(n)``."""
+    """Async streaming decompressor over an object with ``async read(n)``.
+
+    Truly incremental: compressed bytes are pulled from the async source one
+    block at a time as output is consumed (the reference's async frame reader
+    behaves the same way, `Frames/LZ4FrameReader.async.cs`) — unbounded
+    streams work in O(block size) memory.
+    """
 
     def __init__(self, source, dictionary: bytes = b"", backend: str = "auto"):
         self._source = source
         self._backend = backend
         self._dictionary = dictionary
         self._reader = None
-        self._chunks: list[bytes] = []
 
-    async def _ensure(self):
+    def _ensure(self, loop):
         if self._reader is None:
-            import io
-
-            data = await self._source.read(-1)
             self._reader = _api.FrameReader(
-                io.BytesIO(data), dictionary=self._dictionary, backend=self._backend
+                _SyncOverAsyncSource(self._source, loop),
+                dictionary=self._dictionary,
+                backend=self._backend,
             )
 
     async def read(self, n: int = -1) -> bytes:
-        await self._ensure()
         loop = asyncio.get_running_loop()
+        self._ensure(loop)
         return await loop.run_in_executor(None, self._reader.read, n)
 
     async def __aenter__(self):

@@ -224,6 +224,13 @@ def _scan_single_frame(data: bytes, allow_chained: bool = False):
             break
         stored = bool(word & _UNCOMPRESSED_FLAG)
         length = word & ~_UNCOMPRESSED_FLAG
+        limit = d.block_size_limit
+        if length > (limit if stored else block_api.compress_bound(limit)):
+            # same bound FrameReader._next_block enforces: a crafted length
+            # word must not reach the decoders (allocation amplification)
+            raise LZ4FormatError(
+                f"block length {length} exceeds block size limit"
+            )
         if pos + length > n:
             return None
         blocks.append((pos, length, stored))
@@ -323,7 +330,10 @@ def decompress(
         if fast is not None:
             return fast
     r = FrameReader(
-        io.BytesIO(data), dictionary=settings.dictionary, backend=backend
+        io.BytesIO(data),
+        dictionary=settings.dictionary,
+        backend=backend,
+        extra_memory=settings.extra_memory,
     )
     return r.read_all()
 
@@ -341,13 +351,21 @@ def _try_parallel_decompress(data: bytes, settings: DecoderSettings, mesh):
 
     if any(st for _, _, st in blocks):
         # mixed stored/compressed blocks: stored blocks interleave with the
-        # batch, assemble sequentially (rare — incompressible regions)
-        result = b"".join(
-            data[off : off + length]
-            if st
-            else block_api.decode(data[off : off + length])
-            for off, length, st in blocks
-        )
+        # batch, assemble sequentially (rare — incompressible regions).
+        # capacity bounds the decoder allocation and enforces the frame's
+        # block-size limit, mirroring FrameReader._next_block.
+        limit = d.block_size_limit
+        parts = []
+        for off, length, st in blocks:
+            chunk = data[off : off + length]
+            if not st:
+                chunk = block_api.decode(chunk, capacity=limit)
+                if len(chunk) > limit:
+                    raise LZ4FormatError(
+                        "decoded block exceeds block size limit"
+                    )
+            parts.append(chunk)
+        result = b"".join(parts)
     else:
         from ..parallel.blocks import decode_blocks
 

@@ -32,9 +32,16 @@ class FrameReader:
     transparently.
     """
 
-    def __init__(self, source, dictionary: bytes = b"", backend: str = "auto"):
+    def __init__(
+        self,
+        source,
+        dictionary: bytes = b"",
+        backend: str = "auto",
+        extra_memory: int = 0,
+    ):
         self._source = source
         self._backend = backend
+        self._extra_memory = extra_memory
         self._preset_dict = bytes(dictionary)
         self._descriptor: FrameDescriptor | None = None
         self._legacy = False
@@ -248,12 +255,19 @@ class FrameReader:
 
     def read1(self) -> bytes:
         """Interactive read: return whatever one block yields (like the
-        reference's interactive mode, `ReadManyBytes(..., interactive: true)`)."""
+        reference's interactive mode, `ReadManyBytes(..., interactive: true)`).
+        ``extra_memory`` buys read-ahead blocks per pull — the analog of the
+        reference's ExtraMemory -> bigger decoder ring (`Extensions.cs:18-19`)."""
         while not self._buffer:
             if not self._ensure_frame():
                 break
             if not self._next_block():
                 continue
+        if self._buffer and self._extra_memory and self._in_frame:
+            extra = self._extra_memory // max(self._descriptor.block_size, 1)
+            for _ in range(extra):
+                if not self._in_frame or not self._next_block():
+                    break
         out = bytes(self._buffer)
         self._buffer.clear()
         return out

@@ -59,6 +59,14 @@ class FrameWriter:
             # FrameReader(dictionary=...))
             self._encoder._dict = bytes(dictionary[-65536:])
         self._content_hash = XXH32() if self._descriptor.content_checksum else None
+        # extra_memory buys extra buffered blocks (the analog of the
+        # reference's ExtraMemory -> extra ring blocks, `Extensions.cs:18-19`);
+        # independent blocks batch-encode in parallel, chained blocks cannot
+        self._extra_blocks = (
+            0
+            if self._descriptor.block_chaining
+            else self._settings.extra_memory // self._block_size
+        )
         self._header_written = False
         self._closed = False
         self._bytes_written = 0
@@ -82,11 +90,9 @@ class FrameWriter:
 
     # -- block loop ---------------------------------------------------------
 
-    def _write_block(self, raw: bytes):
-        """Compress and emit one block (stored fallback when incompressible,
-        same rule as the reference's copy path, `Encoders/LZ4EncoderBase.cs:65-88`)."""
-        self._ensure_header()
-        comp = self._encoder.encode_block(raw)
+    def _emit_block(self, raw: bytes, comp: bytes | None):
+        """Emit one block (stored fallback when incompressible, same rule as
+        the reference's copy path, `Encoders/LZ4EncoderBase.cs:65-88`)."""
         if comp is None or len(comp) >= len(raw):
             payload = raw
             length_word = len(raw) | _UNCOMPRESSED_FLAG
@@ -98,6 +104,36 @@ class FrameWriter:
         if self._descriptor.block_checksum:
             self._emit(struct.pack("<I", xxh32(payload)))
 
+    def _write_block(self, raw: bytes):
+        self._ensure_header()
+        self._emit_block(raw, self._encoder.encode_block(raw))
+
+    def _write_blocks(self, blocks: list[bytes]):
+        """Encode a batch of independent blocks concurrently, emit in order
+        (byte-identical to the sequential path)."""
+        self._ensure_header()
+        if len(blocks) == 1 or self._encoder.chaining:
+            # chained blocks carry the 64 KB dict serially — never parallel
+            for raw in blocks:
+                self._write_block(raw)
+            return
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, os.cpu_count() or 1, len(blocks))) as ex:
+            comps = list(ex.map(self._encoder.encode_block, blocks))
+        for raw, comp in zip(blocks, comps):
+            self._emit_block(raw, comp)
+
+    def _drain_full_blocks(self):
+        bs = self._block_size
+        group = bs * (1 + self._extra_blocks)
+        while len(self._pending) >= group:
+            k = len(self._pending) // bs
+            blocks = [bytes(self._pending[i * bs : (i + 1) * bs]) for i in range(k)]
+            del self._pending[: k * bs]
+            self._write_blocks(blocks)
+
     def write(self, data) -> int:
         if self._closed:
             raise ValueError("writer is closed")
@@ -106,10 +142,7 @@ class FrameWriter:
             self._content_hash.update(data)
         self._content_bytes += len(data)
         self._pending += data
-        while len(self._pending) >= self._block_size:
-            block = bytes(self._pending[: self._block_size])
-            del self._pending[: self._block_size]
-            self._write_block(block)
+        self._drain_full_blocks()
         return len(data)
 
     @property
@@ -122,21 +155,26 @@ class FrameWriter:
         legal in the frame format."""
         if self._closed:
             return
+        self._flush_pending()
+        if hasattr(self._sink, "flush"):
+            self._sink.flush()
+
+    def _flush_pending(self):
+        bs = self._block_size
+        while len(self._pending) > bs:
+            block = bytes(self._pending[:bs])
+            del self._pending[:bs]
+            self._write_block(block)
         if self._pending:
             block = bytes(self._pending)
             self._pending.clear()
             self._write_block(block)
-        if hasattr(self._sink, "flush"):
-            self._sink.flush()
 
     def close(self):
         """Finalize the frame: flush, EndMark, optional content checksum."""
         if self._closed:
             return
-        if self._pending:
-            block = bytes(self._pending)
-            self._pending.clear()
-            self._write_block(block)
+        self._flush_pending()
         self._ensure_header()  # zero-length content still emits a valid frame
         declared = self._descriptor.content_length
         if declared is not None and self._content_bytes != declared:

@@ -137,12 +137,27 @@ def decode(
         out_cap = target_length
         target = -1
     else:
-        out_cap = capacity if capacity is not None else max(256, len(data) * 255)
+        # no size hint: start small and grow on ERR_OUTPUT_OVERFLOW instead
+        # of eagerly allocating the worst-case 255x expansion (a crafted
+        # 4 MB block would otherwise demand ~1 GB up front)
+        out_cap = capacity if capacity is not None else max(256, len(data) * 4)
         target = -1
-    out = ctypes.create_string_buffer(max(out_cap, 1))
-    rc = lib.lz4tpu_decode(
-        data, len(data), bytes(dictionary), len(dictionary), out, out_cap, target
+    hard_cap = (
+        capacity
+        if capacity is not None
+        else max(256, len(data) * 255)
+        if target_length is None
+        else out_cap
     )
+    while True:
+        out = ctypes.create_string_buffer(max(out_cap, 1))
+        rc = lib.lz4tpu_decode(
+            data, len(data), bytes(dictionary), len(dictionary), out, out_cap, target
+        )
+        if rc == -2 and out_cap < hard_cap:  # ERR_OUTPUT_OVERFLOW: grow
+            out_cap = min(out_cap * 8, hard_cap)
+            continue
+        break
     if rc < 0:
         raise LZ4Error(f"malformed LZ4 block (native rc={rc})")
     if target_length is not None and not partial and rc != target_length:

@@ -229,22 +229,29 @@ def decode_block_bytes(
     comp = np.zeros(cap, np.uint8)
     comp[:n] = np.frombuffer(data, np.uint8)
     if target_length is not None:
-        out_cap = _bucket(max(64, target_length))
+        caps = [_bucket(max(64, target_length))]
     elif capacity is not None:
-        out_cap = _bucket(max(64, capacity))
+        caps = [_bucket(max(64, capacity))]
     else:
-        # true worst-case LZ4 expansion is ~255x the input
-        out_cap = _bucket(max(64, n * 255))
+        # no size hint: start at a modest expansion and grow toward the true
+        # worst case (~255x) only on failure, so an unhinted 1 MB block does
+        # not allocate a ~256 MB output buffer up front
+        caps = sorted(
+            {_bucket(max(64, n * f)) for f in (4, 32, 255)}
+        )
     dlen = min(len(dictionary), 65536)
     dcap = _bucket(dlen, floor=1 << 8) if dlen else 1 << 8
     d = np.zeros(dcap, np.uint8)
     if dlen:
         d[dcap - dlen :] = np.frombuffer(dictionary[-dlen:], np.uint8)
-    out, out_len, err = decode_block_fixed(
-        jnp.asarray(comp), jnp.int32(n), jnp.asarray(d), jnp.int32(dlen), out_cap
-    )
-    err = int(err)
-    out_len = int(out_len)
+    for out_cap in caps:
+        out, out_len, err = decode_block_fixed(
+            jnp.asarray(comp), jnp.int32(n), jnp.asarray(d), jnp.int32(dlen), out_cap
+        )
+        err = int(err)
+        out_len = int(out_len)
+        if not err:
+            break
     if err:
         raise LZ4Error(f"malformed LZ4 block (err={err})")
     result = bytes(np.asarray(out[:out_len]).tobytes())

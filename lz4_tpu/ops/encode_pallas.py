@@ -41,7 +41,7 @@ def _lane_iota():
     return jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
 
 
-def _encode_one(n, src_s, src_v, htab, prev, out_ref, meta_ref, attempts: int):
+def _encode_one(n, acc, src_s, src_v, htab, prev, out_ref, meta_ref, attempts: int):
     """Encode one block.
 
     src_s:  SMEM i32[1, 1, CAP]    LE words (byte(p) = word & 0xFF)
@@ -51,6 +51,9 @@ def _encode_one(n, src_s, src_v, htab, prev, out_ref, meta_ref, attempts: int):
     attempts: python int           0 = FAST single probe; >0 = HC chain
              search depth (analog of the reference clTable nbSearches,
              `x64/LL64.high.cs:1124-1138`)
+    acc:     traced i32            FAST acceleration: initial skip-search
+             budget = acc << SKIP_TRIGGER (reference `LZ4_compress_fast`
+             acceleration, `x64/LL64.fast.cs:517-576`)
     out_ref:VMEM i32[1, OR, 128]   compressed bytes out
     meta_ref: VMEM i32[1, 1, 128]  lane0 = compressed length
     """
@@ -317,7 +320,7 @@ def _encode_one(n, src_s, src_v, htab, prev, out_ref, meta_ref, attempts: int):
             np_ = p2 + ml
             # seed one in-match position (improves future finds)
             htab[hash4(read4(np_ - 2))] = np_ - 2
-            return np_, np_, op2, jnp.int32(1 << _SKIP_TRIGGER)
+            return np_, np_, op2, acc << _SKIP_TRIGGER
 
         def no_match(args):
             p, anchor, op, _ = args
@@ -433,7 +436,7 @@ def _encode_one(n, src_s, src_v, htab, prev, out_ref, meta_ref, attempts: int):
     small_block = n < MF_LIMIT + 1
     p0 = jnp.where(small_block, mf_limit, 0)  # skip scan for tiny blocks
     p, anchor, op, _ = jax.lax.while_loop(
-        scan_cond, scan_body, (p0, 0, 0, jnp.int32(1 << _SKIP_TRIGGER))
+        scan_cond, scan_body, (p0, 0, 0, acc << _SKIP_TRIGGER)
     )
     # final literals
     op = emit_sequence(op, anchor, n, 0, 0)
@@ -450,31 +453,35 @@ LEVEL_ATTEMPTS = {
 
 
 @functools.partial(jax.jit, static_argnames=("bcap", "attempts"))
-def pallas_encode(src_i32, lens, bcap: int, attempts: int = 0):
+def pallas_encode(src_i32, lens, bcap: int, attempts: int = 0, accs=None):
     """src_i32: i32[B, CAP] block bytes (CAP % 128 == 0, >= bcap + 128 pad).
 
     attempts = 0 selects the FAST single-probe parse; > 0 selects hash-chain
-    search of that depth (HC levels).  Returns (out i32[B, OCAP],
+    search of that depth (HC levels).  ``accs``: i32[1] acceleration (traced,
+    so changing it does not recompile).  Returns (out i32[B, OCAP],
     meta i32[B, 128]): meta[:,0] = compressed length, meta[:,1] = overflow.
     """
     b, cap = src_i32.shape
     # row+roll reads touch row+1, so >= 2 rows of tail pad are required
     assert cap % _LANES == 0 and cap >= bcap + 2 * _LANES, (cap, bcap)
+    if accs is None:
+        accs = jnp.ones((1,), jnp.int32)
     cr = cap // _LANES
     orows = align1024(compress_bound(bcap)) // _LANES + 1
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, cap), lambda i, lens: (i, 0, 0), memory_space=pltpu.SMEM
+                (1, 1, cap), lambda i, lens, accs: (i, 0, 0),
+                memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec((1, cr, _LANES), lambda i, lens: (i, 0, 0)),
+            pl.BlockSpec((1, cr, _LANES), lambda i, lens, accs: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, orows, _LANES), lambda i, lens: (i, 0, 0)),
-            pl.BlockSpec((1, 1, _LANES), lambda i, lens: (i, 0, 0)),
+            pl.BlockSpec((1, orows, _LANES), lambda i, lens, accs: (i, 0, 0)),
+            pl.BlockSpec((1, 1, _LANES), lambda i, lens, accs: (i, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.SMEM((1 << _HLOG,), jnp.int32),
@@ -482,10 +489,12 @@ def pallas_encode(src_i32, lens, bcap: int, attempts: int = 0):
         ],
     )
 
-    def kernel(lens_ref, src_s, src_v, out_ref, meta_ref, htab, prev):
+    def kernel(lens_ref, accs_ref, src_s, src_v, out_ref, meta_ref, htab, prev):
         i = pl.program_id(0)
+        acc = jnp.maximum(accs_ref[0], 1)
         _encode_one(
-            lens_ref[i], src_s, src_v, htab, prev, out_ref, meta_ref, attempts
+            lens_ref[i], acc, src_s, src_v, htab, prev, out_ref, meta_ref,
+            attempts,
         )
 
     out, meta = pl.pallas_call(
@@ -495,16 +504,25 @@ def pallas_encode(src_i32, lens, bcap: int, attempts: int = 0):
             jax.ShapeDtypeStruct((b, orows, _LANES), jnp.int32),
             jax.ShapeDtypeStruct((b, 1, _LANES), jnp.int32),
         ],
-    )(lens, _words_le(src_i32).reshape(b, 1, cap), src_i32.reshape(b, cr, _LANES))
+    )(
+        lens,
+        accs,
+        _words_le(src_i32).reshape(b, 1, cap),
+        src_i32.reshape(b, cr, _LANES),
+    )
     return out.reshape(b, orows * _LANES), meta.reshape(b, _LANES)
 
 
 def encode_blocks_pallas(
-    bufs_u8: np.ndarray, lens: np.ndarray, bcap: int, level: int = 0
+    bufs_u8: np.ndarray, lens: np.ndarray, bcap: int, level: int = 0,
+    acceleration: int = 1,
 ):
     """Host wrapper: u8[B, CAP] raw blocks -> (u8[B, OCAP], clens, errs)."""
     src = jnp.asarray(bufs_u8, jnp.int32)
     attempts = LEVEL_ATTEMPTS.get(int(level), 0)
-    out, meta = pallas_encode(src, jnp.asarray(lens, jnp.int32), bcap, attempts)
+    out, meta = pallas_encode(
+        src, jnp.asarray(lens, jnp.int32), bcap, attempts,
+        jnp.asarray([acceleration], jnp.int32),
+    )
     meta = np.asarray(meta)
     return np.asarray(out).astype(np.uint8), meta[:, 0], meta[:, 1]

@@ -123,7 +123,8 @@ def _use_pallas(block_size: int = 65536) -> bool:
         return False
 
 
-def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0):
+def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
+                         acceleration: int = 1):
     """Encode a batch on the device with the best available kernel.
 
     Returns (out u8[B, OCAP], out_lens i32[B]) as numpy.
@@ -136,6 +137,7 @@ def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0):
             jnp.asarray(np.asarray(lens_np), jnp.int32),
             bcap,
             LEVEL_ATTEMPTS.get(int(level), 0),
+            jnp.asarray([acceleration], jnp.int32),
         )
         meta = np.asarray(meta)
         if meta[:, 1].any():

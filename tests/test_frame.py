@@ -259,11 +259,19 @@ def test_async_facades(lorem, rng):
             self.parts.append(bytes(b))
 
     class Source:
+        """Bounded async source: returns at most n bytes per pull and
+        records each request so the test can assert incremental reads."""
+
         def __init__(self, data):
             self.data = data
+            self.pos = 0
+            self.requests = []
 
         async def read(self, n):
-            return self.data
+            self.requests.append(n)
+            out = self.data[self.pos : self.pos + n]
+            self.pos += len(out)
+            return out
 
     async def run_stream():
         sink = Sink()
@@ -271,8 +279,15 @@ def test_async_facades(lorem, rng):
             for i in range(0, len(data), 7000):
                 await w.write(data[i : i + 7000])
         blob = b"".join(sink.parts)
-        r = aio.AsyncFrameReader(Source(blob), backend="host")
-        return await r.read(-1)
+        src = Source(blob)
+        r = aio.AsyncFrameReader(src, backend="host")
+        # incremental: reading a prefix must not consume the whole source
+        head = await r.read(100)
+        assert src.pos < len(blob)
+        rest = await r.read(-1)
+        # streaming pulls are block-sized, never a whole-stream slurp
+        assert all(0 < n <= 4 * 1024 * 1024 + 8 for n in src.requests)
+        return head + rest
 
     assert asyncio.run(run_stream()) == data
 

@@ -1,0 +1,145 @@
+"""Round-2 hardening tests: ADVICE findings, footguns, and reference issue
+replications (assets/issue72, assets/issue76)."""
+
+import io
+import struct
+
+import pytest
+
+from lz4_tpu import frame
+from lz4_tpu.block import api as block_api
+from lz4_tpu.frame.descriptor import DecoderSettings, EncoderSettings
+from lz4_tpu.frame.header import LZ4FormatError
+
+
+def test_scan_rejects_oversized_block_length(lorem, rng):
+    """A crafted length word above the block-size limit must raise
+    LZ4FormatError, not reach the decoders (ADVICE frame/api.py:227)."""
+    data = lorem(200_000, rng)
+    s = EncoderSettings(chain_blocks=False, block_size=65536)
+    blob = bytearray(frame.compress(data, settings=s, backend="host"))
+    # first block's length word sits right after the 7-byte header
+    hdr_len = 7
+    struct.pack_into("<I", blob, hdr_len, 0x00FFFFFF)  # 16 MB "compressed"
+    with pytest.raises(LZ4FormatError):
+        frame.decompress(bytes(blob), backend="host", workers=4)
+    with pytest.raises(LZ4FormatError):
+        frame.decompress(bytes(blob), backend="host", workers=0)
+
+
+def test_decode_without_hint_grows_not_preallocates():
+    """decode() with no target/capacity must still handle high-expansion
+    blocks (grow-on-overflow) and reject malformed ones."""
+    # a megabyte of zeros compresses to a few dozen bytes -> ~20,000x
+    # smaller input; decoding without a hint must still recover it
+    raw = bytes(1 << 20)
+    comp = block_api.encode(raw, backend="host")
+    assert len(comp) < 5000
+    out = block_api.decode(comp, backend="host")
+    assert out == raw
+
+
+def test_extra_memory_batching_identical_output(lorem, rng):
+    """extra_memory (extra buffered blocks) must not change the frame
+    bytes, only the batching."""
+    data = lorem(500_000, rng)
+    base = EncoderSettings(chain_blocks=False, block_size=65536)
+    extra = EncoderSettings(
+        chain_blocks=False, block_size=65536, extra_memory=4 * 65536
+    )
+    sink_a, sink_b = io.BytesIO(), io.BytesIO()
+    wa = frame.FrameWriter(sink_a, base, backend="host")
+    wb = frame.FrameWriter(sink_b, extra, backend="host")
+    for i in range(0, len(data), 30_000):
+        wa.write(data[i : i + 30_000])
+        wb.write(data[i : i + 30_000])
+    wa.close()
+    wb.close()
+    assert sink_a.getvalue() == sink_b.getvalue()
+    assert frame.decompress(sink_b.getvalue(), backend="host") == data
+
+
+def test_decoder_extra_memory_read_ahead(lorem, rng):
+    data = lorem(300_000, rng)
+    s = EncoderSettings(chain_blocks=False, block_size=65536)
+    blob = frame.compress(data, settings=s, backend="host")
+    r0 = frame.FrameReader(io.BytesIO(blob), backend="host")
+    first_plain = r0.read1()
+    r1 = frame.FrameReader(
+        io.BytesIO(blob), backend="host", extra_memory=2 * 65536
+    )
+    first_ahead = r1.read1()
+    assert len(first_ahead) >= len(first_plain)
+    assert first_ahead + r1.read_all() == data
+    # settings path
+    out = frame.decompress(
+        blob, settings=DecoderSettings(extra_memory=131072), backend="host"
+    )
+    assert out == data
+
+
+def test_acceleration_device_kernels(monkeypatch):
+    """acceleration must reach the Pallas FAST kernel: higher acceleration
+    skips harder -> output no smaller, still roundtrips."""
+    import functools
+
+    import numpy as np
+    from jax.experimental import pallas as pl
+
+    from lz4_tpu.ops import encode_pallas as ep
+
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    ep.pallas_encode.clear_cache()
+    rng = np.random.default_rng(7)
+    chunk = rng.integers(0, 255, 512, dtype=np.uint8)
+    raw = np.tile(chunk, 8)  # repetitive -> plenty of matches
+    bcap = 4096
+    bufs = np.zeros((1, bcap + 1024), np.uint8)
+    bufs[0, : raw.size] = raw
+    lens = np.asarray([raw.size], np.int32)
+
+    out1, l1, e1 = ep.encode_blocks_pallas(bufs, lens, bcap, 0, acceleration=1)
+    out9, l9, e9 = ep.encode_blocks_pallas(bufs, lens, bcap, 0, acceleration=32)
+    ep.pallas_encode.clear_cache()
+    assert not e1[0] and not e9[0]
+    assert l9[0] >= l1[0]  # more skipping -> no better compression
+    for out, ln in ((out1, l1), (out9, l9)):
+        dec = block_api.decode(
+            bytes(out[0, : int(ln[0])]), backend="host", capacity=bcap
+        )
+        assert dec == raw.tobytes()
+
+
+def test_issue72_repeated_chunk_compresses(rng):
+    """Reference assets/issue72: a 64 KB buffer of one repeated 256-byte
+    random chunk must compress (ratio well below 1)."""
+    import numpy as np
+
+    chunk = bytes(np.random.default_rng(0).integers(0, 256, 256, dtype=np.uint8))
+    data = chunk * 256  # 65536 bytes
+    for s in (
+        EncoderSettings(),
+        EncoderSettings(chain_blocks=False, block_size=65536),
+    ):
+        blob = frame.compress(data, settings=s, backend="host")
+        assert len(blob) / len(data) < 0.10, len(blob)
+        assert frame.decompress(blob, backend="host") == data
+
+
+def test_issue76_legacy_large_stream_roundtrip(lorem, rng):
+    """Reference assets/issue76: lz4net legacy stream over a large payload
+    (multi-chunk) must roundtrip bit-exact."""
+    from lz4_tpu.legacy import stream as legacy_stream
+
+    data = lorem(3_000_000, rng)
+    sink = io.BytesIO()
+    w = legacy_stream.LegacyStreamWriter(sink)
+    # write in awkward chunk sizes to exercise the varint chunk framing
+    for i in range(0, len(data), 700_001):
+        w.write(data[i : i + 700_001])
+    w.close()
+    r = legacy_stream.LegacyStreamReader(io.BytesIO(sink.getvalue()))
+    out = r.read(-1)
+    assert out == data
