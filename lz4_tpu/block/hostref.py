@@ -256,67 +256,197 @@ def _hash5_hc(v: int) -> int:
     return ((v * 2654435761) & 0xFFFFFFFF) >> 17
 
 
-class _ChainFinder:
-    """Hash-chain match finder over dictionary+src (analog of the reference's
-    chain tables, `Engine/LL.high.cs:103-122`)."""
+_OPTIMAL_ML = 18  # (ML_MASK - 1) + MIN_MATCH
+_OPT_NUM = 4096
 
-    def __init__(self, buf, start: int, match_limit: int, max_attempts: int):
+
+def _count_pattern(buf, p: int, end: int, pattern: int) -> int:
+    """Forward run length over which bytes repeat the LE 4-byte pattern."""
+    start = p
+    while p < end and buf[p] == (pattern & 0xFF):
+        p += 1
+        pattern = (pattern >> 8) | ((pattern & 0xFF) << 24)
+    return p - start
+
+
+def _count_back_pattern(buf, p: int, low: int, pattern: int) -> int:
+    start = p
+    while p > low and buf[p - 1] == (pattern >> 24):
+        p -= 1
+        pattern = ((pattern << 8) & 0xFFFFFFFF) | (pattern >> 24)
+    return start - p
+
+
+class _ChainFinder:
+    """Hash-chain match finder with the reference's search semantics: u16
+    delta-ring chain, wider-match with backward extension, repeated-pattern
+    acceleration, chain-swap (analog of `x64/LL64.high.cs:71-383`).  Kept
+    byte-for-byte output-equivalent with the native C engine
+    (`native/lz4tpu.c`) so the two cross-check each other."""
+
+    def __init__(self, buf, match_limit: int, max_attempts: int):
         self.buf = buf
         self.match_limit = match_limit
         self.max_attempts = max_attempts
-        self.head: dict[int, int] = {}
-        self.prev: dict[int, int] = {}
+        self.head = [-1] * (1 << 15)
+        self.delta = [0xFFFF] * 65536
         self.next_to_insert = 0
+        self.max_insert = max(0, len(buf) - MIN_MATCH + 1)
 
     def insert_upto(self, pos: int):
         buf = self.buf
-        end = min(pos, len(buf) - MIN_MATCH + 1)
+        end = min(pos, self.max_insert)
+        head = self.head
+        delta = self.delta
         for q in range(self.next_to_insert, end):
             h = _hash5_hc(_read4(buf, q))
-            old = self.head.get(h, -1)
-            self.prev[q] = old
-            self.head[h] = q
+            old = head[h]
+            d = 0xFFFF if old < 0 else min(q - old, 0xFFFF)
+            delta[q & 0xFFFF] = d
+            head[h] = q
         self.next_to_insert = max(self.next_to_insert, end)
 
-    def best_match(self, p: int) -> tuple[int, int]:
-        """Longest match at p (ties -> nearest). Returns (length, offset) or
-        (0, 0)."""
+    def wider_match(
+        self,
+        ip: int,
+        ilow: int,
+        longest: int,
+        pattern_analysis: bool,
+        chain_swap: bool = False,
+    ):
+        """Widest match at ip whose start may slide back to ilow.  Returns
+        (longest, m_start, m_pos); m_pos < 0 when nothing beat ``longest``."""
         buf = self.buf
-        if p + MIN_MATCH > self.match_limit:
-            return (0, 0)
-        self.insert_upto(p)
-        h = _hash5_hc(_read4(buf, p))
-        cand = self.head.get(h, -1)
-        best_len = 0
-        best_off = 0
+        ihigh = self.match_limit
+        pos = ip
+        lowest = max(0, pos - DISTANCE_MAX)
+        lookback = ip - ilow
         attempts = self.max_attempts
-        w4 = _read4(buf, p)
-        max_possible = self.match_limit - p
-        while cand >= p:  # table may contain future positions (backward DP)
-            cand = self.prev.get(cand, -1)
-        while cand >= 0 and attempts > 0:
-            if p - cand > DISTANCE_MAX:
+        pattern = _read4(buf, ip)
+        chain_off = 0
+        repeat_tested = False
+        repeat_confirmed = False
+        src_pat_len = 0
+        m_start, m_pos = ip, -1
+        delta = self.delta
+
+        self.insert_upto(pos)
+        cand = self.head[_hash5_hc(pattern)]
+        while cand >= pos:  # skip self/ahead entries from lookahead probes
+            d = delta[cand & 0xFFFF]
+            if d > cand:
+                cand = -1
                 break
+            cand -= d
+
+        while cand >= lowest and attempts > 0:
+            match_len = 0
             attempts -= 1
-            if _read4(buf, cand) == w4:
-                mlen = MIN_MATCH + _match_length(
-                    buf, cand + MIN_MATCH, p + MIN_MATCH, self.match_limit
+            # quick reject: bytes that would extend the best must match
+            if (
+                buf[ilow + longest - 1 : ilow + longest + 1]
+                == buf[
+                    cand - lookback + longest - 1 : cand - lookback + longest + 1
+                ]
+                and _read4(buf, cand) == pattern
+            ):
+                if lookback:
+                    back = 0
+                    floor = max(ilow - ip, -cand)
+                    while back > floor and buf[ip + back - 1] == buf[cand + back - 1]:
+                        back -= 1
+                else:
+                    back = 0
+                match_len = (
+                    MIN_MATCH
+                    + _match_length(
+                        buf, cand + MIN_MATCH, ip + MIN_MATCH, ihigh
+                    )
+                    - back
                 )
-                if mlen > best_len:
-                    best_len = mlen
-                    best_off = p - cand
-                    if best_len >= max_possible:
-                        break  # cannot do better
-            cand = self.prev.get(cand, -1)
-        if best_len < MIN_MATCH:
-            return (0, 0)
-        return (best_len, best_off)
+                if match_len > longest:
+                    longest = match_len
+                    m_pos = cand + back
+                    m_start = ip + back
+
+            if chain_swap and match_len == longest and cand + longest <= pos:
+                # candidate is the current best: follow the chain entry
+                # inside it that jumps farthest back
+                best_jump, end = 1, longest - MIN_MATCH + 1
+                step, accel = 1, 1 << 4
+                chain_off = 0
+                q = 0
+                while q < end:
+                    d = delta[(cand + q) & 0xFFFF]
+                    step = accel >> 4
+                    accel += 1
+                    if d > best_jump:
+                        best_jump = d
+                        chain_off = q
+                        accel = 1 << 4
+                    q += step
+                if best_jump > 1:
+                    if best_jump > cand:
+                        break
+                    cand -= best_jump
+                    continue
+
+            next_d = delta[cand & 0xFFFF]
+            if pattern_analysis and next_d == 1 and chain_off == 0:
+                # candidate sits in a repeated-pattern run: jump straight to
+                # the best-aligned position of the run
+                cand2 = cand - 1
+                if not repeat_tested:
+                    repeat_tested = True
+                    repeat_confirmed = (
+                        (pattern & 0xFFFF) == (pattern >> 16)
+                        and (pattern & 0xFF) == (pattern >> 24)
+                    )
+                    if repeat_confirmed:
+                        src_pat_len = (
+                            _count_pattern(buf, ip + 4, ihigh, pattern) + 4
+                        )
+                if (
+                    repeat_confirmed
+                    and cand2 >= lowest
+                    and _read4(buf, cand2) == pattern
+                ):
+                    fwd = _count_pattern(buf, cand2 + 4, ihigh, pattern) + 4
+                    backp = min(
+                        _count_back_pattern(buf, cand2, 0, pattern),
+                        cand2 - lowest,
+                    )
+                    seg = backp + fwd
+                    if seg >= src_pat_len and fwd <= src_pat_len:
+                        cand = cand2 + fwd - src_pat_len
+                    else:
+                        cand = cand2 - backp
+                        if lookback == 0:
+                            max_ml = min(seg, src_pat_len)
+                            if longest < max_ml:
+                                if pos - cand > DISTANCE_MAX:
+                                    break
+                                longest = max_ml
+                                m_pos = cand
+                                m_start = ip
+                            d2 = delta[cand & 0xFFFF]
+                            if d2 > cand:
+                                break
+                            cand -= d2
+                    continue
+
+            d = delta[(cand + chain_off) & 0xFFFF]
+            if d > cand:
+                break
+            cand -= d
+        return longest, m_start, m_pos
 
 
 def encode_hc(src: bytes, dictionary: bytes = b"", level: int = 9) -> bytes:
-    """Hash-chain compressor with one-step-lazy parsing (capability analog of
-    the reference HC path, `x64/LL64.high.cs:513-800`; search depth per level
-    from the canonical clTable, `x64/LL64.high.cs:1124-1138`)."""
+    """Hash-chain compressor with the reference's 3-candidate (ML1/ML2/ML3)
+    speculative lookahead parse (capability analog of the HC path,
+    `x64/LL64.high.cs:513-800`; search depth per level from the canonical
+    clTable, `x64/LL64.high.cs:1124-1138`)."""
     src = bytes(src)
     dictionary = bytes(dictionary[-DISTANCE_MAX - 1 :])
     buf = dictionary + src
@@ -327,37 +457,114 @@ def encode_hc(src: bytes, dictionary: bytes = b"", level: int = 9) -> bytes:
         return b"\x00"
     level = min(max(level, 3), 9)
     max_attempts = HC_LEVEL_TABLE[level][0]
+    pa = max_attempts > 128  # pattern analysis from L9 up
     mf_limit = n_total - MF_LIMIT
     match_limit = n_total - LAST_LITERALS
     out = bytearray()
-    finder = _ChainFinder(buf, d, match_limit, max_attempts)
+    finder = _ChainFinder(buf, match_limit, max_attempts)
     finder.insert_upto(d)
 
     anchor = d
-    p = d
-    while p < mf_limit:
-        mlen, moff = finder.best_match(p)
-        if mlen == 0:
-            p += 1
+    ip = d
+    while ip <= mf_limit:
+        ml, _, mp = finder.wider_match(ip, ip, MIN_MATCH - 1, pa)
+        if ml < MIN_MATCH or mp < 0:
+            ip += 1
             continue
-        # one-step lazy: if a strictly better match starts at p+1, emit a
-        # literal instead
-        while p + 1 < mf_limit:
-            nlen, noff = finder.best_match(p + 1)
-            if nlen > mlen:
-                p += 1
-                mlen, moff = nlen, noff
+        ref = mp
+        start0, ref0, ml0 = ip, ref, ml
+
+        state = 2
+        ml2 = ml3 = 0
+        start2 = ref2 = start3 = ref3 = 0
+        while True:
+            if state == 2:
+                if ip + ml <= mf_limit:
+                    ml2, start2, p2 = finder.wider_match(
+                        ip + ml - 2, ip, ml, pa
+                    )
+                    if p2 >= 0:
+                        ref2 = p2
+                else:
+                    ml2 = ml
+                if ml2 == ml:  # no better overlap: emit ML1
+                    _emit(out, buf, anchor, ip - anchor, ip - ref, ml)
+                    ip += ml
+                    anchor = ip
+                    break
+                if start0 < ip and start2 < ip + ml0:
+                    # the skipped original ML1 still fits before ML2
+                    ip, ref, ml = start0, ref0, ml0
+                if start2 - ip < 3:  # ML1 too short to keep
+                    ml, ip, ref = ml2, start2, ref2
+                    continue  # re-enter search2
+                state = 3
+                continue
+
+            # state == 3
+            if start2 - ip < _OPTIMAL_ML:
+                new_ml = min(ml, _OPTIMAL_ML)
+                if ip + new_ml > start2 + ml2 - MIN_MATCH:
+                    new_ml = (start2 - ip) + ml2 - MIN_MATCH
+                corr = new_ml - (start2 - ip)
+                if corr > 0:
+                    start2 += corr
+                    ref2 += corr
+                    ml2 -= corr
+            if start2 + ml2 <= mf_limit:
+                ml3, start3, p3 = finder.wider_match(
+                    start2 + ml2 - 3, start2, ml2, pa
+                )
+                if p3 >= 0:
+                    ref3 = p3
             else:
+                ml3 = ml2
+            if ml3 == ml2:  # stable pair: emit ML1 then ML2
+                if start2 < ip + ml:
+                    ml = start2 - ip
+                _emit(out, buf, anchor, ip - anchor, ip - ref, ml)
+                anchor = ip + ml
+                _emit(out, buf, anchor, start2 - anchor, start2 - ref2, ml2)
+                ip = start2 + ml2
+                anchor = ip
                 break
-        # extend backwards
-        cand = p - moff
-        while p > anchor and cand > 0 and buf[p - 1] == buf[cand - 1]:
-            p -= 1
-            cand -= 1
-            mlen += 1
-        _emit(out, buf, anchor, p - anchor, moff, mlen)
-        p += mlen
-        anchor = p
+            if start3 < ip + ml + 3:  # ML3 kills ML2
+                if start3 >= ip + ml:
+                    # ML1 can be emitted now; ML3 becomes the new ML1
+                    if start2 < ip + ml:
+                        corr = (ip + ml) - start2
+                        start2 += corr
+                        ref2 += corr
+                        ml2 -= corr
+                        if ml2 < MIN_MATCH:
+                            start2, ref2, ml2 = start3, ref3, ml3
+                    _emit(out, buf, anchor, ip - anchor, ip - ref, ml)
+                    anchor = ip + ml
+                    ip, ref, ml = start3, ref3, ml3
+                    start0, ref0, ml0 = start2, ref2, ml2
+                    state = 2
+                    continue
+                start2, ref2, ml2 = start3, ref3, ml3
+                continue  # re-enter search3
+            # three ascending matches: emit ML1 (trimmed), shift the window
+            if start2 < ip + ml:
+                if start2 - ip < _OPTIMAL_ML:
+                    ml = min(ml, _OPTIMAL_ML)
+                    if ip + ml > start2 + ml2 - MIN_MATCH:
+                        ml = (start2 - ip) + ml2 - MIN_MATCH
+                    corr = ml - (start2 - ip)
+                    if corr > 0:
+                        start2 += corr
+                        ref2 += corr
+                        ml2 -= corr
+                else:
+                    ml = start2 - ip
+            _emit(out, buf, anchor, ip - anchor, ip - ref, ml)
+            anchor = ip + ml
+            ip, ref, ml = start2, ref2, ml2
+            start2, ref2, ml2 = start3, ref3, ml3
+            continue  # re-enter search3
+
     _emit(out, buf, anchor, n_total - anchor, 0, 0)
     return bytes(out)
 
@@ -385,9 +592,11 @@ def _seq_price(litlen: int, mlen: int) -> int:
 
 
 def encode_opt(src: bytes, dictionary: bytes = b"", level: int = 12) -> bytes:
-    """Optimal-parse compressor (capability analog of the reference
-    `LZ4HC_compress_optimal`, `x64/LL64.high.cs:803-1122`): dynamic program
-    over positions minimizing exact encoded size."""
+    """Exact price-model optimal parse (capability analog of the reference
+    `LZ4HC_compress_optimal`, `x64/LL64.high.cs:803-1122`): per-position DP
+    over 4096-byte windows with true literal/sequence prices, sufficient-
+    length early exit, and L12 fullUpdate.  Byte-identical to the native C
+    engine (`native/lz4tpu.c` lz4tpu_encode_opt)."""
     src = bytes(src)
     dictionary = bytes(dictionary[-DISTANCE_MAX - 1 :])
     buf = dictionary + src
@@ -397,77 +606,129 @@ def encode_opt(src: bytes, dictionary: bytes = b"", level: int = 12) -> bytes:
     if n == 0:
         return b"\x00"
     level = min(max(level, 10), 12)
-    # The canonical attempt counts (up to 16384 at L12) are intractable in
-    # pure Python; this oracle caps search depth — ratio differs from the
-    # reference, validity does not.  The TPU kernels use the full depth.
-    max_attempts = min(HC_LEVEL_TABLE[level][0], 64)
+    searches, sufficient = HC_LEVEL_TABLE[level]
+    full_update = level == 12
+    sufficient = min(sufficient, _OPT_NUM - 1)
+    TRAILING = 3
     mf_limit = n_total - MF_LIMIT
     match_limit = n_total - LAST_LITERALS
-
-    # collect all candidate matches (longest per chain candidate) per position
-    finder = _ChainFinder(buf, d, match_limit, max_attempts)
+    out = bytearray()
+    finder = _ChainFinder(buf, match_limit, searches)
     finder.insert_upto(d)
 
-    # Backward DP over block positions (relative to d).  cost[i] = minimal
-    # approximate bytes to encode src[i..n).  Literal cost is modeled as one
-    # byte per literal (VLE run overhead folded in at emission); match cost is
-    # exact: token + offset + match-length VLE.  This is the same cost model
-    # shape as the reference's price functions (`LL.high.cs:267-289`) without
-    # cross-sequence literal-run tracking — output is always valid LZ4, ratio
-    # is >= HC in practice.
-    INF = float("inf")
-    cost = [0.0] * (n + 1)
-    choice: list[tuple[int, int] | None] = [None] * (n + 1)
-    # longest known match per position, for back-extension propagation
-    bl = [0] * (n + 2)
-    bo = [0] * (n + 2)
-    for i in range(n - 1, -1, -1):
-        best = cost[i + 1] + 1  # literal
-        best_choice: tuple[int, int] | None = None
-        p = d + i
-        if p < mf_limit:
-            mlen, moff = finder.best_match(p)
-            # back-extension: a match at i+1 extends to i when the preceding
-            # byte also matches (recovers candidates the capped chain search
-            # misses, same effect as the reference's backward extension)
-            if (
-                i + 1 < n
-                and bl[i + 1] > 0
-                and bo[i + 1] <= p
-                and buf[p] == buf[p - bo[i + 1]]
-                and bl[i + 1] + 1 > mlen
-            ):
-                ext = min(bl[i + 1] + 1, match_limit - p)
-                if ext > mlen:
-                    mlen, moff = ext, bo[i + 1]
-            bl[i], bo[i] = mlen, moff
-            if mlen >= MIN_MATCH:
-                lens = {mlen}
-                if mlen > 18:
-                    lens.add(18)  # match-length nibble boundary (ml=14)
-                for L in lens:
-                    # token(1) + offset(2) + ml VLE
-                    c = 3.0
-                    ml = L - MIN_MATCH
-                    if ml >= 15:
-                        c += 1 + (ml - 15) // 255
-                    c += cost[i + L]
-                    if c < best:
-                        best = c
-                        best_choice = (L, moff)
-        cost[i] = best
-        choice[i] = best_choice
-    out = bytearray()
-    i = 0
-    anchor = 0
-    while i < n:
-        ch = choice[i]
-        if ch is None:
-            i += 1
+    def find(ip: int, min_len: int):
+        ln, _, mp = finder.wider_match(
+            ip, ip, min_len, pattern_analysis=True, chain_swap=True
+        )
+        if ln <= min_len or mp < 0:
+            return 0, 0
+        return ln, ip - mp
+
+    # o[pos] = (price, off, mlen, litlen) for the cheapest way to reach
+    # ip+pos inside the current window
+    o = [(0, 0, 0, 0)] * (_OPT_NUM + TRAILING)
+    ip = d
+    anchor = d
+    while ip <= mf_limit:
+        llen = ip - anchor
+        first_len, first_off = find(ip, MIN_MATCH - 1)
+        if first_len == 0:
+            ip += 1
             continue
-        L, off = ch
-        _emit(out, buf, d + anchor, i - anchor, off, L)
-        i += L
-        anchor = i
-    _emit(out, buf, d + anchor, n - anchor, 0, 0)
+        if first_len > sufficient:
+            _emit(out, buf, anchor, llen, first_off, first_len)
+            ip += first_len
+            anchor = ip
+            continue
+
+        for r in range(MIN_MATCH):
+            o[r] = (_lit_price(llen + r), 0, 1, llen + r)
+        for m in range(MIN_MATCH, first_len + 1):
+            o[m] = (_seq_price(llen, m), first_off, m, llen)
+        last = first_len
+        for a in range(1, TRAILING + 1):
+            o[last + a] = (o[last][0] + _lit_price(a), 0, 1, a)
+
+        best_mlen = best_off = 0
+        early = False
+        cur = 1
+        while cur < last:
+            cp = ip + cur
+            if cp > mf_limit:
+                break
+            if full_update:
+                if (
+                    o[cur + 1][0] <= o[cur][0]
+                    and o[cur + MIN_MATCH][0] < o[cur][0] + 3
+                ):
+                    cur += 1
+                    continue
+            elif o[cur + 1][0] <= o[cur][0]:
+                cur += 1
+                continue
+            new_len, new_off = find(
+                cp, MIN_MATCH - 1 if full_update else last - cur
+            )
+            if new_len == 0:
+                cur += 1
+                continue
+            if new_len > sufficient or new_len + cur >= _OPT_NUM:
+                best_mlen, best_off = new_len, new_off
+                last = cur + 1
+                early = True
+                break
+            base_ll = o[cur][3]
+            for l in range(1, MIN_MATCH):
+                price = (
+                    o[cur][0] - _lit_price(base_ll) + _lit_price(base_ll + l)
+                )
+                pos = cur + l
+                if price < o[pos][0]:
+                    o[pos] = (price, 0, 1, base_ll + l)
+            for m in range(MIN_MATCH, new_len + 1):
+                pos = cur + m
+                if o[cur][2] == 1:
+                    ll = o[cur][3]
+                    price = (o[cur - ll][0] if cur > ll else 0) + _seq_price(
+                        ll, m
+                    )
+                else:
+                    ll = 0
+                    price = o[cur][0] + _seq_price(0, m)
+                if pos > last + TRAILING or price <= o[pos][0]:
+                    if m == new_len and last < pos:
+                        last = pos
+                    o[pos] = (price, new_off, m, ll)
+            for a in range(1, TRAILING + 1):
+                o[last + a] = (o[last][0] + _lit_price(a), 0, 1, a)
+            cur += 1
+
+        if not early:
+            best_mlen = o[last][2]
+            best_off = o[last][1]
+            cur = last - best_mlen
+
+        # reverse the chosen path in place, then emit forward
+        pos = cur
+        sel_len, sel_off = best_mlen, best_off
+        while True:
+            price, no, nl, nll = o[pos]
+            o[pos] = (price, sel_off, sel_len, nll)
+            sel_len, sel_off = nl, no
+            if nl > pos:
+                break
+            pos -= nl
+        r = 0
+        while r < last:
+            m, off = o[r][2], o[r][1]
+            if m == 1:
+                ip += 1
+                r += 1
+                continue
+            r += m
+            _emit(out, buf, anchor, ip - anchor, off, m)
+            ip += m
+            anchor = ip
+
+    _emit(out, buf, anchor, n_total - anchor, 0, 0)
     return bytes(out)

@@ -43,6 +43,12 @@ static inline uint32_t read32(const uint8_t *p) {
 
 static inline void write16(uint8_t *p, uint16_t v) { memcpy(p, &v, 2); }
 
+static inline uint16_t read16le(const uint8_t *p) {
+    uint16_t v;
+    memcpy(&v, p, 2);
+    return v;
+}
+
 /* ---------------------------------------------------------------- decode */
 
 int64_t lz4tpu_decode(
@@ -253,71 +259,233 @@ int64_t lz4tpu_encode_fast(
     return op - out;
 }
 
-/* ----------------------------------------------------------- HC encoder */
+/* ----------------------------------------------------------- HC encoder
+ *
+ * Reference-fidelity hash-chain engine: u16-delta chain ring, wider-match
+ * search with backward extension, repeated-pattern acceleration, chain-swap,
+ * the 3-candidate (ML1/ML2/ML3) speculative lookahead parse, and the exact
+ * price-model optimal parse for L10-L12.  Capability match for
+ * `x64/LL64.high.cs:71-383` (search), `:513-800` (lookahead parse),
+ * `:803-1122` (optimal parse) — re-implemented from the algorithm, not the
+ * code.  The dictionary is a flat prefix of `buf` (no ext-dict split). */
 
 #define HC_HASH_LOG 15
+#define OPTIMAL_ML 18          /* (ML_MASK-1) + MINMATCH */
+#define OPT_NUM 4096           /* optimal-parse window */
+#define CHAIN_RING 65536
 
 typedef struct {
-    int32_t *head;   /* hash -> most recent position */
-    int32_t *prev;   /* position -> previous position with same hash */
+    int32_t *head;       /* hash -> most recent absolute position (-1 none) */
+    uint16_t *delta;     /* pos & 0xFFFF -> distance to previous same-hash */
     const uint8_t *base;
-    int64_t inserted; /* positions [0, inserted) are in the tables */
-    int64_t max_insert; /* read32 must stay in bounds: <= buf_len - 4 + 1 */
+    int64_t inserted;    /* positions [0, inserted) are in the tables */
+    int64_t max_insert;  /* read32 must stay in bounds */
 } chain_t;
+
+static int chain_init(chain_t *c, const uint8_t *base, int64_t buf_len) {
+    c->head = (int32_t *)malloc(sizeof(int32_t) << HC_HASH_LOG);
+    c->delta = (uint16_t *)malloc(sizeof(uint16_t) * CHAIN_RING);
+    c->base = base;
+    c->inserted = 0;
+    c->max_insert = buf_len - MINMATCH + 1 > 0 ? buf_len - MINMATCH + 1 : 0;
+    if (!c->head || !c->delta) { free(c->head); free(c->delta); return 0; }
+    for (int64_t i = 0; i < (1 << HC_HASH_LOG); i++) c->head[i] = -1;
+    memset(c->delta, 0xFF, sizeof(uint16_t) * CHAIN_RING);
+    return 1;
+}
+
+static void chain_free(chain_t *c) { free(c->head); free(c->delta); }
 
 static void chain_insert(chain_t *c, int64_t upto) {
     if (upto > c->max_insert) upto = c->max_insert;
     for (int64_t i = c->inserted; i < upto; i++) {
         uint32_t h = hash4(read32(c->base + i));
-        c->prev[i] = c->head[h];
+        int64_t prev = c->head[h];
+        int64_t d = prev < 0 ? 0xFFFF : i - prev;
+        c->delta[i & 0xFFFF] = d > 0xFFFF ? 0xFFFF : (uint16_t)d;
         c->head[h] = (int32_t)i;
     }
     if (upto > c->inserted) c->inserted = upto;
 }
 
-static int64_t chain_best_match(
-    chain_t *c, const uint8_t *p, const uint8_t *match_limit,
-    int32_t attempts, int64_t *best_off)
+/* bytes both ip and match can extend backward (<= 0), floors i_min / base */
+static inline int64_t count_back(
+    const uint8_t *ip, const uint8_t *match,
+    const uint8_t *i_min, const uint8_t *m_min)
 {
-    const uint8_t *base = c->base;
-    int64_t pos = p - base;
-    uint32_t w = read32(p);
-    int64_t cand = c->head[hash4(w)];
-    int64_t best = 0;
-    int64_t max_possible = match_limit - p;
-    while (cand >= pos) cand = c->prev[cand]; /* skip self/future inserts */
-    while (cand >= 0 && attempts > 0) {
-        if (pos - cand > MAXDIST) break;
-        attempts--;
-        if (read32(base + cand) == w
-            && base[cand + best] == p[best] /* quick reject */) {
-            int64_t len = MINMATCH + run_length(
-                base + cand + MINMATCH, p + MINMATCH, match_limit);
-            if (len > best) {
-                best = len;
-                *best_off = pos - cand;
-                if (best >= max_possible) break;
-            }
-        }
-        cand = c->prev[cand];
-    }
-    return best >= MINMATCH ? best : 0;
+    int64_t back = 0;
+    int64_t floor = i_min - ip;
+    if (m_min - match > floor) floor = m_min - match;
+    while (back > floor && ip[back - 1] == match[back - 1]) back--;
+    return back;
 }
 
-static int32_t hc_attempts_for_level(int32_t level) {
-    if (level <= 3) return 4;
-    switch (level) {
-        case 4: return 8;
-        case 5: return 16;
-        case 6: return 32;
-        case 7: return 64;
-        case 8: return 128;
-        case 9: return 256;
-        case 10: return 512;   /* opt levels approximated by deeper lazy HC */
-        case 11: return 2048;
-        default: return 16384;
+/* forward length over which bytes repeat the little-endian 4-byte pattern */
+static int64_t count_pattern(
+    const uint8_t *p, const uint8_t *end, uint32_t pattern)
+{
+    const uint8_t *start = p;
+    uint64_t pat8 = (uint64_t)pattern | ((uint64_t)pattern << 32);
+    while (p + 8 <= end) {
+        uint64_t v;
+        memcpy(&v, p, 8);
+        uint64_t x = v ^ pat8;
+        if (x) return (p - start) + (__builtin_ctzll(x) >> 3);
+        p += 8;
     }
+    uint32_t rolling = pattern;
+    while (p < end && *p == (uint8_t)rolling) {
+        p++;
+        rolling = (rolling >> 8) | (rolling << 24);
+    }
+    return p - start;
 }
+
+/* backward pattern run length (pattern scanned from its last byte) */
+static int64_t count_back_pattern(
+    const uint8_t *p, const uint8_t *low, uint32_t pattern)
+{
+    const uint8_t *start = p;
+    while (p > low && p[-1] == (uint8_t)(pattern >> 24)) {
+        p--;
+        pattern = (pattern << 8) | (pattern >> 24);
+    }
+    return start - p;
+}
+
+/* Widest match at `ip` whose start may slide back to `ilow`.  On success
+ * (return > longest_in) sets *m_start (>= ilow) and *m_pos (match source for
+ * *m_start).  Mirrors the reference search semantics: would-extend peek2
+ * quick reject, strict improvement, repeated-pattern chain acceleration
+ * (pattern_analysis), better-chain selection inside the current best match
+ * (chain_swap). */
+static int64_t hc_wider_match(
+    chain_t *c, const uint8_t *ip, const uint8_t *ilow, const uint8_t *ihigh,
+    int64_t longest, const uint8_t **m_start, const uint8_t **m_pos,
+    int32_t max_attempts, int pattern_analysis, int chain_swap)
+{
+    const uint8_t *base = c->base;
+    int64_t pos = ip - base;
+    int64_t lowest = pos > MAXDIST ? pos - MAXDIST : 0;
+    int64_t lookback = ip - ilow;
+    int32_t attempts = max_attempts;
+    uint32_t pattern = read32(ip);
+    int64_t chain_off = 0;       /* chain-swap: follow chain from inside match */
+    int repeat_tested = 0, repeat_confirmed = 0;
+    int64_t src_pat_len = 0;
+
+    chain_insert(c, pos);
+    int64_t cand = c->head[hash4(pattern)];
+    while (cand >= pos) {  /* ignore self/ahead entries from lookahead probes */
+        uint16_t d = c->delta[cand & 0xFFFF];
+        if (d > cand) { cand = -1; break; }
+        cand -= d;
+    }
+
+    while (cand >= lowest && attempts > 0) {
+        int64_t match_len = 0;
+        attempts--;
+        const uint8_t *mp = base + cand;
+        /* quick reject: the two bytes that would extend the best must match */
+        if (read16le(ilow + longest - 1) == read16le(mp - lookback + longest - 1)
+            && read32(mp) == pattern) {
+            int64_t back = lookback ? count_back(ip, mp, ilow, base) : 0;
+            match_len = MINMATCH
+                + run_length(mp + MINMATCH, ip + MINMATCH, ihigh) - back;
+            if (match_len > longest) {
+                longest = match_len;
+                *m_pos = mp + back;
+                *m_start = ip + back;
+            }
+        }
+
+        if (chain_swap && match_len == longest && cand + longest <= pos) {
+            /* this candidate is the current best: pick the entry inside it
+             * whose chain jumps farthest back, and follow that chain */
+            int64_t best_jump = 1, end = longest - MINMATCH + 1;
+            int64_t step = 1, accel = 1 << 4;
+            chain_off = 0;
+            for (int64_t q = 0; q < end; q += step) {
+                uint16_t d = c->delta[(cand + q) & 0xFFFF];
+                step = (accel++ >> 4);
+                if (d > best_jump) {
+                    best_jump = d;
+                    chain_off = q;
+                    accel = 1 << 4;
+                }
+            }
+            if (best_jump > 1) {
+                if (best_jump > cand) break;
+                cand -= best_jump;
+                continue;
+            }
+        }
+
+        {
+            uint16_t next_d = c->delta[cand & 0xFFFF];
+            if (pattern_analysis && next_d == 1 && chain_off == 0) {
+                /* candidate sits in a run of a repeated 4-byte pattern:
+                 * jump straight to the best-aligned position of the run */
+                int64_t cand2 = cand - 1;
+                if (!repeat_tested) {
+                    repeat_tested = 1;
+                    repeat_confirmed =
+                        (pattern & 0xFFFF) == (pattern >> 16)
+                        && (pattern & 0xFF) == (pattern >> 24);
+                    if (repeat_confirmed)
+                        src_pat_len =
+                            count_pattern(ip + 4, ihigh, pattern) + 4;
+                }
+                if (repeat_confirmed && cand2 >= lowest
+                    && read32(base + cand2) == pattern) {
+                    int64_t fwd =
+                        count_pattern(base + cand2 + 4, ihigh, pattern) + 4;
+                    int64_t backp =
+                        count_back_pattern(base + cand2, base, pattern);
+                    if (backp > cand2 - lowest) backp = cand2 - lowest;
+                    int64_t seg = backp + fwd;
+                    if (seg >= src_pat_len && fwd <= src_pat_len) {
+                        /* run contains the source pattern: align to its end */
+                        cand = cand2 + fwd - src_pat_len;
+                    } else {
+                        cand = cand2 - backp;  /* farthest run position */
+                        if (lookback == 0) {
+                            int64_t max_ml =
+                                seg < src_pat_len ? seg : src_pat_len;
+                            if (longest < max_ml) {
+                                if (pos - cand > MAXDIST) break;
+                                longest = max_ml;
+                                *m_pos = base + cand;
+                                *m_start = ip;
+                            }
+                            uint16_t d2 = c->delta[cand & 0xFFFF];
+                            if (d2 > cand) break;
+                            cand -= d2;
+                        }
+                    }
+                    continue;
+                }
+            }
+        }
+
+        {
+            uint16_t d = c->delta[(cand + chain_off) & 0xFFFF];
+            if (d > cand) break;
+            cand -= d;
+        }
+    }
+    return longest;
+}
+
+static const struct { int32_t strat; int32_t searches; int32_t target; }
+hc_level_table[13] = {
+    /* strat 0 = hashChain, 1 = optimal; mirrors clTable,
+     * `x64/LL64.high.cs:1124-1138` */
+    {0, 2, 16}, {0, 2, 16}, {0, 2, 16},
+    {0, 4, 16}, {0, 8, 16}, {0, 16, 16}, {0, 32, 16},
+    {0, 64, 16}, {0, 128, 16}, {0, 256, 16},
+    {1, 96, 64}, {1, 512, 128}, {1, 16384, OPT_NUM},
+};
 
 int64_t lz4tpu_encode_hc(
     const uint8_t *buf, int64_t buf_len, int64_t src_off,
@@ -330,54 +498,140 @@ int64_t lz4tpu_encode_hc(
         *op++ = 0;
         return 1;
     }
+    if (level < 3) level = 3;
+    if (level > 9) level = 9;
+    int32_t attempts = hc_level_table[level].searches;
+    int pa = attempts > 128;  /* pattern analysis from L9 up */
+
     const uint8_t *base = buf;
     const uint8_t *src_end = buf + buf_len;
     const uint8_t *mflimit = src_end - MFLIMIT;
     const uint8_t *match_limit = src_end - LASTLITERALS;
     const uint8_t *anchor = buf + src_off;
-    const uint8_t *p = anchor;
-    int32_t attempts = hc_attempts_for_level(level);
+    const uint8_t *ip = anchor;
 
     chain_t c;
-    c.head = (int32_t *)malloc(sizeof(int32_t) << HC_HASH_LOG);
-    c.prev = (int32_t *)malloc(sizeof(int32_t) * (size_t)buf_len);
-    c.base = base;
-    c.inserted = 0;
-    c.max_insert = buf_len - MINMATCH + 1 > 0 ? buf_len - MINMATCH + 1 : 0;
-    if (!c.head || !c.prev) { free(c.head); free(c.prev); return ERR_MALFORMED; }
-    for (int64_t i = 0; i < (1 << HC_HASH_LOG); i++) c.head[i] = -1;
+    if (!chain_init(&c, base, buf_len)) return ERR_MALFORMED;
     chain_insert(&c, src_off);
 
-    while (p < mflimit) {
-        chain_insert(&c, p - base + 1);
-        int64_t moff = 0;
-        int64_t mlen = chain_best_match(&c, p, match_limit, attempts, &moff);
-        if (!mlen) { p++; continue; }
-        /* lazy: better match starting at p+1 wins a literal */
-        while (p + 1 < mflimit) {
-            chain_insert(&c, p - base + 2);
-            int64_t noff = 0;
-            int64_t nlen = chain_best_match(
-                &c, p + 1, match_limit, attempts, &noff);
-            if (nlen > mlen) { p++; mlen = nlen; moff = noff; }
-            else break;
+    int64_t ml, ml0, ml2, ml3;
+    const uint8_t *ref, *ref0, *ref2, *ref3;
+    const uint8_t *start0, *start2, *start3;
+    int64_t rc = 0;
+
+    /* Three-candidate speculative lookahead: after finding ML1, probe for a
+     * strictly longer ML2 overlapping it, then an ML3 beyond ML2, resolving
+     * the overlaps with the OPTIMAL_ML truncation rules. */
+    while (ip <= mflimit) {
+        const uint8_t *mp = NULL, *ms = ip;
+        ml = hc_wider_match(&c, ip, ip, match_limit, MINMATCH - 1,
+                            &ms, &mp, attempts, pa, 0);
+        if (ml < MINMATCH) { ip++; continue; }
+        ref = mp;
+        start0 = ip; ref0 = ref; ml0 = ml;
+
+search2:
+        if (ip + ml <= mflimit) {
+            const uint8_t *s2 = ip + ml - 2, *p2 = NULL;
+            start2 = s2;
+            ml2 = hc_wider_match(&c, s2, ip, match_limit, ml,
+                                 &start2, &p2, attempts, pa, 0);
+            ref2 = p2;
+        } else {
+            ml2 = ml;
         }
-        /* extend backwards */
-        {
-            const uint8_t *m = p - moff;
-            while (p > anchor && m > base && p[-1] == m[-1]) { p--; m--; mlen++; }
+        if (ml2 == ml) {  /* no better overlap: emit ML1 */
+            rc = emit_sequence(&op, oend, anchor, ip - anchor,
+                               (uint32_t)(ip - ref), ml);
+            if (rc < 0) goto done;
+            ip += ml; anchor = ip;
+            continue;
         }
-        int64_t rc = emit_sequence(
-            &op, oend, anchor, p - anchor, (uint32_t)moff, mlen);
-        if (rc < 0) { free(c.head); free(c.prev); return rc; }
-        p += mlen;
-        chain_insert(&c, p - base < buf_len - MINMATCH
-                         ? p - base : buf_len - MINMATCH);
-        anchor = p;
+        if (start0 < ip && start2 < ip + ml0) {
+            /* the skipped original ML1 still fits before ML2: restore it */
+            ip = start0; ref = ref0; ml = ml0;
+        }
+        if (start2 - ip < 3) {  /* ML1 too short to keep: ML2 replaces it */
+            ml = ml2; ip = start2; ref = ref2;
+            goto search2;
+        }
+
+search3:
+        if (start2 - ip < OPTIMAL_ML) {
+            /* trim ML1 so the pair packs into one token-optimal split */
+            int64_t new_ml = ml;
+            if (new_ml > OPTIMAL_ML) new_ml = OPTIMAL_ML;
+            if (ip + new_ml > start2 + ml2 - MINMATCH)
+                new_ml = (start2 - ip) + ml2 - MINMATCH;
+            int64_t corr = new_ml - (start2 - ip);
+            if (corr > 0) { start2 += corr; ref2 += corr; ml2 -= corr; }
+        }
+        if (start2 + ml2 <= mflimit) {
+            const uint8_t *s3 = start2 + ml2 - 3, *p3 = NULL;
+            start3 = s3;
+            ml3 = hc_wider_match(&c, s3, start2, match_limit, ml2,
+                                 &start3, &p3, attempts, pa, 0);
+            ref3 = p3;
+        } else {
+            ml3 = ml2;
+        }
+        if (ml3 == ml2) {  /* stable pair: emit ML1 then ML2 */
+            if (start2 < ip + ml) ml = start2 - ip;
+            rc = emit_sequence(&op, oend, anchor, ip - anchor,
+                               (uint32_t)(ip - ref), ml);
+            if (rc < 0) goto done;
+            anchor = ip + ml;
+            rc = emit_sequence(&op, oend, anchor, start2 - anchor,
+                               (uint32_t)(start2 - ref2), ml2);
+            if (rc < 0) goto done;
+            ip = start2 + ml2; anchor = ip;
+            continue;
+        }
+        if (start3 < ip + ml + 3) {  /* ML3 kills ML2 */
+            if (start3 >= ip + ml) {
+                /* ML1 can be emitted now; ML3 becomes the new ML1 */
+                if (start2 < ip + ml) {
+                    int64_t corr = (ip + ml) - start2;
+                    start2 += corr; ref2 += corr; ml2 -= corr;
+                    if (ml2 < MINMATCH) {
+                        start2 = start3; ref2 = ref3; ml2 = ml3;
+                    }
+                }
+                rc = emit_sequence(&op, oend, anchor, ip - anchor,
+                                   (uint32_t)(ip - ref), ml);
+                if (rc < 0) goto done;
+                anchor = ip + ml;
+                ip = start3; ref = ref3; ml = ml3;
+                start0 = start2; ref0 = ref2; ml0 = ml2;
+                goto search2;
+            }
+            start2 = start3; ref2 = ref3; ml2 = ml3;
+            goto search3;
+        }
+        /* three ascending matches: emit ML1 (trimmed), shift the window */
+        if (start2 < ip + ml) {
+            if (start2 - ip < OPTIMAL_ML) {
+                if (ml > OPTIMAL_ML) ml = OPTIMAL_ML;
+                if (ip + ml > start2 + ml2 - MINMATCH)
+                    ml = (start2 - ip) + ml2 - MINMATCH;
+                int64_t corr = ml - (start2 - ip);
+                if (corr > 0) { start2 += corr; ref2 += corr; ml2 -= corr; }
+            } else {
+                ml = start2 - ip;
+            }
+        }
+        rc = emit_sequence(&op, oend, anchor, ip - anchor,
+                           (uint32_t)(ip - ref), ml);
+        if (rc < 0) goto done;
+        anchor = ip + ml;
+        ip = start2; ref = ref2; ml = ml2;
+        start2 = start3; ref2 = ref3; ml2 = ml3;
+        goto search3;
     }
-    int64_t rc = emit_sequence(&op, oend, anchor, src_end - anchor, 0, 0);
-    free(c.head);
-    free(c.prev);
+
+    rc = emit_sequence(&op, oend, anchor, src_end - anchor, 0, 0);
+done:
+    chain_free(&c);
     if (rc < 0) return rc;
     return op - out;
 }
@@ -446,16 +700,43 @@ void lz4tpu_xxh32_stripes(uint32_t *state, const uint8_t *p, int64_t n) {
 
 /* ------------------------------------------------- optimal parse (L10+) */
 
-/* Backward dynamic program minimizing encoded bytes: literal cost 1/byte
- * (VLE overhead folded at emission), match cost exact (token+offset+VLE).
- * Longest-match candidates from a full hash-chain search, with backward
- * match-extension propagation so truncated chains still yield long matches.
- * Same cost model shape as the canonical optimal parser's price functions,
- * re-derived independently (see block/hostref.py encode_opt). */
+/* exact LZ4 sequence prices (reference `LL.high.cs:267-289`) */
+static inline int32_t lit_price(int64_t litlen) {
+    int32_t price = (int32_t)litlen;
+    if (litlen >= 15) price += 1 + (int32_t)((litlen - 15) / 255);
+    return price;
+}
+
+static inline int32_t seq_price(int64_t litlen, int64_t mlen) {
+    int32_t price = 3 + lit_price(litlen);  /* token + 16-bit offset */
+    if (mlen >= 15 + MINMATCH)
+        price += 1 + (int32_t)((mlen - 15 - MINMATCH) / 255);
+    return price;
+}
+
+/* best (len, off) at ip via the chain-swap + pattern-analysis search */
+static inline int64_t opt_find_match(
+    chain_t *c, const uint8_t *ip, const uint8_t *ihigh,
+    int64_t min_len, int32_t searches, int64_t *off_out)
+{
+    const uint8_t *mp = NULL, *ms = ip;
+    int64_t len = hc_wider_match(&c[0], ip, ip, ihigh, min_len,
+                                 &ms, &mp, searches, 1, 1);
+    if (len <= min_len) return 0;
+    *off_out = ip - mp;
+    return len;
+}
+
+typedef struct { int32_t price, off, mlen, litlen; } opt_t;
+
+/* True price-model optimal parse over OPT_NUM windows: per-position DP with
+ * exact literal/sequence prices, sufficient-length early exit, and the
+ * skip-if-not-cheaper pruning; L12 re-searches every position (fullUpdate). */
 int64_t lz4tpu_encode_opt(
     const uint8_t *buf, int64_t buf_len, int64_t src_off,
     uint8_t *out, int64_t out_cap, int32_t level)
 {
+    const int TRAILING = 3;
     int64_t n = buf_len - src_off;
     uint8_t *op = out, *oend = out + out_cap;
     if (n <= 0) {
@@ -463,93 +744,162 @@ int64_t lz4tpu_encode_opt(
         *op++ = 0;
         return 1;
     }
+    if (level < 10) level = 10;
+    if (level > 12) level = 12;
+    int32_t searches = hc_level_table[level].searches;
+    int64_t sufficient = hc_level_table[level].target;
+    int full_update = level == 12;
+    if (sufficient >= OPT_NUM) sufficient = OPT_NUM - 1;
+
     const uint8_t *base = buf;
     const uint8_t *src_end = buf + buf_len;
     const uint8_t *mflimit = src_end - MFLIMIT;
     const uint8_t *match_limit = src_end - LASTLITERALS;
-    int32_t attempts = level >= 12 ? 16384 : (level >= 11 ? 512 : 96);
+    const uint8_t *anchor = buf + src_off;
+    const uint8_t *ip = anchor;
 
     chain_t c;
-    c.head = (int32_t *)malloc(sizeof(int32_t) << HC_HASH_LOG);
-    c.prev = (int32_t *)malloc(sizeof(int32_t) * (size_t)buf_len);
-    int32_t *cost = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n + 2));
-    int32_t *cml = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n + 2));
-    int32_t *cmo = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n + 2));
-    int32_t *bl = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n + 2));
-    int32_t *bo = (int32_t *)malloc(sizeof(int32_t) * (size_t)(n + 2));
-    if (!c.head || !c.prev || !cost || !cml || !cmo || !bl || !bo) {
-        free(c.head); free(c.prev); free(cost); free(cml); free(cmo);
-        free(bl); free(bo);
-        return ERR_MALFORMED;
-    }
-    c.base = base;
-    c.inserted = 0;
-    c.max_insert = buf_len - MINMATCH + 1 > 0 ? buf_len - MINMATCH + 1 : 0;
-    for (int64_t i = 0; i < (1 << HC_HASH_LOG); i++) c.head[i] = -1;
-    chain_insert(&c, buf_len - MINMATCH > 0 ? buf_len - MINMATCH : 0);
+    if (!chain_init(&c, base, buf_len)) return ERR_MALFORMED;
+    chain_insert(&c, src_off);
+    opt_t *o = (opt_t *)malloc(sizeof(opt_t) * (OPT_NUM + TRAILING));
+    if (!o) { chain_free(&c); return ERR_MALFORMED; }
 
-    cost[n] = 0; cost[n + 1] = 0;
-    cml[n] = cml[n + 1] = 0;
-    bl[n] = bl[n + 1] = 0;
-    bo[n] = bo[n + 1] = 0;
-    for (int64_t i = n - 1; i >= 0; i--) {
-        const uint8_t *p = base + src_off + i;
-        int32_t best_cost = cost[i + 1] + 1; /* literal */
-        int32_t best_ml = 0, best_off = 0;
-        bl[i] = 0; bo[i] = 0;
-        if (p < mflimit) {
-            int64_t moff = 0;
-            int64_t mlen = chain_best_match(&c, p, match_limit, attempts, &moff);
-            /* back-extension: the match at i+1 extends to i when the
-             * preceding byte matches too */
-            if (i + 1 < n && bl[i + 1] > 0) {
-                int64_t o = bo[i + 1];
-                if ((int64_t)(p - base) >= o && p[0] == *(p - o)) {
-                    int64_t ext = bl[i + 1] + 1;
-                    int64_t maxl = match_limit - p;
-                    if (ext > maxl) ext = maxl;
-                    if (ext > mlen) { mlen = ext; moff = o; }
-                }
+    int64_t rc = 0;
+    while (ip <= mflimit) {
+        int64_t llen = ip - anchor;
+        int64_t first_off = 0;
+        int64_t first_len = opt_find_match(
+            &c, ip, match_limit, MINMATCH - 1, searches, &first_off);
+        if (first_len == 0) { ip++; continue; }
+
+        if (first_len > sufficient) {
+            /* long enough: take it outright */
+            rc = emit_sequence(&op, oend, anchor, llen,
+                               (uint32_t)first_off, first_len);
+            if (rc < 0) goto done;
+            ip += first_len; anchor = ip;
+            continue;
+        }
+
+        /* seed the price table: leading literals, then the first match */
+        for (int64_t r = 0; r < MINMATCH; r++) {
+            o[r].mlen = 1; o[r].off = 0;
+            o[r].litlen = (int32_t)(llen + r);
+            o[r].price = lit_price(llen + r);
+        }
+        for (int64_t m = MINMATCH; m <= first_len; m++) {
+            o[m].mlen = (int32_t)m; o[m].off = (int32_t)first_off;
+            o[m].litlen = (int32_t)llen;
+            o[m].price = seq_price(llen, m);
+        }
+        int64_t last = first_len;
+        for (int64_t a = 1; a <= TRAILING; a++) {
+            o[last + a].mlen = 1; o[last + a].off = 0;
+            o[last + a].litlen = (int32_t)a;
+            o[last + a].price = o[last].price + lit_price(a);
+        }
+
+        int64_t best_mlen, best_off, cur;
+        for (cur = 1; cur < last; cur++) {
+            const uint8_t *cp = ip + cur;
+            if (cp > mflimit) break;
+            if (full_update) {
+                if (o[cur + 1].price <= o[cur].price
+                    && o[cur + MINMATCH].price < o[cur].price + 3)
+                    continue;
+            } else {
+                if (o[cur + 1].price <= o[cur].price) continue;
             }
-            bl[i] = (int32_t)mlen; bo[i] = (int32_t)moff;
-            if (mlen >= MINMATCH) {
-                /* candidate lengths: the longest, plus the nibble boundary */
-                int64_t lens[2]; int nlens = 1;
-                lens[0] = mlen;
-                if (mlen > 18) { lens[1] = 18; nlens = 2; }
-                for (int k = 0; k < nlens; k++) {
-                    int64_t L = lens[k];
-                    int64_t ml = L - MINMATCH;
-                    int32_t cc = 3; /* token + offset */
-                    if (ml >= 15) cc += 1 + (int32_t)((ml - 15) / 255);
-                    cc += cost[i + L];
-                    if (cc < best_cost) {
-                        best_cost = cc;
-                        best_ml = (int32_t)L;
-                        best_off = (int32_t)moff;
+            int64_t new_off = 0;
+            int64_t new_len = opt_find_match(
+                &c, cp, match_limit,
+                full_update ? MINMATCH - 1 : last - cur, searches, &new_off);
+            if (new_len == 0) continue;
+
+            if (new_len > sufficient || new_len + cur >= OPT_NUM) {
+                best_mlen = new_len; best_off = new_off;
+                last = cur + 1;
+                goto encode;
+            }
+
+            /* literal extensions from cur */
+            {
+                int64_t base_ll = o[cur].litlen;
+                for (int64_t l = 1; l < MINMATCH; l++) {
+                    int32_t price = o[cur].price - lit_price(base_ll)
+                        + lit_price(base_ll + l);
+                    int64_t pos = cur + l;
+                    if (price < o[pos].price) {
+                        o[pos].mlen = 1; o[pos].off = 0;
+                        o[pos].litlen = (int32_t)(base_ll + l);
+                        o[pos].price = price;
                     }
                 }
             }
+            /* match lengths from cur */
+            for (int64_t m = MINMATCH; m <= new_len; m++) {
+                int64_t pos = cur + m;
+                int32_t price;
+                int64_t ll;
+                if (o[cur].mlen == 1) {
+                    ll = o[cur].litlen;
+                    price = (cur > ll ? o[cur - ll].price : 0)
+                        + seq_price(ll, m);
+                } else {
+                    ll = 0;
+                    price = o[cur].price + seq_price(0, m);
+                }
+                if (pos > last + TRAILING || price <= o[pos].price) {
+                    if (m == new_len && last < pos) last = pos;
+                    o[pos].mlen = (int32_t)m;
+                    o[pos].off = (int32_t)new_off;
+                    o[pos].litlen = (int32_t)ll;
+                    o[pos].price = price;
+                }
+            }
+            for (int64_t a = 1; a <= TRAILING; a++) {
+                o[last + a].mlen = 1; o[last + a].off = 0;
+                o[last + a].litlen = (int32_t)a;
+                o[last + a].price = o[last].price + lit_price(a);
+            }
         }
-        cost[i] = best_cost;
-        cml[i] = best_ml;
-        cmo[i] = best_off;
+
+        best_mlen = o[last].mlen;
+        best_off = o[last].off;
+        cur = last - best_mlen;
+
+encode:
+        /* reverse the chosen path in place, then emit forward */
+        {
+            int64_t pos = cur;
+            int64_t sel_len = best_mlen, sel_off = best_off;
+            for (;;) {
+                int64_t nl = o[pos].mlen, no = o[pos].off;
+                o[pos].mlen = (int32_t)sel_len;
+                o[pos].off = (int32_t)sel_off;
+                sel_len = nl; sel_off = no;
+                if (nl > pos) break;  /* reached the first step */
+                pos -= nl;
+            }
+        }
+        {
+            int64_t r = 0;
+            while (r < last) {
+                int64_t m = o[r].mlen, off = o[r].off;
+                if (m == 1) { ip++; r++; continue; }
+                r += m;
+                rc = emit_sequence(&op, oend, anchor, ip - anchor,
+                                   (uint32_t)off, m);
+                if (rc < 0) goto done;
+                ip += m; anchor = ip;
+            }
+        }
     }
 
-    /* emit along the optimal path */
-    int64_t i = 0, anchor = 0, rc = 0;
-    while (i < n) {
-        if (cml[i] == 0) { i++; continue; }
-        rc = emit_sequence(&op, oend, base + src_off + anchor, i - anchor,
-                           (uint32_t)cmo[i], cml[i]);
-        if (rc < 0) goto done;
-        i += cml[i];
-        anchor = i;
-    }
-    rc = emit_sequence(&op, oend, base + src_off + anchor, n - anchor, 0, 0);
+    rc = emit_sequence(&op, oend, anchor, src_end - anchor, 0, 0);
 done:
-    free(c.head); free(c.prev); free(cost); free(cml); free(cmo);
-    free(bl); free(bo);
+    chain_free(&c);
+    free(o);
     if (rc < 0) return rc;
     return op - out;
 }
