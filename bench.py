@@ -74,39 +74,21 @@ def make_corpus(total_bytes: int, seed: int = 0) -> bytes:
     return out[:total_bytes]
 
 
-def main():
+def _device_config(block_size, total, iters, uniq, attempts):
+    """Measure the Pallas device path at one level (attempts=0 -> L00 FAST,
+    else HC chain depth).  Returns (enc_gbps, dec_gbps, ratio) with the
+    roundtrip asserted on the first batch."""
     import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-    import functools
-
     import jax.numpy as jnp
 
     from lz4_tpu.ops.decode_pallas import pallas_decode
     from lz4_tpu.ops.encode_pallas import pallas_encode
     from lz4_tpu.parallel.blocks import comp_capacity, split_blocks
 
-    block_size = int(os.environ.get("LZ4TPU_BENCH_BLOCK", 64 * 1024))
-    total_mb = int(os.environ.get("LZ4TPU_BENCH_MB", 4))
-    iters = int(os.environ.get("LZ4TPU_BENCH_ITERS", 3))
-    total = total_mb * (1 << 20)
-    backend = jax.default_backend()
-
-    # Timing method (hard-won): `block_until_ready` does NOT reliably block
-    # on the tunneled TPU runtime, and the service memoizes identical
-    # (executable, inputs) executions across processes.  So every timed call
-    # uses a time-unique input batch and is forced by materializing a small
-    # digest output (np.asarray), which cannot complete before the kernel.
-    uniq = int(time.time()) % 1000000
-
     enc_batches = []
     datas = []
     for s in range(iters + 1):
-        data = make_corpus(total, seed=uniq * 10 + s)
+        data = make_corpus(total, seed=uniq * 100 + attempts * 10 + s)
         bufs_np, lens_np = split_blocks(data, block_size)
         enc_batches.append(
             (jnp.asarray(bufs_np, jnp.int32), jnp.asarray(lens_np))
@@ -115,23 +97,20 @@ def main():
     jax.block_until_ready([b[0] for b in enc_batches])
     n_blocks = -(-total // block_size)
 
-    # --- encode (L00, Pallas kernel) --------------------------------------
-    out, meta = pallas_encode(*enc_batches[0], block_size)
+    out, meta = pallas_encode(*enc_batches[0], block_size, attempts)
     _ = np.asarray(meta)  # compile + warm + drain
     enc_times = []
     enc_outs = []
     for s in range(1, iters + 1):
         t0 = time.perf_counter()
-        out, meta = pallas_encode(*enc_batches[s], block_size)
+        out, meta = pallas_encode(*enc_batches[s], block_size, attempts)
         mh = np.asarray(meta)
         enc_times.append(time.perf_counter() - t0)
         assert int(mh[:, 1].sum()) == 0
         enc_outs.append((np.asarray(out), mh[:, 0]))
-    enc_s = min(enc_times)
-    enc_gbps = total / enc_s / 1e9
+    enc_gbps = total / min(enc_times) / 1e9
     ratio = float(enc_outs[0][1].sum()) / total
 
-    # --- decode (Pallas kernel) -------------------------------------------
     cap = comp_capacity(block_size)
     dec_batches = []
     for s in range(len(enc_outs)):
@@ -140,10 +119,7 @@ def main():
         w = min(cap, out_np.shape[1])
         comps[:, :w] = out_np[:, :w]
         dec_batches.append(
-            (
-                jnp.asarray(comps, jnp.int32),
-                jnp.asarray(ol_np.astype(np.int32)),
-            )
+            (jnp.asarray(comps, jnp.int32), jnp.asarray(ol_np.astype(np.int32)))
         )
     jax.block_until_ready([b[0] for b in dec_batches])
 
@@ -164,25 +140,181 @@ def main():
         mh = np.asarray(meta)
         dec_times.append(time.perf_counter() - t0)
         assert int(mh[:, 1].sum()) == 0
-    dec_s = min(dec_times)
-    dec_gbps = total / dec_s / 1e9
+    dec_gbps = total / min(dec_times) / 1e9
+    return enc_gbps, dec_gbps, ratio
+
+
+def _host_config(total, iters, uniq):
+    """Native host engine: encode GB/s at L00/L09/L12 + decode GB/s
+    (single core), plus the threaded frame path at L00."""
+    from lz4_tpu import frame, native
+    from lz4_tpu.frame.descriptor import EncoderSettings
+
+    if not native.available():
+        return None
+    out = {}
+    datas = [make_corpus(total, seed=uniq * 7 + s) for s in range(iters)]
+    for level in (0, 9, 12):
+        times = []
+        comp = None
+        for data in datas:
+            t0 = time.perf_counter()
+            comp = native.encode(data, level)
+            times.append(time.perf_counter() - t0)
+        out[f"encode_L{level:02}_GBps"] = round(total / min(times) / 1e9, 4)
+        out[f"ratio_L{level:02}"] = round(len(comp) / total, 4)
+        if level == 0:
+            dt = []
+            for data in datas:
+                c = native.encode(data, level)
+                t0 = time.perf_counter()
+                r = native.decode(c, len(data))
+                dt.append(time.perf_counter() - t0)
+                assert r == data
+            out["decode_GBps"] = round(total / min(dt) / 1e9, 4)
+    # threaded independent-block frame path (the `lz4 -T` analog)
+    s = EncoderSettings(chain_blocks=False, block_size=1 << 18)
+    times = []
+    for data in datas:
+        t0 = time.perf_counter()
+        blob = frame.compress(data, settings=s, workers=8)
+        times.append(time.perf_counter() - t0)
+    out["frame_encode_threaded_GBps"] = round(total / min(times) / 1e9, 4)
+    return out
+
+
+_SCALING_SNIPPET = r"""
+import json, time, sys
+sys.path.insert(0, {root!r})
+import jax
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from lz4_tpu.parallel.blocks import (
+    make_mesh, sharded_encode_fn, split_blocks)
+sys.path.insert(0, {root!r})
+from bench import make_corpus
+
+bs = 65536
+total = {total}
+uniq = {uniq}
+res = {{}}
+for nd in (1, 8):
+    mesh = make_mesh(jax.devices()[:nd])
+    fn = sharded_encode_fn(mesh, bs, 1, mesh.axis_names[0])
+    sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    times = []
+    for s in range({iters} + 1):
+        data = make_corpus(total, seed=uniq * 3 + s)
+        bufs, lens = split_blocks(data, bs, pad_to=nd)
+        bufs_d = jax.device_put(jnp.asarray(bufs), sh)
+        lens_d = jax.device_put(jnp.asarray(lens), sh)
+        t0 = time.perf_counter()
+        out, ol = fn(bufs_d, lens_d)
+        np.asarray(ol)
+        if s:  # first call is compile
+            times.append(time.perf_counter() - t0)
+    res[nd] = min(times)
+eff = res[1] / (8 * res[8])
+print(json.dumps({{"t1": res[1], "t8": res[8],
+                   "speedup": res[1] / res[8],
+                   "efficiency": eff}}))
+"""
+
+
+def _scaling_config(total, iters, uniq):
+    """Sharded-vs-single scaling on an 8-virtual-CPU-device mesh (separate
+    process: the TPU backend cannot be re-pointed in-process).  Reports the
+    parallel efficiency of the block-sharded encode path."""
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    code = _SCALING_SNIPPET.format(
+        root=root, total=total, uniq=uniq, iters=iters
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=900,
+        )
+        line = r.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception:
+        return None
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    block_size = int(os.environ.get("LZ4TPU_BENCH_BLOCK", 64 * 1024))
+    total_mb = int(os.environ.get("LZ4TPU_BENCH_MB", 4))
+    iters = int(os.environ.get("LZ4TPU_BENCH_ITERS", 3))
+    full = os.environ.get("LZ4TPU_BENCH_FULL", "1") != "0"
+    total = total_mb * (1 << 20)
+    backend = jax.default_backend()
+
+    # Timing method (hard-won): `block_until_ready` does NOT reliably block
+    # on the tunneled TPU runtime, and the service memoizes identical
+    # (executable, inputs) executions across processes.  So every timed call
+    # uses a time-unique input batch and is forced by materializing a small
+    # digest output (np.asarray), which cannot complete before the kernel.
+    uniq = int(time.time()) % 1000000
+
+    # --- device configs: L00 FAST and L09 HC (Pallas kernels) -------------
+    e0, d0, r0 = _device_config(block_size, total, iters, uniq, attempts=0)
+    configs = {
+        "device_L00": {
+            "encode_GBps": round(e0, 4),
+            "decode_GBps": round(d0, 4),
+            "ratio": round(r0, 4),
+        },
+    }
+    if full:
+        hc_total = max(block_size, total // 4)  # HC kernel is ~10x slower
+        e9, d9, r9 = _device_config(
+            block_size, hc_total, max(2, iters - 1), uniq + 1, attempts=256
+        )
+        configs["device_L09"] = {
+            "encode_GBps": round(e9, 4),
+            "decode_GBps": round(d9, 4),
+            "ratio": round(r9, 4),
+        }
+        # L10-12 route to the native host engine (honest routing; no device
+        # optimal parse yet) — reported under host_L12.
+        host = _host_config(total, iters, uniq + 2)
+        if host:
+            configs["host"] = host
+        scaling = _scaling_config(
+            min(total, 2 << 20), max(2, iters - 1), uniq + 3
+        )
+        if scaling:
+            configs["scaling_virtual_cpu_mesh"] = {
+                k: round(v, 4) for k, v in scaling.items()
+            }
 
     # Baseline anchors: reference's ~0.4 GB/s/core compress and ~2 GB/s
     # decompress claims (BASELINE.md §A).
     result = {
         "metric": "block_parallel_L00_roundtrip_throughput",
-        "value": round(dec_gbps, 4),
+        "value": round(d0, 4),
         "unit": "GB/s",
-        "vs_baseline": round(dec_gbps / 2.0, 4),
-        "encode_GBps": round(enc_gbps, 4),
-        "encode_vs_baseline": round(enc_gbps / 0.4, 4),
-        "compression_ratio": round(ratio, 4),
+        "vs_baseline": round(d0 / 2.0, 4),
+        "encode_GBps": round(e0, 4),
+        "encode_vs_baseline": round(e0 / 0.4, 4),
+        "compression_ratio": round(r0, 4),
         "block_size": block_size,
         "payload_MiB": total_mb,
         "backend": backend,
-        "n_blocks": n_blocks,
         "decode_kernel": "pallas",
         "encode_kernel": "pallas",
+        "configs": configs,
     }
     print(json.dumps(result))
 

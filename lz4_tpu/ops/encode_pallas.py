@@ -445,10 +445,14 @@ def _encode_one(n, acc, src_s, src_v, htab, prev, out_ref, meta_ref, attempts: i
     meta_ref[0, :, :] = jnp.where(lane == 0, op, jnp.where(lane == 1, errv, 0))
 
 
+# Chain-search depth per level (reference clTable nbSearches,
+# `x64/LL64.high.cs:1124-1138`).  L10-L12 are optimal-parse levels with no
+# device implementation yet: callers route them to the native host engine
+# (`parallel.blocks.encode_blocks_device`) instead of pretending a deeper
+# chain walk is an optimal parse.
 LEVEL_ATTEMPTS = {
     0: 0, 1: 0, 2: 0,
     3: 4, 4: 8, 5: 16, 6: 32, 7: 64, 8: 128, 9: 256,
-    10: 512, 11: 1024, 12: 2048,
 }
 
 

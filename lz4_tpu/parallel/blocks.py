@@ -127,8 +127,14 @@ def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
                          acceleration: int = 1):
     """Encode a batch on the device with the best available kernel.
 
-    Returns (out u8[B, OCAP], out_lens i32[B]) as numpy.
+    Returns (out u8[B, OCAP], out_lens i32[B]) as numpy.  Optimal-parse
+    levels (L10-L12) have no device kernel yet and route to the native host
+    engine (honest routing; the level semantics stay exact).
     """
+    if level >= 10:
+        host = _host_encode_batch(bufs_np, lens_np, bcap, level)
+        if host is not None:
+            return host
     if _use_pallas(bcap):
         from ..ops.encode_pallas import LEVEL_ATTEMPTS, pallas_encode
 
@@ -144,6 +150,35 @@ def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
             raise RuntimeError("pallas encoder overflow")
         return np.asarray(out).astype(np.uint8), meta[:, 0]
     return encode_chunked(bufs_np, lens_np, bcap, level_to_depth(level))
+
+
+def _host_encode_batch(bufs_np, lens_np, bcap: int, level: int):
+    """Batch encode through the native host engine (thread pool; ctypes
+    releases the GIL).  Returns None when the native codec is unavailable."""
+    try:
+        from .. import native
+    except ImportError:
+        return None
+    if not native.available():
+        return None
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    bufs = np.asarray(bufs_np)
+    lens = np.asarray(lens_np)
+    nb = bufs.shape[0]
+    ocap = align1024(compress_bound(bcap))
+    out = np.zeros((nb, ocap), np.uint8)
+    out_lens = np.zeros((nb,), np.int32)
+
+    def one(b):
+        comp = native.encode(bufs[b, : int(lens[b])].tobytes(), level)
+        out[b, : len(comp)] = np.frombuffer(comp, np.uint8)
+        out_lens[b] = len(comp)
+
+    with ThreadPoolExecutor(min(8, os.cpu_count() or 1)) as ex:
+        list(ex.map(one, range(nb)))
+    return out, out_lens
 
 
 def decode_blocks_device(comps_np, clens_np, out_cap: int):
