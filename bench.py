@@ -81,8 +81,8 @@ def _device_config(block_size, total, iters, uniq, attempts):
     import jax
     import jax.numpy as jnp
 
-    from lz4_tpu.ops.decode_pallas import pallas_decode
-    from lz4_tpu.ops.encode_pallas import pallas_encode
+    from lz4_tpu.ops.decode_pallas5 import pallas_decode5
+    from lz4_tpu.ops.encode_pallas5 import pallas_encode5
     from lz4_tpu.parallel.blocks import comp_capacity, split_blocks
 
     enc_batches = []
@@ -97,17 +97,20 @@ def _device_config(block_size, total, iters, uniq, attempts):
     jax.block_until_ready([b[0] for b in enc_batches])
     n_blocks = -(-total // block_size)
 
-    out, meta = pallas_encode(*enc_batches[0], block_size, attempts)
+    out, meta = pallas_encode5(*enc_batches[0], block_size, attempts)
     _ = np.asarray(meta)  # compile + warm + drain
     enc_times = []
     enc_outs = []
     for s in range(1, iters + 1):
         t0 = time.perf_counter()
-        out, meta = pallas_encode(*enc_batches[s], block_size, attempts)
-        mh = np.asarray(meta)
+        out, meta = pallas_encode5(*enc_batches[s], block_size, attempts)
+        mh = np.asarray(meta).reshape(-1, 8)
         enc_times.append(time.perf_counter() - t0)
         assert int(mh[:, 1].sum()) == 0
-        enc_outs.append((np.asarray(out), mh[:, 0]))
+        words = np.ascontiguousarray(
+            np.asarray(out).reshape(out.shape[0], -1)
+        )
+        enc_outs.append((words.view(np.uint8), mh[:, 0]))
     enc_gbps = total / min(enc_times) / 1e9
     ratio = float(enc_outs[0][1].sum()) / total
 
@@ -123,12 +126,13 @@ def _device_config(block_size, total, iters, uniq, attempts):
         )
     jax.block_until_ready([b[0] for b in dec_batches])
 
-    dec, meta = pallas_decode(*dec_batches[0], block_size)
-    meta_h = np.asarray(meta)
+    dec, meta, dcapw = pallas_decode5(*dec_batches[0], block_size)
+    meta_h = np.asarray(meta).reshape(-1, 8)
     assert int(meta_h[:, 1].sum()) == 0, "decode error in bench"
-    dec_h = np.asarray(dec)
+    words = np.ascontiguousarray(np.asarray(dec).reshape(dec.shape[0], -1))
+    u8 = words.view(np.uint8)
     recon = b"".join(
-        dec_h[b, : int(meta_h[b, 0])].astype(np.uint8).tobytes()
+        u8[b, dcapw * 4 : dcapw * 4 + int(meta_h[b, 0])].tobytes()
         for b in range(n_blocks)
     )
     assert recon == datas[1], "roundtrip mismatch in bench"
@@ -136,8 +140,8 @@ def _device_config(block_size, total, iters, uniq, attempts):
     dec_times = []
     for s in range(1, len(dec_batches)):
         t0 = time.perf_counter()
-        dec, meta = pallas_decode(*dec_batches[s], block_size)
-        mh = np.asarray(meta)
+        dec, meta, _ = pallas_decode5(*dec_batches[s], block_size)
+        mh = np.asarray(meta).reshape(-1, 8)
         dec_times.append(time.perf_counter() - t0)
         assert int(mh[:, 1].sum()) == 0
     dec_gbps = total / min(dec_times) / 1e9

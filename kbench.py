@@ -1,0 +1,199 @@
+"""Kernel iteration harness (developer tool, not the driver bench).
+
+Stages decode inputs with the NATIVE encoder (no TPU encode compile — the
+5-minute pole in A/B loops), then times selected Pallas decode variants in
+one process.  Usage:
+
+    python kbench.py v1 v2 v2p v3 [--mb 4] [--block 65536] [--iters 2]
+
+Variant names: v1 (staged kernel), v2 (split parse/copy), v2p (v2 parse
+phase only — no output, timing knob), v3 (ring-streamed).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {
+        a.split("=")[0][2:]: a.split("=")[1]
+        for a in sys.argv[1:]
+        if a.startswith("--") and "=" in a
+    }
+    bs = int(opts.get("block", 65536))
+    total = int(opts.get("mb", 4)) * (1 << 20)
+    iters = int(opts.get("iters", 2))
+    variants = args or ["v1", "v2"]
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    import jax.numpy as jnp
+
+    from bench import make_corpus
+    from lz4_tpu import native
+    from lz4_tpu.parallel.blocks import comp_capacity, split_blocks
+
+    print("backend:", jax.default_backend(), flush=True)
+    uniq = int(time.time()) % 1000000
+    cap = comp_capacity(bs)
+    n_blocks = total // bs
+
+    dec_batches, datas = [], []
+    for s in range(iters + 1):
+        data = make_corpus(total, seed=uniq * 10 + s)
+        bufs, lens = split_blocks(data, bs)
+        comps = np.zeros((bufs.shape[0], cap), np.uint8)
+        clens = np.zeros((bufs.shape[0],), np.int32)
+        for b in range(bufs.shape[0]):
+            c = native.encode(bufs[b, : lens[b]].tobytes(), 0)
+            comps[b, : len(c)] = np.frombuffer(c, np.uint8)
+            clens[b] = len(c)
+        dec_batches.append((jnp.asarray(comps, jnp.int32), jnp.asarray(clens)))
+        datas.append(data)
+    jax.block_until_ready([b[0] for b in dec_batches])
+    print("staged (native-encoded)", flush=True)
+
+    def get_fn(name):
+        if name == "v1":
+            from lz4_tpu.ops.decode_pallas import pallas_decode
+
+            return lambda c, l: pallas_decode(c, l, bs), True
+        if name == "v2":
+            from lz4_tpu.ops.decode_pallas2 import pallas_decode2
+
+            return lambda c, l: pallas_decode2(c, l, bs), True
+        if name == "v2p":
+            from lz4_tpu.ops.decode_pallas2 import pallas_decode2
+
+            return lambda c, l: pallas_decode2(c, l, bs, skip_copy=True), False
+        if name == "v3":
+            from lz4_tpu.ops.decode_pallas3 import pallas_decode3
+
+            return lambda c, l: pallas_decode3(c, l, bs), True
+        if name == "v4":
+            from lz4_tpu.ops.decode_pallas4 import pallas_decode4
+
+            return lambda c, l: pallas_decode4(c, l, bs), True
+        if name == "v4p":
+            from lz4_tpu.ops.decode_pallas4 import pallas_decode4
+
+            return lambda c, l: pallas_decode4(c, l, bs, skip_copy=True), False
+        if name == "v5":
+            from lz4_tpu.ops.decode_pallas5 import pallas_decode5
+
+            def run5(c, l):
+                out, meta, dcapw = pallas_decode5(c, l, bs)
+                # out = packed words incl. 2-word prefix
+                return out, meta.reshape(meta.shape[0], 8)
+
+            return run5, "packed"
+        raise SystemExit(f"unknown variant {name}")
+
+    # encode variants time raw->compressed instead (same staged corpus)
+    def get_enc_fn(name):
+        lvl = 9 if name.endswith("hc") else 0
+        if name.startswith("e1"):
+            from lz4_tpu.ops.encode_pallas import pallas_encode
+
+            def run(bufs, lens):
+                out, meta = pallas_encode(
+                    bufs, lens, bs, 256 if lvl else 0
+                )
+                return out, meta
+            return run
+        if name.startswith("e5"):
+            from lz4_tpu.ops.encode_pallas5 import pallas_encode5
+
+            def run(bufs, lens):
+                out, meta = pallas_encode5(
+                    bufs, lens, bs, 256 if lvl else 0
+                )
+                return out, meta.reshape(meta.shape[0], 8)
+            return run
+        return None
+
+    enc_variants = [v for v in variants if v.startswith("e")]
+    if enc_variants:
+        enc_batches = []
+        for s in range(iters + 1):
+            bufs, lens = split_blocks(datas[s], bs)
+            enc_batches.append(
+                (jnp.asarray(bufs, jnp.int32), jnp.asarray(lens))
+            )
+        jax.block_until_ready([b[0] for b in enc_batches])
+        for name in enc_variants:
+            fn = get_enc_fn(name)
+            t0 = time.time()
+            out, meta = fn(*enc_batches[0])
+            mh = np.asarray(meta)
+            print(f"{name} compile+run {time.time()-t0:.1f}s "
+                  f"errs={int(mh[:,1].sum())} "
+                  f"ratio={float(mh[:,0].sum())/total:.4f}", flush=True)
+            if name.startswith("e5"):  # roundtrip the first batch
+                words = np.ascontiguousarray(
+                    np.asarray(out).reshape(out.shape[0], -1)
+                )
+                u8 = words.view(np.uint8)
+                recon = b"".join(
+                    native.decode(
+                        u8[b, : int(mh[b, 0])].tobytes(), capacity=bs
+                    )
+                    for b in range(n_blocks)
+                )
+                assert recon == datas[0], f"{name} roundtrip FAIL"
+                print(f"{name} roundtrip ok", flush=True)
+            ts = []
+            for s in range(1, iters + 1):
+                t0 = time.perf_counter()
+                out, meta = fn(*enc_batches[s])
+                mh = np.asarray(meta)
+                ts.append(time.perf_counter() - t0)
+                assert int(mh[:, 1].sum()) == 0
+            best = min(ts)
+            print(f"{name}: {total/best/1e6:.1f} MB/s  "
+                  f"({best*1000:.1f} ms / {total>>20} MiB)", flush=True)
+
+    for name in [v for v in variants if not v.startswith("e")]:
+        fn, check = get_fn(name)
+        t0 = time.time()
+        dec, meta = fn(*dec_batches[0])
+        mh = np.asarray(meta)
+        print(f"{name} compile+run {time.time()-t0:.1f}s "
+              f"errs={int(mh[:,1].sum())}", flush=True)
+        if check == "packed":
+            words = np.ascontiguousarray(np.asarray(dec))
+            u8 = words.view(np.uint8).reshape(words.shape[0], -1)
+            recon = b"".join(
+                u8[b, 8 : 8 + int(mh[b, 0])].tobytes()
+                for b in range(n_blocks)
+            )
+            assert recon == datas[0], f"{name} roundtrip FAIL"
+        elif check:
+            dh = np.asarray(dec)
+            recon = b"".join(
+                dh[b, : int(mh[b, 0])].astype(np.uint8).tobytes()
+                for b in range(n_blocks)
+            )
+            assert recon == datas[0], f"{name} roundtrip FAIL"
+        ts = []
+        for s in range(1, iters + 1):
+            t0 = time.perf_counter()
+            dec, meta = fn(*dec_batches[s])
+            mh = np.asarray(meta)
+            ts.append(time.perf_counter() - t0)
+            if check:
+                assert int(mh[:, 1].sum()) == 0
+        best = min(ts)
+        print(f"{name}: {total/best/1e6:.1f} MB/s  "
+              f"({best*1000:.1f} ms / {total>>20} MiB)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

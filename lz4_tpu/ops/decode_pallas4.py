@@ -1,24 +1,24 @@
-"""Pallas TPU LZ4 block decoder, v2 — split parse/copy architecture.
+"""Pallas TPU LZ4 block decoder, v4 — branch-minimal parse + copy.
 
-The v1 kernel (`decode_pallas.py`) interleaves the scalar token parse with
-vector copies in one sequence loop; Mosaic's predication of vector branches
-plus ~60-cycle while_loop iteration overhead put it at ~500 cycles/sequence.
-This kernel restructures the mapping (same capability surface, reference
-`LZ4_decompress_generic`, `x64/LL64.dec.cs:124-467`):
+Measured on v5e (kbench r2): every lax control structure (while back-edge,
+cond, when) costs ~50-100 cycles on the scalar pipeline, and the v1/v2
+kernels spend ~5 of them per sequence in each phase.  v4 restructures both
+phases around *predication instead of branching*:
 
-- **Phase A (parse)**: a scalar-only loop over tokens/VLE fields writes a
-  sequence table (lit_at, lit_len, offset, match_len) into SMEM scratch.
-  Two sequences are parsed per loop iteration (unrolled) and the loop body
-  contains zero vector ops, so the scalar pipeline runs unimpeded.
-- **Phase B (copy)**: a second loop walks the table and moves bytes with
-  128-lane row+roll chunk copies (single-write merged fast path for short
-  sequences, period-doubling for overlapping matches).
-- Phases alternate over bounded table chunks (CHUNK sequences per round) so
-  SMEM scratch stays small and the design extends to arbitrarily large
-  blocks later.
+- **speculative VLE parse**: literal/match length extensions are read as a
+  whole LE word (4 extension bytes cover runs up to ~1 KB); the 255-run
+  count and terminator byte come from ALU selects, not loops.  Exactly ONE
+  rare-path cond per sequence (VLE > 4 bytes, i.e. runs > ~1 KB) survives.
+  The last-sequence case is a masked select, not a branch.
+- **unconditional merged copy**: every sequence does the single-write
+  128-lane merged emission with a masked byte count (0 when the sequence
+  does not qualify), spill row written unconditionally; only long/
+  overlapping sequences (~10-20%) take a cond into the span/doubling path.
+- **4x unrolled loops** amortize the remaining back-edge cost.
 
-Error detection (malformed offsets/lengths/overruns) happens in the parse
-phase, all-scalar; the copy phase only runs over validated sequences.
+Same capability surface as v1 (`decode_pallas.pallas_decode`): batch of
+<=64 KB blocks, dictionary mode, full malformed-input detection (all
+checks are scalar ALU in the parse).
 """
 
 from __future__ import annotations
@@ -35,7 +35,8 @@ from ..constants import MIN_MATCH
 from .decode_pallas import _words_le
 
 _LANES = 128
-_CHUNK = 2048  # sequences per parse/copy round (4 x 8KB SMEM tables)
+_CHUNK = 2048  # sequences per parse/copy round
+_UNROLL = 4
 
 
 def _lane_iota():
@@ -44,19 +45,12 @@ def _lane_iota():
 
 def _decode_one(clen, dict_len, comp_s, comp_v, dict_v, out_ref, meta_ref,
                 t_lit, t_ll, t_off, t_ml, skip_copy: bool = False):
-    """Decode one block via alternating parse/copy rounds.
-
-    comp_s:  SMEM i32[1, 1, CAP]   LE words (scalar parse reads)
-    comp_v:  VMEM i32[1, CR, 128]  same bytes as lane rows (vector reads)
-    dict_v:  VMEM i32[1, DR, 128]  dictionary bytes, right-aligned
-    out_ref: VMEM i32[1, OR, 128]  dict prefix + decoded bytes
-    t_*:     SMEM i32[CHUNK]       per-round sequence table scratch
-    """
+    """Decode one block (see pallas_decode4 for ref shapes)."""
     dr = dict_v.shape[-2] - 1
     dcap = dr * _LANES
     ocap = (out_ref.shape[-2] - 1) * _LANES
     lane = _lane_iota()
-    lo = dcap - dict_len  # window floor (match offsets may reach the dict)
+    lo = dcap - dict_len
 
     @pl.when(dict_len > 0)
     def _():
@@ -66,11 +60,38 @@ def _decode_one(clen, dict_len, comp_s, comp_v, dict_v, out_ref, meta_ref,
 
         jax.lax.fori_loop(lo // _LANES, dr, cp, 0)
 
-    def read_byte(p):
-        return comp_s[0, 0, p] & 0xFF
+    def word(p):
+        return comp_s[0, 0, jnp.minimum(jnp.maximum(p, 0), clen - 1)]
 
-    def read_vle(p):
-        """15+ extension: sum 255-run starting at p. Returns (value, next_p)."""
+    def byte(p):
+        return word(p) & 0xFF
+
+    def vle4(w):
+        """Decode a <=4-byte VLE run from word w.
+
+        Returns (value, n_bytes, overflow): value = 255*n255 + terminator,
+        n_bytes = n255 + 1; overflow when all 4 bytes are 255."""
+        b0 = w & 0xFF
+        b1 = (w >> 8) & 0xFF
+        b2 = (w >> 16) & 0xFF
+        b3 = (w >> 24) & 0xFF
+        f0 = b0 == 255
+        f1 = f0 & (b1 == 255)
+        f2 = f1 & (b2 == 255)
+        f3 = f2 & (b3 == 255)
+        n255 = (
+            f0.astype(jnp.int32)
+            + f1.astype(jnp.int32)
+            + f2.astype(jnp.int32)
+            + f3.astype(jnp.int32)
+        )
+        term = jnp.where(
+            f2, b3, jnp.where(f1, b2, jnp.where(f0, b1, b0))
+        )
+        return 255 * n255 + term, n255 + 1, f3
+
+    def vle_long(p):
+        """Rare path: arbitrary-length 255 run starting at p."""
 
         def cond(s):
             v, q, last = s
@@ -78,72 +99,91 @@ def _decode_one(clen, dict_len, comp_s, comp_v, dict_v, out_ref, meta_ref,
 
         def body(s):
             v, q, last = s
-            b = read_byte(q)
+            b = byte(q)
             return v + b, q + 1, b
 
         v0, q0, _ = jax.lax.while_loop(cond, body, (0, p, 255))
         return v0, q0
 
-    # ---- Phase A: scalar parse of up to CHUNK sequences ------------------
+    # ---- phase A: speculative scalar parse -------------------------------
     def parse_one(state):
-        """state = (ip, op, ns, err, done); parses one sequence and appends
-        it to the tables.  All scalar."""
         ip, op, ns, err, done = state
-        w0 = comp_s[0, 0, jnp.minimum(ip, clen - 1)]
-        token = w0 & 0xFF
+        alive = (~done) & (err == 0)
+        w0 = word(ip)
         llt = (w0 >> 4) & 15
         mlt = w0 & 15
         bad = ip >= clen
 
-        def ll_ext(_):
-            v, q = read_vle(ip + 1)
-            return 15 + v, q
-
-        ll, lit_at = jax.lax.cond(
-            llt == 15, ll_ext, lambda _: (llt, ip + 1), None
-        )
+        # literal length (speculative 4-byte VLE)
+        lv, ln_b, lov = vle4(word(ip + 1))
+        has_llx = llt == 15
+        ll = jnp.where(has_llx, 15 + lv, llt)
+        lit_at = ip + 1 + jnp.where(has_llx, ln_b, 0)
         ip2 = lit_at + ll
-        bad = bad | (ip2 > clen) | (op + ll > ocap)
-        is_last = ip2 >= clen
+        # match fields (speculative; harmless reads when last/short)
+        w1 = word(ip2)
+        off = w1 & 0xFFFF
+        mv, mn_b, mov = vle4(word(ip2 + 2))
+        has_mlx = mlt == 15
+        ml = jnp.where(has_mlx, MIN_MATCH + 15 + mv, mlt + MIN_MATCH)
+        ip3 = ip2 + 2 + jnp.where(has_mlx, mn_b, 0)
 
-        def parse_match(args):
-            ip2, bad = args
-            w1 = comp_s[0, 0, jnp.minimum(ip2, clen - 1)]
-            off = w1 & 0xFFFF
+        rare = (has_llx & lov) | (has_mlx & mov)
 
-            def ml_ext(_):
-                v, q = read_vle(ip2 + 2)
-                return MIN_MATCH + 15 + v, q
-
-            ml, ip3 = jax.lax.cond(
-                mlt == 15, ml_ext, lambda _: (mlt + MIN_MATCH, ip2 + 2), None
+        def slow(_):
+            # full general parse with unbounded VLE loops
+            lvs, la = jax.lax.cond(
+                has_llx,
+                lambda q: (lambda v_q: (15 + v_q[0], v_q[1]))(vle_long(q)),
+                lambda q: (llt, q),
+                ip + 1,
             )
-            bad = (
-                bad
-                | (off == 0)
-                | (off > op + ll - lo)
-                | (op + ll + ml > ocap)
-                | (ip3 > clen)
-                | (ip2 + 2 > clen)
-            )
-            return ip3, bad, off, ml
+            ip2s = la + lvs
 
-        ip3, bad, off, ml = jax.lax.cond(
-            is_last,
-            lambda a: (a[0], a[1], jnp.int32(1), jnp.int32(0)),
-            parse_match,
-            (ip2, bad),
+            def m_ext(q):
+                v, qq = vle_long(q)
+                return MIN_MATCH + 15 + v, qq
+
+            mls, ip3s = jax.lax.cond(
+                has_mlx,
+                m_ext,
+                lambda q: (mlt + MIN_MATCH, q),
+                ip2s + 2,
+            )
+            return lvs, la, ip2s, word(ip2s) & 0xFFFF, mls, ip3s
+
+        ll, lit_at, ip2, off, ml, ip3 = jax.lax.cond(
+            rare,
+            slow,
+            lambda _: (ll, lit_at, ip2, off, ml, ip3),
+            None,
         )
-        t_lit[ns] = lit_at
-        t_ll[ns] = ll
-        t_off[ns] = off
-        t_ml[ns] = ml
+
+        is_last = ip2 >= clen
+        ml = jnp.where(is_last, 0, ml)
+        ip3 = jnp.where(is_last, ip2, ip3)
+        off = jnp.where(is_last, 1, off)
+        bad = (
+            bad
+            | (ip2 > clen)
+            | (op + ll + ml > ocap)
+            | (
+                (~is_last)
+                & ((off == 0) | (off > op + ll - lo) | (ip3 > clen)
+                   | (ip2 + 2 > clen))
+            )
+        )
+        ok = alive & ~bad
+        t_lit[ns] = jnp.where(ok, lit_at, 0)  # clamp: copy reads this row
+        t_ll[ns] = jnp.where(ok, ll, 0)
+        t_off[ns] = jnp.where(ok, off, 1)
+        t_ml[ns] = jnp.where(ok, ml, 0)
         return (
-            ip3,
-            op + jnp.where(bad, 0, ll + ml),
-            ns + jnp.where(bad, 0, 1),
-            jnp.where(bad, 1, err),
-            done | is_last | bad,
+            jnp.where(alive, ip3, ip),
+            jnp.where(ok, op + ll + ml, op),
+            ns + jnp.where(ok, 1, 0),
+            jnp.where(alive & bad, 1, err),
+            done | (alive & (is_last | bad)),
         )
 
     def parse_cond(state):
@@ -151,11 +191,11 @@ def _decode_one(clen, dict_len, comp_s, comp_v, dict_v, out_ref, meta_ref,
         return (~done) & (ns < _CHUNK)
 
     def parse_body(state):
-        state = parse_one(state)
-        # unroll x2: second parse guarded (scalar-only branch)
-        return jax.lax.cond(parse_cond(state), parse_one, lambda s: s, state)
+        for _ in range(_UNROLL):
+            state = parse_one(state)  # fully predicated; no guard cond
+        return state
 
-    # ---- Phase B: vector copies over the table ---------------------------
+    # ---- phase B: predicated vector copies -------------------------------
     def read_chunk(ref, src):
         row = src // _LANES
         ln = src % _LANES
@@ -165,6 +205,18 @@ def _decode_one(clen, dict_len, comp_s, comp_v, dict_v, out_ref, meta_ref,
         v0 = pltpu.roll(r0, shift=sh, axis=1)
         v1 = pltpu.roll(r1, shift=sh, axis=1)
         return jnp.where(lane < _LANES - ln, v0, v1)
+
+    def write_chunk2(dst, vec, n):
+        """Two-row masked write, both rows unconditional (n may be 0)."""
+        row = dst // _LANES
+        ln = dst % _LANES
+        rolled = pltpu.roll(vec, shift=ln, axis=1)
+        m0 = (lane >= ln) & (lane < ln + n)
+        r0 = out_ref[0, pl.ds(row, 1), :]
+        out_ref[0, pl.ds(row, 1), :] = jnp.where(m0, rolled, r0)
+        m1 = lane + _LANES < ln + n
+        r1 = out_ref[0, pl.ds(row + 1, 1), :]
+        out_ref[0, pl.ds(row + 1, 1), :] = jnp.where(m1, rolled, r1)
 
     def write_chunk(dst, vec, n):
         row = dst // _LANES
@@ -195,16 +247,15 @@ def _decode_one(clen, dict_len, comp_s, comp_v, dict_v, out_ref, meta_ref,
         off = t_off[s]
         ml = t_ml[s]
         m0 = op + ll
-        merged = (ll + ml <= 120) & ((ml == 0) | (off >= ll + ml))
+        fast = (ll + ml <= 120) & ((ml == 0) | (off >= ll + ml))
 
-        @pl.when(merged & (ll + ml > 0))
-        def _():
-            lit = read_chunk(comp_v, lit_at)
-            mat = read_chunk(out_ref, jnp.maximum(m0 - off, 0))
-            vec = jnp.where(lane < ll, lit, pltpu.roll(mat, shift=ll, axis=1))
-            write_chunk(op, vec, ll + ml)
+        # unconditional merged emission (masked to 0 bytes when not fast)
+        lit = read_chunk(comp_v, lit_at)
+        mat = read_chunk(out_ref, jnp.maximum(m0 - off, 0))
+        vec = jnp.where(lane < ll, lit, pltpu.roll(mat, shift=ll, axis=1))
+        write_chunk2(op, vec, jnp.where(fast, ll + ml, 0))
 
-        @pl.when(~merged)
+        @pl.when(~fast)
         def _():
             @pl.when(ll > 0)
             def _():
@@ -233,7 +284,7 @@ def _decode_one(clen, dict_len, comp_s, comp_v, dict_v, out_ref, meta_ref,
 
         return op + ll + ml
 
-    # ---- outer rounds ----------------------------------------------------
+    # ---- rounds ----------------------------------------------------------
     def round_cond(state):
         ip, op, err, done, cop = state
         return (~done) & (err == 0)
@@ -243,9 +294,22 @@ def _decode_one(clen, dict_len, comp_s, comp_v, dict_v, out_ref, meta_ref,
         ip, op, ns, err, done = jax.lax.while_loop(
             parse_cond, parse_body, (ip, op, 0, err, done)
         )
+        # pad the table so the unrolled copy loop reads only no-op tails
+        for k in range(_UNROLL):
+            t_ll[ns + k] = 0
+            t_ml[ns + k] = 0
+            t_lit[ns + k] = 0
+            t_off[ns + k] = 1
 
         if not skip_copy:
-            cop = jax.lax.fori_loop(0, ns, copy_one, cop)
+            def copy4(g, o):
+                s = g * _UNROLL
+                for k in range(_UNROLL):
+                    o = copy_one(s + k, o)
+                return o
+
+            cop = jax.lax.fori_loop(0, (ns + _UNROLL - 1) // _UNROLL,
+                                    copy4, cop)
         return ip, op, err, done, cop
 
     ip, op, err, done, cop = jax.lax.while_loop(
@@ -263,13 +327,10 @@ _DICT_ROWS = 65536 // _LANES + 1
 @functools.partial(
     jax.jit, static_argnames=("out_cap", "with_dict", "skip_copy")
 )
-def pallas_decode2(comps_i32, comp_lens, out_cap: int, dicts_i32=None,
+def pallas_decode4(comps_i32, comp_lens, out_cap: int, dicts_i32=None,
                    dict_lens=None, with_dict: bool = False,
                    skip_copy: bool = False):
-    """Drop-in equivalent of `decode_pallas.pallas_decode` (v2 kernel).
-
-    ``skip_copy`` elides the copy phase (wrong output, parse timing only —
-    benchmarking knob)."""
+    """Drop-in equivalent of `decode_pallas.pallas_decode` (v4 kernel)."""
     b, cap = comps_i32.shape
     assert cap % _LANES == 0, cap
     cr = cap // _LANES
@@ -303,10 +364,10 @@ def pallas_decode2(comps_i32, comp_lens, out_cap: int, dicts_i32=None,
             pl.BlockSpec((1, 1, _LANES), lambda i, lens, dlens: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.SMEM((_CHUNK,), jnp.int32),
-            pltpu.SMEM((_CHUNK,), jnp.int32),
-            pltpu.SMEM((_CHUNK,), jnp.int32),
-            pltpu.SMEM((_CHUNK,), jnp.int32),
+            pltpu.SMEM((_CHUNK + _UNROLL,), jnp.int32),
+            pltpu.SMEM((_CHUNK + _UNROLL,), jnp.int32),
+            pltpu.SMEM((_CHUNK + _UNROLL,), jnp.int32),
+            pltpu.SMEM((_CHUNK + _UNROLL,), jnp.int32),
         ],
     )
 
@@ -337,7 +398,7 @@ def pallas_decode2(comps_i32, comp_lens, out_cap: int, dicts_i32=None,
     return out, meta.reshape(b, _LANES)
 
 
-def decode_blocks_pallas2(
+def decode_blocks_pallas4(
     comps_u8: np.ndarray,
     comp_lens: np.ndarray,
     out_cap: int,
@@ -347,7 +408,7 @@ def decode_blocks_pallas2(
     """Host wrapper mirroring `decode_pallas.decode_blocks_pallas`."""
     comps_i32 = jnp.asarray(comps_u8, jnp.int32)
     if dicts_u8 is not None:
-        out, meta = pallas_decode2(
+        out, meta = pallas_decode4(
             comps_i32,
             jnp.asarray(comp_lens, jnp.int32),
             out_cap,
@@ -356,7 +417,7 @@ def decode_blocks_pallas2(
             with_dict=True,
         )
     else:
-        out, meta = pallas_decode2(
+        out, meta = pallas_decode4(
             comps_i32, jnp.asarray(comp_lens, jnp.int32), out_cap
         )
     out = np.asarray(out[:, :out_cap]).astype(np.uint8)

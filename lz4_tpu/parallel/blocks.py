@@ -102,25 +102,27 @@ def batched_decode(comps, comp_lens, out_cap: int):
     return jax.vmap(f)(comps, comp_lens, nodict, zero)
 
 
-# The Pallas kernels keep the whole compressed/raw block in SMEM for the
-# scalar parse; SMEM is 1 MB and block inputs are double-buffered, so blocks
-# above 64 KB do not fit (measured: a 256 KB block needs 2 x 1.05 MB).
-# Larger blocks fall back to the XLA kernels (or the host codec at the
-# frame layer).  Round-2: stream the compressed bytes through a rolling
-# SMEM window via DMA instead of staging the whole block.
+# The staged (v1) Pallas kernels keep the whole compressed/raw block in
+# SMEM for the scalar parse; SMEM is 1 MB and block inputs are
+# double-buffered, so staged blocks above 64 KB do not fit.  DECODE has no
+# cap anymore: blocks above this route to the ring-streamed v3 kernel
+# (`ops/decode_pallas3`), which DMAs the stream through constant-size
+# SMEM/VMEM rings.  ENCODE above the cap still falls back to XLA/host.
 PALLAS_MAX_BLOCK = 65536
 
 
-def _use_pallas(block_size: int = 65536) -> bool:
-    """Pallas kernels are the device path on real TPUs; the XLA dense
-    kernels remain for CPU meshes (tests, the driver's virtual-device
-    dry-run) where Mosaic cannot compile."""
-    if block_size > PALLAS_MAX_BLOCK:
-        return False
+def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def _use_pallas(block_size: int = 65536) -> bool:
+    """Staged-kernel gate: Pallas on real TPUs for blocks that fit SMEM;
+    the XLA dense kernels remain for CPU meshes (tests, the driver's
+    virtual-device dry-run) where Mosaic cannot compile."""
+    return block_size <= PALLAS_MAX_BLOCK and _on_tpu()
 
 
 def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
@@ -136,19 +138,16 @@ def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
         if host is not None:
             return host
     if _use_pallas(bcap):
-        from ..ops.encode_pallas import LEVEL_ATTEMPTS, pallas_encode
+        # v5: all-scalar packed-word kernel (see ops/encode_pallas5)
+        from ..ops.encode_pallas5 import encode_blocks_pallas5
 
-        out, meta = pallas_encode(
-            jnp.asarray(np.asarray(bufs_np), jnp.int32),
-            jnp.asarray(np.asarray(lens_np), jnp.int32),
-            bcap,
-            LEVEL_ATTEMPTS.get(int(level), 0),
-            jnp.asarray([acceleration], jnp.int32),
+        out, out_lens, errs = encode_blocks_pallas5(
+            np.asarray(bufs_np), np.asarray(lens_np), bcap, int(level),
+            acceleration,
         )
-        meta = np.asarray(meta)
-        if meta[:, 1].any():
+        if errs.any():
             raise RuntimeError("pallas encoder overflow")
-        return np.asarray(out).astype(np.uint8), meta[:, 0]
+        return out, out_lens
     return encode_chunked(bufs_np, lens_np, bcap, level_to_depth(level))
 
 
@@ -187,9 +186,11 @@ def decode_blocks_device(comps_np, clens_np, out_cap: int):
     Returns (out u8[B, out_cap], lens i32[B], errs i32[B]) as numpy.
     """
     if _use_pallas(out_cap):
-        from ..ops.decode_pallas import decode_blocks_pallas
+        # v5: all-scalar packed-word kernel (see ops/decode_pallas5) — the
+        # fastest measured decode path on real v5e hardware
+        from ..ops.decode_pallas5 import decode_blocks_pallas5
 
-        return decode_blocks_pallas(
+        return decode_blocks_pallas5(
             np.asarray(comps_np), np.asarray(clens_np), out_cap
         )
     return decode_chunked(comps_np, clens_np, out_cap)

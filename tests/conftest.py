@@ -20,14 +20,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-try:
-    from jax.extend import backend as _jeb  # noqa: E402
+if os.environ.get("LZ4TPU_REAL_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        from jax.extend import backend as _jeb  # noqa: E402
 
-    _jeb.clear_backends()
-except Exception:
-    pass
-assert jax.default_backend() == "cpu"
+        _jeb.clear_backends()
+    except Exception:
+        pass
+    assert jax.default_backend() == "cpu"
 
 import pytest  # noqa: E402
 

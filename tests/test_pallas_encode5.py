@@ -1,0 +1,109 @@
+"""v5 (all-scalar packed-word) Pallas encoder tests — interpret mode on CPU.
+
+v5 is the production TPU encode path (`parallel.blocks.encode_blocks_device`).
+"""
+
+import functools
+import random
+
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from lz4_tpu.block import hostref
+from lz4_tpu.ops import encode_pallas5 as E5
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    E5.pallas_encode5.clear_cache()
+    yield
+    E5.pallas_encode5.clear_cache()
+
+
+N = 4096
+CAP = N + 1024
+
+
+def _encode(cases, level=0, acceleration=1):
+    bufs = np.zeros((len(cases), CAP), np.uint8)
+    lens = np.zeros((len(cases),), np.int32)
+    for i, d in enumerate(cases):
+        bufs[i, : len(d)] = np.frombuffer(d, np.uint8)
+        lens[i] = len(d)
+    return E5.encode_blocks_pallas5(bufs, lens, N, level, acceleration)
+
+
+def _cases(rng):
+    return [
+        b"hello world hello world hello!" * 10,
+        bytes(3000),
+        rng.randbytes(1500),
+        (b"abcdefg" * 500)[:3400],
+        b"a" * 4000,
+        (b" ".join([b"lorem", b"ipsum", b"dolor", b"sit"] * 250))[:4000],
+        b"x",
+        b"ab" * 2000,
+        bytes(range(256)) * 15,
+        rng.randbytes(4000),  # incompressible -> long literal VLE
+    ]
+
+
+def test_fast_roundtrip_via_oracle(rng):
+    cases = _cases(rng)
+    out, clens, errs = _encode(cases)
+    for i, d in enumerate(cases):
+        assert errs[i] == 0, i
+        comp = out[i, : clens[i]].tobytes()
+        assert hostref.decode_block(comp, len(d)) == d, i
+
+
+def test_hc_roundtrip_and_ratio(rng):
+    cases = _cases(rng)
+    out0, l0, e0 = _encode(cases, level=0)
+    out9, l9, e9 = _encode(cases, level=9)
+    assert not e0.any() and not e9.any()
+    for i, d in enumerate(cases):
+        comp = out9[i, : l9[i]].tobytes()
+        assert hostref.decode_block(comp, len(d)) == d, i
+    # the chain search must never compress worse overall
+    assert int(l9.sum()) <= int(l0.sum())
+
+
+def test_acceleration(rng):
+    data = (rng.randbytes(64) * 60)[:3500]
+    out1, l1, e1 = _encode([data], acceleration=1)
+    out9, l9, e9 = _encode([data], acceleration=32)
+    assert e1[0] == 0 and e9[0] == 0
+    assert l9[0] >= l1[0]
+    for out, ln in ((out1, l1), (out9, l9)):
+        assert hostref.decode_block(
+            out[0, : ln[0]].tobytes(), len(data)
+        ) == data
+
+
+def test_fuzz_roundtrip(rng):
+    cases = []
+    for t in range(10):
+        kind = t % 4
+        if kind == 0:
+            cases.append(rng.randbytes(rng.randint(1, 3000)))
+        elif kind == 1:
+            pat = rng.randbytes(rng.randint(1, 30))
+            cases.append((pat * 4000)[: rng.randint(20, 3900)])
+        elif kind == 2:
+            cases.append(bytes(rng.randint(1, 3900)))
+        else:
+            words = [rng.randbytes(rng.randint(2, 9)) for _ in range(25)]
+            cases.append(
+                b"".join(rng.choice(words) for _ in range(500))[:3900]
+            )
+    for level in (0, 6):
+        out, clens, errs = _encode(cases, level=level)
+        for i, d in enumerate(cases):
+            assert errs[i] == 0, (level, i)
+            comp = out[i, : clens[i]].tobytes()
+            assert hostref.decode_block(comp, len(d)) == d, (level, i)

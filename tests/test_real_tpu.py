@@ -1,0 +1,163 @@
+"""Real-TPU kernel validation (Mosaic codegen, not interpret mode).
+
+Skipped unless LZ4TPU_REAL_TPU=1: the suite normally pins the CPU backend
+(conftest), and only one process may own the TPU tunnel at a time.  Run
+manually (never concurrently with a bench):
+
+    LZ4TPU_REAL_TPU=1 python -m pytest tests/test_real_tpu.py -q
+
+Uses small shapes so compiles stay cheap; exercises every device kernel
+family end-to-end on the actual hardware: FAST/HC encode, staged decode,
+ring-streamed decode (64 KB and 256 KB blocks), dictionary decode, xxh32.
+"""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("LZ4TPU_REAL_TPU") != "1",
+    reason="real-TPU run not requested (set LZ4TPU_REAL_TPU=1)",
+)
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU backend available")
+    return jax
+
+
+def _mk_blocks(rng, bcap, nb, pad):
+    from lz4_tpu.parallel.blocks import comp_capacity
+
+    bufs = np.zeros((nb, bcap + pad), np.uint8)
+    lens = np.zeros((nb,), np.int32)
+    datas = []
+    for b in range(nb):
+        kind = b % 3
+        if kind == 0:
+            words = [rng.randbytes(rng.randint(3, 8)) for _ in range(20)]
+            d = b" ".join(rng.choice(words) for _ in range(bcap // 4))[:bcap]
+        elif kind == 1:
+            d = (rng.randbytes(97) * (bcap // 97 + 1))[:bcap]
+        else:
+            d = rng.randbytes(bcap // 2) + bytes(bcap // 2)
+        bufs[b, : len(d)] = np.frombuffer(d, np.uint8)
+        lens[b] = len(d)
+        datas.append(d)
+    return bufs, lens, datas, comp_capacity(bcap)
+
+
+def test_fast_and_hc_encode_roundtrip(tpu):
+    """The production (v5 all-scalar) encode kernel on real hardware."""
+    from lz4_tpu.block import hostref
+    from lz4_tpu.ops.encode_pallas5 import encode_blocks_pallas5
+
+    rng = random.Random(21)
+    bcap = 8192
+    bufs, lens, datas, _ = _mk_blocks(rng, bcap, 6, 256)
+    for level in (0, 9):
+        out, clens, errs = encode_blocks_pallas5(bufs, lens, bcap, level)
+        assert not errs.any(), level
+        for b, d in enumerate(datas):
+            comp = out[b, : clens[b]].tobytes()
+            assert hostref.decode_block(comp, len(d)) == d, (level, b)
+
+
+def test_staged_decode_roundtrip(tpu):
+    from lz4_tpu import native
+    from lz4_tpu.ops.decode_pallas import decode_blocks_pallas
+
+    rng = random.Random(22)
+    bcap = 8192
+    bufs, lens, datas, cap = _mk_blocks(rng, bcap, 6, 256)
+    comps = np.zeros((6, cap), np.uint8)
+    clens = np.zeros((6,), np.int32)
+    for b, d in enumerate(datas):
+        c = native.encode(d, 9)
+        comps[b, : len(c)] = np.frombuffer(c, np.uint8)
+        clens[b] = len(c)
+    out, olens, errs = decode_blocks_pallas(comps, clens, bcap)
+    assert not errs.any()
+    for b, d in enumerate(datas):
+        assert out[b, : olens[b]].tobytes() == d, b
+
+
+def test_scalar_decode_v5(tpu):
+    """The production (v5 all-scalar) decode kernel on real hardware,
+    covering the small-period pattern paths that only trigger under Mosaic
+    codegen (not interpret mode)."""
+    from lz4_tpu import native
+    from lz4_tpu.ops.decode_pallas5 import decode_blocks_pallas5
+    from lz4_tpu.parallel.blocks import comp_capacity
+
+    rng = random.Random(23)
+    bcap = 16384
+    cap = comp_capacity(bcap)
+    datas = [
+        b" ".join(
+            rng.choice([b"alpha", b"beta", b"gamma"]) for _ in range(bcap)
+        )[: bcap // 2] + rng.randbytes(bcap // 4) + bytes(bcap // 4),
+        bytes(bcap),                       # off=1 runs
+        (b"ab" * bcap)[:bcap],             # off=2
+        (b"abc" * bcap)[:bcap],            # off=3
+        (b"abcde" * bcap)[:bcap],          # off=5
+        (b"abcdefg" * bcap)[:bcap],        # off=7
+        rng.randbytes(bcap),               # stored-ish long literals
+    ]
+    comps = np.zeros((len(datas), cap), np.uint8)
+    clens = np.zeros((len(datas),), np.int32)
+    for b, d in enumerate(datas):
+        c = native.encode(d, 0)
+        comps[b, : len(c)] = np.frombuffer(c, np.uint8)
+        clens[b] = len(c)
+    out, olens, errs = decode_blocks_pallas5(comps, clens, bcap)
+    assert not errs.any()
+    for b, d in enumerate(datas):
+        assert out[b, : olens[b]].tobytes() == d, b
+
+
+def test_dict_decode(tpu):
+    from lz4_tpu import native
+    from lz4_tpu.ops.decode_pallas import decode_blocks_pallas
+    from lz4_tpu.parallel.blocks import comp_capacity
+
+    rng = random.Random(24)
+    dictionary = rng.randbytes(500) * 3
+    data = dictionary[-400:] + b"NEW!" + dictionary[:300]
+    c = native.encode(data, 0, dictionary=dictionary)
+    cap = comp_capacity(4096)
+    comps = np.zeros((1, cap), np.uint8)
+    comps[0, : len(c)] = np.frombuffer(c, np.uint8)
+    dicts = np.zeros((1, 65536), np.uint8)
+    dw = dictionary[-65536:]
+    dicts[0, 65536 - len(dw):] = np.frombuffer(dw, np.uint8)
+    out, olens, errs = decode_blocks_pallas(
+        comps, np.asarray([len(c)], np.int32), 4096,
+        dicts, np.asarray([len(dw)], np.int32),
+    )
+    assert errs[0] == 0
+    assert out[0, : olens[0]].tobytes() == data
+
+
+def test_xxh32_kernel(tpu):
+    from lz4_tpu.ops.xxh32_pallas import xxh32_blocks
+    from lz4_tpu.xxh32 import xxh32
+
+    rng = random.Random(25)
+    datas = [rng.randbytes(n) for n in (16, 1024, 8192)]
+    cap = 8192
+    bufs = np.zeros((3, cap), np.uint8)
+    lens = np.zeros((3,), np.int32)
+    for i, d in enumerate(datas):
+        bufs[i, : len(d)] = np.frombuffer(d, np.uint8)
+        lens[i] = len(d)
+    got = xxh32_blocks(bufs, lens)
+    for i, d in enumerate(datas):
+        assert int(got[i]) & 0xFFFFFFFF == xxh32(d), i

@@ -1,0 +1,277 @@
+"""Primitive-cost microbenchmarks for the Mosaic scalar/vector pipeline.
+
+The tunneled runtime adds ~29 ms of FIXED dispatch overhead per call, so
+costs are measured as the SLOPE between two iteration counts.  Marginal
+cycles/iteration at ~940 MHz.
+
+    python ubench.py            # all
+    python ubench.py loop smem_dep_read
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N1 = 200_000
+N2 = 1_000_000
+GHZ = 0.94
+
+
+def _time(go, iters=4):
+    seed = jnp.arange(8, dtype=jnp.int32).reshape(1, 8)
+    np.asarray(go(seed))  # compile+warm
+    ts = []
+    for k in range(iters):
+        s2 = seed + k + int(time.time() * 1000) % 9973
+        t0 = time.perf_counter()
+        np.asarray(go(s2))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def run(name, make_kernel, scratch=()):
+    def build(n):
+        kernel = make_kernel(n)
+
+        @jax.jit
+        def go(seed):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((1, 128), jnp.int32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                scratch_shapes=list(scratch),
+            )(seed)
+
+        return go
+
+    t1 = _time(build(N1))
+    t2 = _time(build(N2))
+    cyc = (t2 - t1) * GHZ * 1e9 / (N2 - N1)
+    print(f"{name:24} {t1*1e3:7.2f} / {t2*1e3:7.2f} ms   {cyc:7.1f} cyc/iter",
+          flush=True)
+
+
+def m_loop(n):
+    def k(seed, out):
+        def body(s):
+            i, a = s
+            return i + 1, a + i
+
+        _, a = jax.lax.while_loop(lambda s: s[0] < n, body, (seed[0, 0], 0))
+        out[:] = jnp.full((1, 128), a, jnp.int32)
+
+    return k
+
+
+def m_smem(n):
+    def k(seed, out, sc):
+        sc[0] = seed[0, 1]
+        sc[1] = 2
+        sc[2] = 5
+        sc[3] = 1
+        sc[4] = 7
+        sc[5] = 3
+        sc[6] = 0
+        sc[7] = 6
+
+        def body(s):
+            i, a = s
+            return i + 1, sc[a & 7]  # dependent scalar-load chain
+
+        _, a = jax.lax.while_loop(lambda s: s[0] < n, body, (seed[0, 0], 0))
+        out[:] = jnp.full((1, 128), a, jnp.int32)
+
+    return k
+
+
+def m_vread(n):
+    def k(seed, out, vm):
+        def body(s):
+            i, a, v = s
+            r = vm[pl.ds((i + a) & 255, 1), :]
+            return i + 1, a, v + r
+
+        _, _, v = jax.lax.while_loop(
+            lambda s: s[0] < n, body,
+            (seed[0, 0], seed[0, 1], jnp.zeros((1, 128), jnp.int32)),
+        )
+        out[:] = v
+
+    return k
+
+
+def m_vrmw(n):
+    def k(seed, out, vm):
+        def body(s):
+            i, a = s
+            r = vm[pl.ds((i + a) & 255, 1), :]
+            vm[pl.ds((i + a) & 255, 1), :] = r + 1
+            return i + 1, a
+
+        jax.lax.while_loop(lambda s: s[0] < n, body, (seed[0, 0], seed[0, 1]))
+        out[:] = vm[pl.ds(0, 1), :]
+
+    return k
+
+
+def m_roll(n):
+    def k(seed, out):
+        def body(s):
+            i, v = s
+            return i + 1, pltpu.roll(v, shift=i & 127, axis=1)
+
+        _, v = jax.lax.while_loop(
+            lambda s: s[0] < n, body,
+            (seed[0, 0], jnp.zeros((1, 128), jnp.int32)),
+        )
+        out[:] = v
+
+    return k
+
+
+def m_roll_static(n):
+    def k(seed, out):
+        def body(s):
+            i, v = s
+            return i + 1, pltpu.roll(v, shift=5, axis=1)
+
+        _, v = jax.lax.while_loop(
+            lambda s: s[0] < n, body,
+            (seed[0, 0], jnp.zeros((1, 128), jnp.int32)),
+        )
+        out[:] = v
+
+    return k
+
+
+def m_vadd(n):
+    def k(seed, out):
+        def body(s):
+            i, v = s
+            return i + 1, v + i
+
+        _, v = jax.lax.while_loop(
+            lambda s: s[0] < n, body,
+            (seed[0, 0], jnp.zeros((1, 128), jnp.int32)),
+        )
+        out[:] = v
+
+    return k
+
+
+def m_when_untaken(n):
+    def k(seed, out, sc):
+        sc[0] = 0
+
+        def body(s):
+            i, a = s
+
+            @pl.when(i < 0)
+            def _():
+                sc[0] = i
+
+            return i + 1, a + sc[0]
+
+        _, a = jax.lax.while_loop(lambda s: s[0] < n, body, (seed[0, 0], 0))
+        out[:] = jnp.full((1, 128), a, jnp.int32)
+
+    return k
+
+
+def m_when_vec_untaken(n):
+    def k(seed, out, vm):
+        def body(s):
+            i, a = s
+
+            @pl.when(i < 0)
+            def _():
+                vm[pl.ds(i & 255, 1), :] = jnp.full((1, 128), i, jnp.int32)
+
+            return i + 1, a
+
+        jax.lax.while_loop(lambda s: s[0] < n, body, (seed[0, 0], seed[0, 1]))
+        out[:] = vm[pl.ds(0, 1), :]
+
+    return k
+
+
+def m_merged_seq(n):
+    """One full merged-copy sequence worth of vector work per iteration."""
+
+    def k(seed, out, vm):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def body(s):
+            i, a = s
+            src = (i * 13 + a) & 16383
+            row = src // 128
+            ln = src % 128
+            r0 = vm[pl.ds(row & 255, 1), :]
+            r1 = vm[pl.ds((row + 1) & 255, 1), :]
+            sh = (128 - ln) % 128
+            v0 = pltpu.roll(r0, shift=sh, axis=1)
+            v1 = pltpu.roll(r1, shift=sh, axis=1)
+            lit = jnp.where(lane < 128 - ln, v0, v1)
+            m0 = (i * 7 + a) & 16383
+            mrow = m0 // 128
+            mr0 = vm[pl.ds(mrow & 255, 1), :]
+            mr1 = vm[pl.ds((mrow + 1) & 255, 1), :]
+            mat = jnp.where(lane < 64, mr0, mr1)
+            ll = i & 15
+            vec = jnp.where(lane < ll, lit, pltpu.roll(mat, shift=ll, axis=1))
+            dst = (i * 11) & 16383
+            drow = dst // 128
+            dln = dst % 128
+            rolled = pltpu.roll(vec, shift=dln, axis=1)
+            msk = (lane >= dln) & (lane < dln + (i & 63))
+            w0 = vm[pl.ds(drow & 255, 1), :]
+            vm[pl.ds(drow & 255, 1), :] = jnp.where(msk, rolled, w0)
+            w1 = vm[pl.ds((drow + 1) & 255, 1), :]
+            vm[pl.ds((drow + 1) & 255, 1), :] = jnp.where(
+                lane + 128 < dln + (i & 63), rolled, w1
+            )
+            return i + 1, a
+
+        jax.lax.while_loop(lambda s: s[0] < n, body, (seed[0, 0], seed[0, 1]))
+        out[:] = vm[pl.ds(0, 1), :]
+
+    return k
+
+
+VM = (pltpu.VMEM((256, 128), jnp.int32),)
+SC = (pltpu.SMEM((8,), jnp.int32),)
+
+BENCHES = {
+    "loop": (m_loop, ()),
+    "smem_dep_read": (m_smem, SC),
+    "vmem_dyn_read": (m_vread, VM),
+    "vmem_dyn_rmw": (m_vrmw, VM),
+    "roll_dynamic": (m_roll, ()),
+    "roll_static": (m_roll_static, ()),
+    "vec_add": (m_vadd, ()),
+    "when_scalar_untaken": (m_when_untaken, SC),
+    "when_vec_untaken": (m_when_vec_untaken, VM),
+    "merged_seq": (m_merged_seq, VM),
+}
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    names = sys.argv[1:] or list(BENCHES)
+    print("backend:", jax.default_backend(), f"slope {N1}->{N2}", flush=True)
+    for n in names:
+        mk, sc = BENCHES[n]
+        run(n, mk, sc)
+
+
+if __name__ == "__main__":
+    main()
