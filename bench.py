@@ -99,19 +99,26 @@ def _device_config(block_size, total, iters, uniq, attempts):
 
     out, meta = pallas_encode5(*enc_batches[0], block_size, attempts)
     _ = np.asarray(meta)  # compile + warm + drain
-    enc_times = []
+    # pipelined dispatch (issue all batches, then drain): measures the
+    # sustained rate a pipelining caller gets; the ~29 ms tunnel dispatch
+    # latency amortizes over the batch train
+    # single pass over DISTINCT batches (the runtime memoizes repeated
+    # (executable, inputs) pairs — a repeat pass would time the cache)
+    t0 = time.perf_counter()
+    outs = [
+        pallas_encode5(*enc_batches[s], block_size, attempts)
+        for s in range(1, iters + 1)
+    ]
+    metas = [np.asarray(m).reshape(-1, 8) for _, m in outs]
+    enc_times = [time.perf_counter() - t0]
     enc_outs = []
-    for s in range(1, iters + 1):
-        t0 = time.perf_counter()
-        out, meta = pallas_encode5(*enc_batches[s], block_size, attempts)
-        mh = np.asarray(meta).reshape(-1, 8)
-        enc_times.append(time.perf_counter() - t0)
+    for (out, _), mh in zip(outs, metas):
         assert int(mh[:, 1].sum()) == 0
         words = np.ascontiguousarray(
             np.asarray(out).reshape(out.shape[0], -1)
         )
         enc_outs.append((words.view(np.uint8), mh[:, 0]))
-    enc_gbps = total / min(enc_times) / 1e9
+    enc_gbps = total * iters / min(enc_times) / 1e9
     ratio = float(enc_outs[0][1].sum()) / total
 
     cap = comp_capacity(block_size)
@@ -137,14 +144,16 @@ def _device_config(block_size, total, iters, uniq, attempts):
     )
     assert recon == datas[1], "roundtrip mismatch in bench"
 
-    dec_times = []
-    for s in range(1, len(dec_batches)):
-        t0 = time.perf_counter()
-        dec, meta, _ = pallas_decode5(*dec_batches[s], block_size)
-        mh = np.asarray(meta).reshape(-1, 8)
-        dec_times.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    outs = [
+        pallas_decode5(*dec_batches[s], block_size)
+        for s in range(1, len(dec_batches))
+    ]
+    metas = [np.asarray(m).reshape(-1, 8) for _, m, _ in outs]
+    dec_times = [time.perf_counter() - t0]
+    for mh in metas:
         assert int(mh[:, 1].sum()) == 0
-    dec_gbps = total / min(dec_times) / 1e9
+    dec_gbps = total * (len(dec_batches) - 1) / min(dec_times) / 1e9
     return enc_gbps, dec_gbps, ratio
 
 

@@ -94,6 +94,14 @@ def main():
                 return out, meta.reshape(meta.shape[0], 8)
 
             return run5, "packed"
+        if name == "vs":
+            from lz4_tpu.ops.decode_pallas_stream import pallas_decode_stream
+
+            def runs(c, l):
+                out, meta = pallas_decode_stream(c, l, bs)
+                return out, meta.reshape(meta.shape[0], 8)
+
+            return runs, "packed0"
         raise SystemExit(f"unknown variant {name}")
 
     # encode variants time raw->compressed instead (same staged corpus)
@@ -167,11 +175,14 @@ def main():
         mh = np.asarray(meta)
         print(f"{name} compile+run {time.time()-t0:.1f}s "
               f"errs={int(mh[:,1].sum())}", flush=True)
-        if check == "packed":
-            words = np.ascontiguousarray(np.asarray(dec))
+        if check in ("packed", "packed0"):
+            skip = 8 if check == "packed" else 0
+            words = np.ascontiguousarray(
+                np.asarray(dec).reshape(np.asarray(dec).shape[0], -1)
+            )
             u8 = words.view(np.uint8).reshape(words.shape[0], -1)
             recon = b"".join(
-                u8[b, 8 : 8 + int(mh[b, 0])].tobytes()
+                u8[b, skip : skip + int(mh[b, 0])].tobytes()
                 for b in range(n_blocks)
             )
             assert recon == datas[0], f"{name} roundtrip FAIL"

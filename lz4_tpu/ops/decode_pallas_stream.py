@@ -1,29 +1,20 @@
-"""Pallas TPU LZ4 block decoder, v5 — all-scalar packed-word pipeline.
+"""Streaming all-scalar LZ4 decoder — arbitrary block sizes (256 KB - 4 MB+).
 
-Microbenchmarks on this v5e (ubench.py) overturned the v1-v4 design: the
-scalar pipeline is fast (while back-edge ~6 cyc, SMEM load ~4, SMEM store
-~6, untaken branch ~8) while the vector byte-alignment primitive
-`pltpu.roll` costs ~73 cycles — and the v1 copy path needs 4-6 rolls per
-sequence (~400 cyc/seq).  A packed-word SCALAR copy costs ~11 cyc per FOUR
-bytes (load + shift-merge + store), beating the vector path for every
-realistic sequence length.
+Same scalar packed-word pipeline as `decode_pallas5` (the measured-fastest
+per-chip design), with the two whole-block SMEM buffers replaced by rings:
 
-So v5 is the reference decoder's actual shape (`LZ4_decompress_generic`,
-`x64/LL64.dec.cs:124-467`) run on the scalar core against SMEM:
+- **input ring**: per-byte LE words stream HBM -> SMEM in 16 K-position
+  chunks (64 KB/slot, 2 slots), loaded on demand — parse and literal reads
+  only move forward.  Chunks are shaped (chunk, 128, 128) end-to-end so
+  every DMA slice is tile-aligned (the v3 lesson: HBM arrays are (8,128)
+  tiled; a chunk must own its full trailing block).
+- **output ring**: packed words in SMEM, 32 K words (128 KB of history —
+  double the 64 KB match window), flushed to HBM in 4 K-word segments as
+  the frontier advances.  The 64 KB preset dictionary DMAs in as the ring
+  prefix (chained frames).
 
-- compressed bytes come in as per-byte LE words (word[p] = bytes p..p+3),
-  so any 4 literal bytes arrive in ONE load regardless of phase;
-- output is built as packed little-endian words with a sequential append
-  register (acc/op carry): one store per 4 output bytes, overshoot stores
-  keep the array valid through op for self-referencing matches;
-- matches with offset >= 8 read the packed output with a 2-load unaligned
-  word read; offsets < 8 seed up to 12 bytes bytewise, then replicate the
-  period from 3 pattern registers (no loads at all) — the scalar analog of
-  the reference's overlap tables (`x64/LL64.dec.cs:408-425`);
-- the output block itself lives in SMEM (pallas streams it back to HBM),
-  with the 64 KB dictionary window DMA'd in as a packed prefix.
-
-No vector unit involvement anywhere; the VPU/MXU stay free.
+VMEM is untouched; SMEM use is constant (~290 KB) regardless of block size.
+`PALLAS_MAX_BLOCK` no longer limits the decode path.
 """
 
 from __future__ import annotations
@@ -39,52 +30,104 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import MIN_MATCH
 from .decode_pallas import _words_le
 
-_LANES = 128
-_DICT_WORDS = 65536 // 4  # packed dictionary prefix (chained mode)
+_CW_LOG = 14                   # input chunk: 16K byte-positions
+_CW = 1 << _CW_LOG
+_CW_ROWS = _CW // 128          # 128 rows of 128 words
+_OR_WORDS = 1 << 15            # output ring: 32K words (128KB bytes)
+_SEG_WORDS = 1 << 12           # flush segment: 4K words (16KB)
+_SEG_ROWS = _SEG_WORDS // 128  # 32
+_N_RING_SEGS = _OR_WORDS // _SEG_WORDS  # 8
+_DICT_WORDS = 65536 // 4       # 16K words = 4 ring segments
+_DICT_SEGS = _DICT_WORDS // _SEG_WORDS
 
 
 def _u(x):
-    return x.astype(jnp.uint32)
+    return jnp.asarray(x).astype(jnp.uint32)
 
 
 def _i(x):
-    return x.astype(jnp.int32)
+    return jnp.asarray(x).astype(jnp.int32)
 
 
-def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
-                dcapw: int, out_cap: int):
-    """Decode one block, all-scalar.
+def _decode_one(i, clen, dict_len, comp_w, dict_w, out_hbm, meta_ref,
+                ring_w, ring_o, loaded, sem_w, sem_o, out_cap: int,
+                with_dict: bool):
+    """Decode block i.
 
-    comp_s:  SMEM i32[1, 1, CAP]  per-byte LE words (word[p] = bytes p..p+3)
-    dict_w:  SMEM i32[1, 1, DW]   packed dictionary words (right-aligned)
-    out_ref: SMEM i32[1, OW]      packed output words (dict prefix + data)
-    meta_ref:SMEM i32[1, 8]       [0] produced bytes, [1] error
+    comp_w:  HBM i32[B, NC, 128, 128]   per-byte LE words, chunked
+    dict_w:  HBM i32[B, DSEGS, 32, 128] packed dictionary words (chained)
+    out_hbm: HBM i32[B, NSEG, 32, 128]  packed output words, segmented
+    ring_w:  SMEM i32[2, 128, 128]      input ring
+    ring_o:  SMEM i32[8, 32, 128]       output ring (dict prefix + window)
+    loaded:  SMEM i32[8]                [w0, w1, flushed_segs, ...]
     """
-    dcap = dcapw * 4
+    dcap = _DICT_WORDS * 4  # logical byte space starts after the dict region
     lo = dcap - dict_len
     ocap = dcap + out_cap
 
-    if dcapw >= 128:  # dict mode (static); slice widths stay 128-aligned
+    loaded[0] = -1
+    loaded[1] = -1
+    loaded[2] = 0  # flushed output segments
+
+    if with_dict:
         @pl.when(dict_len > 0)
         def _():
+            def seg(sg, _):
+                dma = pltpu.make_async_copy(
+                    dict_w.at[i, sg], ring_o.at[sg], sem_o
+                )
+                dma.start()
+                dma.wait()
+                return 0
+
+            jax.lax.fori_loop(0, _DICT_SEGS, seg, 0)
+
+    # ---- streamed input reads --------------------------------------------
+    def ensure_chunk(c):
+        slot = c & 1
+
+        @pl.when(loaded[slot] != c)
+        def _():
             dma = pltpu.make_async_copy(
-                dict_w.at[0, 0, pl.ds(0, dcapw)],
-                out_ref.at[0, 0, pl.ds(0, dcapw)],
-                sem,
+                comp_w.at[i, c], ring_w.at[slot], sem_w.at[slot]
             )
             dma.start()
             dma.wait()
+            loaded[slot] = c
 
     def W(p):
-        """Bytes p..p+3 of the compressed stream as one LE word (uint32).
+        """Bytes p..p+3 of the compressed stream as one LE word (uint32)."""
+        c = p >> _CW_LOG
+        ensure_chunk(c)
+        return _u(ring_w[c & 1, (p >> 7) & (_CW_ROWS - 1), p & 127])
 
-        Unclamped: every call site keeps p < clen (the parse validates ip
-        before reading), and the buffer is padded well past clen."""
-        return _u(comp_s[0, 0, p])
-
+    # ---- output ring accessors -------------------------------------------
     def OUTW(q):
-        return _u(out_ref[0, 0, q])
+        r = q & (_OR_WORDS - 1)
+        return _u(ring_o[r >> 12, (r >> 7) & (_SEG_ROWS - 1), r & 127])
 
+    def store_word(wp, v):
+        r = wp & (_OR_WORDS - 1)
+        ring_o[r >> 12, (r >> 7) & (_SEG_ROWS - 1), r & 127] = _i(v)
+
+    def flush_for(wp):
+        """Flush output segments so ring word wp (and wp+1) are writable."""
+
+        def cond(f):
+            return _DICT_WORDS + f * _SEG_WORDS + _OR_WORDS <= wp + 2
+
+        def body(f):
+            ring_seg = (_DICT_SEGS + f) % _N_RING_SEGS
+            dma = pltpu.make_async_copy(
+                ring_o.at[ring_seg], out_hbm.at[i, f], sem_o
+            )
+            dma.start()
+            dma.wait()
+            return f + 1
+
+        loaded[2] = jax.lax.while_loop(cond, body, loaded[2])
+
+    # ---- the v5 scalar pipeline over ring accessors ----------------------
     def read_vle(p):
         def cond(s):
             v, q, last = s
@@ -99,15 +142,11 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
         return v0, q0
 
     def append(acc, op, w, n):
-        """Append n (1..4) low bytes of uint32 w at byte position op.
-
-        acc holds bytes [op & ~3, op); the store overshoots (the word is
-        written with future bytes of w), keeping out valid through op+3-ish
-        — the packed analog of the reference's wildcopy."""
         wp = op >> 2
+        flush_for(wp)
         f = _u(op & 3)
         merged = acc | (w << (8 * f))
-        out_ref[0, 0, wp] = _i(merged)
+        store_word(wp, merged)
         sh = (8 * (4 - f)) & 31
         spill = jnp.where(f > 0, w >> sh, jnp.uint32(0))
         op2 = op + n
@@ -131,45 +170,15 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
         return acc, op
 
     def read_out_u(q):
-        """Unaligned packed read: bytes q..q+3 of the output space."""
         ph = _u(q & 3) * 8
         lw = OUTW(q >> 2)
         hw = OUTW((q >> 2) + 1)
-        return jnp.where(
-            ph == 0, lw, (lw >> ph) | (hw << ((32 - ph) & 31))
-        )
+        return jnp.where(ph == 0, lw, (lw >> ph) | (hw << ((32 - ph) & 31)))
 
     def read_out_byte(q):
         return (OUTW(q >> 2) >> (8 * _u(q & 3))) & 0xFF
 
     def copy_match_far(acc, op, off, ml):
-        """off >= 16: word-group copy from the packed output.  The source
-        phase is constant across the match, so the unaligned read runs
-        incrementally: each group reuses the previous group's high word
-        (ONE load per 4 bytes).  The one-group read-ahead is safe because
-        the farthest byte touched (src + k + 7) stays below the store
-        frontier (dst - 3) whenever off > 10."""
-        ms = op - off
-        ph = _u(ms & 3) * 8
-        phc = (32 - ph) & 31
-        mi0 = ms >> 2
-        lo0 = OUTW(mi0)
-
-        def body(s):
-            k, acc, op, lo = s
-            hi = OUTW(mi0 + (k >> 2) + 1)
-            w = jnp.where(ph == 0, lo, (lo >> ph) | (hi << phc))
-            acc, op = append(acc, op, w, jnp.minimum(4, ml - k))
-            return k + 4, acc, op, hi
-
-        _, acc, op, _ = jax.lax.while_loop(
-            lambda s: s[0] < ml, body, (0, acc, op, lo0)
-        )
-        return acc, op
-
-    def copy_match_mid(acc, op, off, ml):
-        """8 <= off < 16: per-group unaligned reads (no read-ahead; only
-        the exact 4 source bytes are consumed, all below the frontier)."""
         ms = op - off
 
         def body(s):
@@ -184,8 +193,6 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
         return acc, op
 
     def copy_match_near(acc, op, off, ml):
-        """off < 8: seed min(ml, 12) bytes bytewise (keeps the array exactly
-        current), then replicate the period from 3 pattern registers."""
         ms = op - off
         seed = jnp.minimum(ml, 12)
 
@@ -200,14 +207,11 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
 
         def group_phase(args):
             acc, op = args
-            # store acc so the 12 seeded bytes are fully readable
-            out_ref[0, 0, op >> 2] = _i(acc)
+            store_word(op >> 2, acc)
             base = op - 12
             w0 = read_out_u(base)
             w1 = read_out_u(base + 4)
             w2 = read_out_u(base + 8)
-            # rotating byte shift: group k starts at pattern phase s = k mod
-            # off; the 12-byte window w0..w2 covers phases s <= 6
             s0 = 12 % jnp.maximum(off, 1)
 
             def gbody(st):
@@ -221,18 +225,16 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
                 acc, op = append(acc, op, w, jnp.minimum(4, ml - k))
                 s2 = s + 4
                 s2 = jnp.where(s2 >= off, s2 - off, s2)
-                s2 = jnp.where(s2 >= off, s2 - off, s2)  # off>=2 -> s2<off
+                s2 = jnp.where(s2 >= off, s2 - off, s2)
                 s2 = jnp.where(off == 1, 0, s2)
                 return k + 4, acc, op, s2
 
-            k2, acc, op, _ = jax.lax.while_loop(
+            _, acc, op, _ = jax.lax.while_loop(
                 lambda st: st[0] < ml, gbody, (12, acc, op, s0)
             )
             return acc, op
 
-        acc, op = jax.lax.cond(
-            ml > 12, group_phase, lambda a: a, (acc, op)
-        )
+        acc, op = jax.lax.cond(ml > 12, group_phase, lambda a: a, (acc, op))
         return acc, op
 
     def seq_cond(state):
@@ -242,7 +244,7 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
     def seq_body(state):
         ip, op, acc, err, done = state
         bad = ip >= clen
-        w0 = _i(W(ip))
+        w0 = _i(W(jnp.minimum(ip, clen - 1)))
         token = w0 & 0xFF
         ip = ip + 1
         ll = token >> 4
@@ -259,7 +261,7 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
 
         def parse_match(args):
             ip, bad = args
-            woff = _i(W(ip)) & 0xFFFF
+            woff = _i(W(jnp.minimum(ip, clen - 1))) & 0xFFFF
             ip = ip + 2
             ml = (token & 15) + MIN_MATCH
 
@@ -292,20 +294,10 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
 
             def do_match(args):
                 acc, op = args
-                # make the partial word readable before self-referencing
-                out_ref[0, 0, op >> 2] = _i(acc)
-
-                def far_or_mid(a):
-                    return jax.lax.cond(
-                        off >= 16,
-                        lambda a: copy_match_far(a[0], a[1], off, ml),
-                        lambda a: copy_match_mid(a[0], a[1], off, ml),
-                        a,
-                    )
-
+                store_word(op >> 2, acc)
                 return jax.lax.cond(
                     off >= 8,
-                    far_or_mid,
+                    lambda a: copy_match_far(a[0], a[1], off, ml),
                     lambda a: copy_match_near(a[0], a[1], off, ml),
                     (acc, op),
                 )
@@ -324,7 +316,25 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
     ip, op, acc, err, _ = jax.lax.while_loop(
         seq_cond, seq_body, (0, dcap, jnp.uint32(0), 0, False)
     )
-    out_ref[0, 0, op >> 2] = _i(acc)  # final partial word
+    store_word(op >> 2, acc)  # final partial word
+
+    # final flush of all remaining segments (incl. partial)
+    total_words = (op - dcap + 3) >> 2
+
+    def fin_cond(f):
+        return f * _SEG_WORDS < total_words + 1
+
+    def fin_body(f):
+        ring_seg = (_DICT_SEGS + f) % _N_RING_SEGS
+        dma = pltpu.make_async_copy(
+            ring_o.at[ring_seg], out_hbm.at[i, f], sem_o
+        )
+        dma.start()
+        dma.wait()
+        return f + 1
+
+    jax.lax.while_loop(fin_cond, fin_body, loaded[2])
+
     errv = jnp.where(err != 0, err, jnp.where(ip != clen, 2, 0))
     meta_ref[0, 0, 0] = op - dcap
     meta_ref[0, 0, 1] = errv
@@ -332,83 +342,77 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
         meta_ref[0, 0, k] = 0
 
 
-@functools.partial(jax.jit, static_argnames=("out_cap", "with_dict"))
-def pallas_decode5(comps_i32, comp_lens, out_cap: int, dicts_i32=None,
-                   dict_lens=None, with_dict: bool = False):
-    """comps_i32: i32[B, CAP] one byte per element, zero padded.
+def _align(v: int, m: int) -> int:
+    return -(-v // m) * m
 
-    Returns (out_words i32[B, OW] packed LE words with the dict prefix
-    stripped by the host wrapper, meta i32[B, 8])."""
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "with_dict"))
+def pallas_decode_stream(comps_i32, comp_lens, out_cap: int, dicts_i32=None,
+                         dict_lens=None, with_dict: bool = False):
+    """comps_i32: i32[B, CAP] one byte per element.  Any out_cap."""
     b, cap = comps_i32.shape
-    assert cap % _LANES == 0, cap
+    capw = _align(cap, _CW) + _CW  # + slack chunk for tail reads
+    nc = capw // _CW
+    words = _words_le(comps_i32)
+    words = jnp.pad(words, ((0, 0), (0, capw - cap))).reshape(
+        b, nc, _CW_ROWS, 128
+    )
     if with_dict:
-        dw = _DICT_WORDS
         assert dicts_i32 is not None and dicts_i32.shape == (b, 65536)
         packed = (
-            dicts_i32.reshape(b, dw, 4)
+            dicts_i32.reshape(b, _DICT_WORDS, 4)
             * jnp.array([1, 1 << 8, 1 << 16, 1 << 24], jnp.int32)
         ).sum(axis=2, dtype=jnp.int32)
-        dict_words = packed.reshape(b, 1, dw)
+        dict_words = packed.reshape(b, _DICT_SEGS, _SEG_ROWS, 128)
     else:
-        dw = 8
-        dict_words = jnp.zeros((b, 1, dw), jnp.int32)
+        dict_words = jnp.zeros((b, _DICT_SEGS, _SEG_ROWS, 128), jnp.int32)
         dict_lens = jnp.zeros_like(comp_lens)
-    dcapw = dw if with_dict else 2
-    ow = dcapw + out_cap // 4 + 4
+    nseg = _align(out_cap // 4 + 2, _SEG_WORDS) // _SEG_WORDS + 1
 
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, cap),
-                lambda i, lens, dlens: (i, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, dw),
-                lambda i, lens, dlens: (i, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (1, 1, ow), lambda i, lens, dlens: (i, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
                 (1, 1, 8), lambda i, lens, dlens: (i, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
         ],
-        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=[
+            pltpu.SMEM((2, _CW_ROWS, 128), jnp.int32),
+            pltpu.SMEM((_N_RING_SEGS, _SEG_ROWS, 128), jnp.int32),
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
     )
 
-    def kernel(lens_ref, dlens_ref, comp_s, dict_w, out_ref, meta_ref, sem):
+    def kernel(lens_ref, dlens_ref, comp_w, dict_w, out_hbm, meta_ref,
+               ring_w, ring_o, loaded, sem_w, sem_o):
         i = pl.program_id(0)
         _decode_one(
-            lens_ref[i], dlens_ref[i], comp_s, dict_w, out_ref, meta_ref,
-            sem, dcapw, out_cap,
+            i, lens_ref[i], dlens_ref[i], comp_w, dict_w, out_hbm, meta_ref,
+            ring_w, ring_o, loaded, sem_w, sem_o, out_cap, with_dict,
         )
 
-    words = _words_le(comps_i32)
     out, meta = pl.pallas_call(
         kernel,
         grid_spec=grid,
         out_shape=[
-            jax.ShapeDtypeStruct((b, 1, ow), jnp.int32),
+            jax.ShapeDtypeStruct((b, nseg, _SEG_ROWS, 128), jnp.int32),
             jax.ShapeDtypeStruct((b, 1, 8), jnp.int32),
         ],
-    )(
-        comp_lens,
-        dict_lens,
-        words.reshape(b, 1, cap),
-        dict_words,
-    )
-    return out, meta, dcapw
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(comp_lens, dict_lens, words, dict_words)
+    return out, meta
 
 
-def decode_blocks_pallas5(
+def decode_blocks_pallas_stream(
     comps_u8: np.ndarray,
     comp_lens: np.ndarray,
     out_cap: int,
@@ -418,7 +422,7 @@ def decode_blocks_pallas5(
     """Host wrapper mirroring `decode_pallas.decode_blocks_pallas`."""
     comps_i32 = jnp.asarray(comps_u8, jnp.int32)
     if dicts_u8 is not None:
-        out, meta, dcapw = pallas_decode5(
+        out, meta = pallas_decode_stream(
             comps_i32,
             jnp.asarray(comp_lens, jnp.int32),
             out_cap,
@@ -427,13 +431,11 @@ def decode_blocks_pallas5(
             with_dict=True,
         )
     else:
-        out, meta, dcapw = pallas_decode5(
+        out, meta = pallas_decode_stream(
             comps_i32, jnp.asarray(comp_lens, jnp.int32), out_cap
         )
     words = np.ascontiguousarray(np.asarray(out).reshape(out.shape[0], -1))
     u8 = words.view(np.uint8).reshape(words.shape[0], -1)
-    out_b = np.ascontiguousarray(
-        u8[:, dcapw * 4 : dcapw * 4 + out_cap]
-    )
+    out_b = np.ascontiguousarray(u8[:, :out_cap])
     meta = np.asarray(meta).reshape(-1, 8)
     return out_b, meta[:, 0], meta[:, 1]

@@ -193,6 +193,14 @@ def decode_blocks_device(comps_np, clens_np, out_cap: int):
         return decode_blocks_pallas5(
             np.asarray(comps_np), np.asarray(clens_np), out_cap
         )
+    if _on_tpu():
+        # 256KB-4MB blocks: same scalar pipeline over SMEM rings with
+        # HBM DMA streaming (constant on-chip footprint, no size cap)
+        from ..ops.decode_pallas_stream import decode_blocks_pallas_stream
+
+        return decode_blocks_pallas_stream(
+            np.asarray(comps_np), np.asarray(clens_np), out_cap
+        )
     return decode_chunked(comps_np, clens_np, out_cap)
 
 

@@ -65,7 +65,12 @@ def test_small_period_matches(rng):
     cases = [
         (bytes([65 + (k % p) for k in range(p)]) * 4000)[:3900]
         for p in range(1, 8)
-    ] + [(b"abcdefgh" * 500)[:3900]]  # off=8 boundary (far path)
+    ] + [
+        # off 8..17: mid (plain word loop) and far (incremental) overlap
+        # boundaries, all with ml >> off (self-referencing matches)
+        (bytes([65 + (k % p) for k in range(p)]) * 800)[:3900]
+        for p in range(8, 18)
+    ]
     out, lens, errs = _decode(cases)
     for i, d in enumerate(cases):
         assert errs[i] == 0, i

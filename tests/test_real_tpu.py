@@ -123,6 +123,32 @@ def test_scalar_decode_v5(tpu):
         assert out[b, : olens[b]].tobytes() == d, b
 
 
+def test_streaming_decode_large_blocks(tpu):
+    """The ring-streamed decoder beyond the 64 KB staged cap (256 KB)."""
+    from lz4_tpu import native
+    from lz4_tpu.ops.decode_pallas_stream import decode_blocks_pallas_stream
+    from lz4_tpu.parallel.blocks import comp_capacity
+
+    rng = random.Random(29)
+    bcap = 262144
+    cap = comp_capacity(bcap)
+    d = (
+        b" ".join(rng.choice([b"alpha", b"beta", b"gamma"]) for _ in range(bcap))[: bcap // 2]
+        + rng.randbytes(bcap // 4)
+        + bytes(bcap // 4)
+    )
+    c = native.encode(d, 0)
+    comps = np.zeros((2, cap), np.uint8)
+    clens = np.zeros((2,), np.int32)
+    for b in (0, 1):
+        comps[b, : len(c)] = np.frombuffer(c, np.uint8)
+        clens[b] = len(c)
+    out, olens, errs = decode_blocks_pallas_stream(comps, clens, bcap)
+    assert not errs.any()
+    for b in (0, 1):
+        assert out[b, : olens[b]].tobytes() == d, b
+
+
 def test_dict_decode(tpu):
     from lz4_tpu import native
     from lz4_tpu.ops.decode_pallas import decode_blocks_pallas
