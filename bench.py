@@ -281,7 +281,19 @@ def main():
     uniq = int(time.time()) % 1000000
 
     # --- device configs: L00 FAST and L09 HC (Pallas kernels) -------------
-    e0, d0, r0 = _device_config(block_size, total, iters, uniq, attempts=0)
+    # LZ4TPU_BENCH_TRACE=<dir> captures an xprof/XLA trace of the device
+    # config (the profiling artifact; view with xprof / tensorboard-plugin)
+    trace_dir = os.environ.get("LZ4TPU_BENCH_TRACE")
+    if trace_dir:
+        import contextlib
+
+        trace_cm = jax.profiler.trace(trace_dir)
+    else:
+        import contextlib
+
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        e0, d0, r0 = _device_config(block_size, total, iters, uniq, attempts=0)
     configs = {
         "device_L00": {
             "encode_GBps": round(e0, 4),

@@ -260,11 +260,13 @@ def _try_chained_device_decompress(data: bytes, settings: DecoderSettings):
     d, blocks, pos = scan
     if not d.block_chaining or not blocks:
         return None
-    from ..parallel.blocks import comp_capacity, decode_blocks_device, _use_pallas
+    from ..parallel.blocks import comp_capacity, _on_tpu
 
-    if not _use_pallas():
+    if not _on_tpu():
         return None
-    from ..ops.decode_pallas import decode_blocks_pallas
+    # streaming scalar decoder: dictionary mode with a constant on-chip
+    # footprint at any block size (see ops/decode_pallas_stream)
+    from ..ops.decode_pallas_stream import decode_blocks_pallas_stream
 
     cap = comp_capacity(d.block_size)
     window = bytes(settings.dictionary[-65536:])
@@ -280,7 +282,7 @@ def _try_chained_device_decompress(data: bytes, settings: DecoderSettings):
             dict_buf[:] = 0
             if window:
                 dict_buf[0, 65536 - len(window) :] = np.frombuffer(window, np.uint8)
-            out, lens, errs = decode_blocks_pallas(
+            out, lens, errs = decode_blocks_pallas_stream(
                 comps,
                 np.asarray([len(chunk)], np.int32),
                 d.block_size,

@@ -272,6 +272,18 @@ class FrameReader:
         self._buffer.clear()
         return out
 
+    def peek(self, n: int = -1) -> bytes:
+        """Return up to ``n`` decoded bytes without consuming them (the
+        analog of the reference decoder's `Peek`,
+        `Encoders/ILZ4Decoder.cs:8-54`).  Decodes at most one block when
+        the buffer is empty."""
+        if not self._buffer:
+            if self._ensure_frame():
+                self._next_block()
+        if n is None or n < 0:
+            return bytes(self._buffer)
+        return bytes(self._buffer[:n])
+
     def close(self):
         pass
 

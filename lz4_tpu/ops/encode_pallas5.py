@@ -336,6 +336,34 @@ def _encode_one(n, acc0, src_s, htab, prev, out_ref, meta_ref,
         )
         hit = best_len >= MIN_MATCH
 
+        # one-step-lazy refinement: a strictly longer match starting at the
+        # next byte wins a literal (lightweight analog of the reference's
+        # ML2 lookahead, `x64/LL64.high.cs:568-617`)
+        def lazy(args):
+            p, best_len, best_cand = args
+
+            def lbody(s):
+                p, blen, bcand, _ = s
+                hc_insert(p + 1)
+                nlen, ncand = hc_search(p + 1)
+                better = nlen > blen
+                return (
+                    jnp.where(better, p + 1, p),
+                    jnp.where(better, nlen, blen),
+                    jnp.where(better, ncand, bcand),
+                    better & (p + 2 < mf_limit),
+                )
+
+            p, blen, bcand, _ = jax.lax.while_loop(
+                lambda s: s[3], lbody, (p, best_len, best_cand, True)
+            )
+            return p, blen, bcand
+
+        p, best_len, best_cand = jax.lax.cond(
+            hit & (p + 1 < mf_limit), lazy,
+            lambda a: a, (p, best_len, best_cand),
+        )
+
         def take(args):
             p, anchor, acc, op, cand, err = args
 

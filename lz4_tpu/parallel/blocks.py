@@ -133,7 +133,11 @@ def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
     levels (L10-L12) have no device kernel yet and route to the native host
     engine (honest routing; the level semantics stay exact).
     """
-    if level >= 10:
+    if level >= 10 or (bcap > PALLAS_MAX_BLOCK and _on_tpu()):
+        # no device kernel for optimal-parse levels or >64KB-block encode
+        # (encode needs random candidate reads across the 64KB window — the
+        # streamed-ring design only covers decode so far); route to the
+        # native host engine rather than the slow XLA fallback
         host = _host_encode_batch(bufs_np, lens_np, bcap, level)
         if host is not None:
             return host

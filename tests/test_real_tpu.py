@@ -172,6 +172,32 @@ def test_dict_decode(tpu):
     assert out[0, : olens[0]].tobytes() == data
 
 
+def test_frame_roundtrip_tpu_backend(tpu):
+    """End-to-end frame compress/decompress through the device kernels
+    (independent blocks -> batched Pallas path; chained -> streaming
+    dictionary decoder)."""
+    from lz4_tpu import frame
+    from lz4_tpu.frame.descriptor import EncoderSettings
+
+    rng = random.Random(31)
+    words = [rng.randbytes(rng.randint(3, 8)) for _ in range(40)]
+    data = (
+        b" ".join(rng.choice(words) for _ in range(40_000))[:150_000]
+        + bytes(30_000)
+        + rng.randbytes(20_000)
+    )
+    s_ind = EncoderSettings(
+        chain_blocks=False, block_size=65536, content_checksum=True
+    )
+    blob = frame.compress(data, settings=s_ind, backend="tpu")
+    assert frame.decompress(blob, backend="tpu") == data
+    assert frame.decompress(blob, backend="host") == data  # interop
+
+    s_chain = EncoderSettings(chain_blocks=True, block_size=65536)
+    blob2 = frame.compress(data, settings=s_chain, backend="host")
+    assert frame.decompress(blob2, backend="tpu") == data
+
+
 def test_xxh32_kernel(tpu):
     from lz4_tpu.ops.xxh32_pallas import xxh32_blocks
     from lz4_tpu.xxh32 import xxh32

@@ -143,3 +143,14 @@ def test_issue76_legacy_large_stream_roundtrip(lorem, rng):
     r = legacy_stream.LegacyStreamReader(io.BytesIO(sink.getvalue()))
     out = r.read(-1)
     assert out == data
+
+
+def test_frame_reader_peek(lorem, rng):
+    """peek returns decoded bytes without consuming (reference Peek)."""
+    data = lorem(100_000, rng)
+    blob = frame.compress(data, backend="host")
+    r = frame.FrameReader(io.BytesIO(blob), backend="host")
+    head = r.peek(100)
+    assert head == data[:100]
+    assert r.peek(100) == head  # idempotent
+    assert r.read_all() == data  # nothing consumed
