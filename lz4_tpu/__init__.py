@@ -18,7 +18,8 @@ Layer map (mirrors reference SURVEY §1):
 """
 
 from .constants import LZ4Level, compress_bound
-from .block.api import decode, encode, maximum_output_size, partial_decode
+from .block.api import (decode, decode_into, encode, encode_into,
+                        maximum_output_size, partial_decode)
 from .block.hostref import LZ4Error
 from .pickler import pickle, unpickle, unpickled_size
 from .xxh32 import XXH32, xxh32
@@ -32,6 +33,8 @@ __all__ = [
     "maximum_output_size",
     "encode",
     "decode",
+    "encode_into",
+    "decode_into",
     "partial_decode",
     "pickle",
     "unpickle",

@@ -20,6 +20,8 @@ __all__ = [
     "maximum_output_size",
     "encode",
     "decode",
+    "encode_into",
+    "decode_into",
     "partial_decode",
     "LZ4Level",
 ]
@@ -107,6 +109,54 @@ def decode(
     except ImportError:
         pass
     return hostref.decode_block(data, target_length, dictionary, capacity=capacity)
+
+
+def encode_into(
+    data,
+    dest,
+    level: int | LZ4Level = LZ4Level.L00_FAST,
+    dictionary: bytes = b"",
+    acceleration: int = 1,
+    backend: str = "auto",
+) -> int:
+    """Compress one block into a caller-provided writable buffer.
+
+    The analog of the reference's Span-target `LZ4Codec.Encode` overloads
+    (`LZ4Codec.cs:59-71`): returns the number of bytes written, or a
+    NEGATIVE value when the buffer is too small (mirroring the reference's
+    negative-length convention)."""
+    view = memoryview(dest).cast("B")
+    comp = encode(
+        data, level=level, dictionary=dictionary, acceleration=acceleration,
+        backend=backend,
+    )
+    if len(comp) > len(view):
+        return -len(comp)
+    view[: len(comp)] = comp
+    return len(comp)
+
+
+def decode_into(
+    data,
+    dest,
+    dictionary: bytes = b"",
+    backend: str = "auto",
+) -> int:
+    """Decompress one block into a caller-provided writable buffer.
+
+    Returns the decoded length; raises when the buffer is too small or the
+    block is malformed (reference `LZ4Codec.Decode` span overloads)."""
+    view = memoryview(dest).cast("B")
+    raw = decode(data, dictionary=dictionary, backend=backend,
+                 capacity=len(view))
+    if len(raw) > len(view):
+        from .hostref import LZ4Error
+
+        raise LZ4Error(
+            f"decoded {len(raw)} bytes exceeds destination {len(view)}"
+        )
+    view[: len(raw)] = raw
+    return len(raw)
 
 
 def partial_decode(

@@ -1,0 +1,19 @@
+"""Device (TPU) kernels.
+
+Production paths (all-scalar packed-word pipelines; see PERFORMANCE.md for
+the measured cost model that selected them):
+
+- `encode_pallas5`  — FAST + lazy-HC encoder, blocks <= 64 KB
+- `decode_pallas5`  — decoder, blocks <= 64 KB (staged SMEM)
+- `decode_pallas_stream` — decoder for 256 KB - 4 MB+ blocks (ring DMA)
+- `xxh32_pallas`    — xxHash32 device kernel
+
+Kept implementations:
+
+- `encode_pallas` / `decode_pallas` — round-1 vector (row+roll) kernels;
+  the decoder still serves the staged dictionary mode
+- `encode_jax` / `decode_jax` — pure-XLA dense kernels (CPU-mesh paths:
+  tests, the driver's virtual-device dry-run, shard_map sharding)
+- `decode_pallas2/3/4` — measured negative-result experiments, kept with
+  their numbers (split-phase tables, ring-ANY DMA, speculative parse)
+"""

@@ -103,3 +103,53 @@ def test_fuzz_pallas_interpret(seed, monkeypatch):
     finally:
         DP.pallas_decode.clear_cache()
         EP.pallas_encode.clear_cache()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_pallas_v5_interpret(seed, monkeypatch):
+    """The production scalar kernels (v5 encode/decode) against the oracle
+    and each other, at FAST and HC levels."""
+    import functools
+
+    import numpy as np
+    from jax.experimental import pallas as pl
+
+    from lz4_tpu.ops import decode_pallas5 as D5
+    from lz4_tpu.ops import encode_pallas5 as E5
+    from lz4_tpu.parallel.blocks import comp_capacity
+
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    D5.pallas_decode5.clear_cache()
+    E5.pallas_encode5.clear_cache()
+    try:
+        rng = random.Random(200 + seed)
+        N = 4096
+        data = _random_structured(rng, rng.choice([100, 2000, 4000]))
+        bufs = np.zeros((1, N + 1024), np.uint8)
+        bufs[0, : len(data)] = np.frombuffer(data, np.uint8)
+        level = (0, 9)[seed % 2]
+        out, clens, errs = E5.encode_blocks_pallas5(
+            bufs, np.asarray([len(data)], np.int32), N, level
+        )
+        assert errs[0] == 0
+        comp = out[0, : clens[0]].tobytes()
+        # oracle cross-check
+        assert hostref.decode_block(comp, len(data)) == data
+        # v5 decoder on: v5-encoded, oracle-encoded, native-encoded streams
+        streams = [comp, hostref.encode_hc(data, level=6)]
+        if native.available():
+            streams.append(native.encode(data, 12))
+        cap = comp_capacity(N)
+        for ci, c in enumerate(streams):
+            comps = np.zeros((1, cap), np.uint8)
+            comps[0, : len(c)] = np.frombuffer(c, np.uint8)
+            dec, lens, derr = D5.decode_blocks_pallas5(
+                comps, np.asarray([len(c)], np.int32), N
+            )
+            assert derr[0] == 0, ci
+            assert dec[0, : lens[0]].tobytes() == data, ci
+    finally:
+        D5.pallas_decode5.clear_cache()
+        E5.pallas_encode5.clear_cache()

@@ -154,3 +154,24 @@ def test_frame_reader_peek(lorem, rng):
     assert head == data[:100]
     assert r.peek(100) == head  # idempotent
     assert r.read_all() == data  # nothing consumed
+
+
+def test_encode_decode_into(rng):
+    """Caller-buffer overloads (reference Span-target Encode/Decode)."""
+    import lz4_tpu
+
+    data = (b"span overload parity " * 500) + rng.randbytes(300)
+    dest = bytearray(lz4_tpu.maximum_output_size(len(data)))
+    n = lz4_tpu.encode_into(data, dest, level=9)
+    assert n > 0
+    comp = bytes(dest[:n])
+    back = bytearray(len(data))
+    m = lz4_tpu.decode_into(comp, back)
+    assert m == len(data) and bytes(back) == data
+    # too-small destination: negative length (encode) / typed error (decode)
+    small = bytearray(8)
+    assert lz4_tpu.encode_into(data, small) < 0
+    from lz4_tpu.block.hostref import LZ4Error
+
+    with pytest.raises(LZ4Error):
+        lz4_tpu.decode_into(comp, small)
