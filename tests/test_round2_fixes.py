@@ -175,3 +175,36 @@ def test_encode_decode_into(rng):
 
     with pytest.raises(LZ4Error):
         lz4_tpu.decode_into(comp, small)
+
+
+def test_frame_corruption_fuzz(lorem, rng):
+    """Random single-byte corruptions of checksummed frames: every mutation
+    must either raise a typed LZ4FormatError/LZ4Error or (for bytes the
+    format genuinely cannot protect, e.g. inside skippable content) decode
+    to something — never crash with an unrelated exception."""
+    import random as _random
+
+    from lz4_tpu.block.hostref import LZ4Error
+
+    data = lorem(80_000, rng)
+    s = EncoderSettings(
+        chain_blocks=False, block_size=16384,
+        content_checksum=True, block_checksum=True,
+    )
+    blob = bytearray(frame.compress(data, settings=s, backend="host"))
+    mut = _random.Random(77)
+    outcomes = {"error": 0, "ok": 0}
+    for _ in range(60):
+        pos = mut.randrange(len(blob))
+        old = blob[pos]
+        blob[pos] ^= 1 + mut.randrange(255)
+        try:
+            out = frame.decompress(bytes(blob), backend="host", workers=0)
+            assert out == data  # only possible if the flip was a no-op path
+            outcomes["ok"] += 1
+        except (LZ4FormatError, LZ4Error, ValueError):
+            outcomes["error"] += 1
+        finally:
+            blob[pos] = old
+    # with both checksums on, essentially every corruption is caught
+    assert outcomes["error"] >= 55, outcomes
