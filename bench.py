@@ -229,10 +229,13 @@ for nd in (1, 8):
         if s:  # first call is compile
             times.append(time.perf_counter() - t0)
     res[nd] = min(times)
-eff = res[1] / (8 * res[8])
-print(json.dumps({{"t1": res[1], "t8": res[8],
-                   "speedup": res[1] / res[8],
-                   "efficiency": eff}}))
+import os
+ncores = os.cpu_count() or 1
+sp = res[1] / res[8]
+print(json.dumps({{"t1": res[1], "t8": res[8], "speedup": sp,
+                   "efficiency_vs_devices": sp / 8,
+                   "physical_cores": ncores,
+                   "efficiency_vs_cores": sp / min(8, ncores)}}))
 """
 
 
