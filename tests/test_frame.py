@@ -305,3 +305,29 @@ def test_host_parallel_matches_single_thread(lorem, rng):
     assert multi == single
     assert frame.decompress(multi, workers=4) == data
     assert frame.decompress(multi, workers=0) == data
+
+
+def test_legacy_then_modern_concatenation(lorem, rng):
+    """A legacy frame has no end mark — the reader must re-dispatch on the
+    next magic (reader._reenter_after_legacy) and keep decoding."""
+    from lz4_tpu.block import api as block_api
+
+    a = lorem(8000, rng)
+    b = lorem(6000, rng)
+    comp_a = block_api.encode(a, backend="host")
+    legacy = struct.pack("<I", 0x184C2102) + struct.pack("<I", len(comp_a)) + comp_a
+    modern = frame.compress(b, backend="host")
+    skip = struct.pack("<II", 0x184D2A50, 4) + b"meta"
+    blob = legacy + skip + modern
+    assert frame.decompress(blob, backend="host") == a + b
+
+
+def test_all_block_size_codes_roundtrip(lorem, rng):
+    """Every frame BD code (64KB/256KB/1MB/4MB) roundtrips, independent and
+    chained."""
+    data = lorem(1_500_000, rng)
+    for bs in (65536, 262144, 1 << 20, 4 << 20):
+        for chain in (False, True):
+            s = EncoderSettings(chain_blocks=chain, block_size=bs)
+            blob = frame.compress(data, settings=s, backend="host")
+            assert frame.decompress(blob, backend="host") == data, (bs, chain)
