@@ -47,7 +47,7 @@ def _i(x):
     return jnp.asarray(x).astype(jnp.int32)
 
 
-def _encode_one(n, acc0, src_s, htab, prev, out_ref, meta_ref,
+def _encode_one(n, acc0, src_s, htab, prev, nti, out_ref, meta_ref,
                 attempts: int, ocap: int):
     """Encode one block, all-scalar.
 
@@ -202,6 +202,7 @@ def _encode_one(n, acc0, src_s, htab, prev, out_ref, meta_ref,
         return 0
 
     jax.lax.fori_loop(0, 1 << _HLOG, init_body, 0)
+    nti[0] = 0  # next chain position to insert (HC lazy insertion)
 
     # ---- FAST parse ------------------------------------------------------
     def fast_body(state):
@@ -263,158 +264,425 @@ def _encode_one(n, acc0, src_s, htab, prev, out_ref, meta_ref,
         )
         return p, anchor, acc, op, search, err
 
-    # ---- HC parse (chain search, one-step-greedy on device) --------------
-    def hc_insert(p):
-        w = W(p)
-        h = hash4(w)
-        c = htab[h]
+    # ---- HC parse: the reference's 3-candidate lookahead -----------------
+    # `x64/LL64.high.cs:513-800` semantics (wider-match search with
+    # backward extension, ML1/ML2/ML3 speculative overlap resolution with
+    # the OPTIMAL_ML trim rules), minus pattern analysis and chain-swap.
+    # Byte-identical to block/hostref.encode_hc at L3-L8 (where the host's
+    # pattern analysis is off) — gated by tests.
+    _OPT_ML = 18
 
-        # idempotence guard: the lazy lookahead probes p+1 before the take
-        # path re-inserts the skipped range; re-inserting the chain head
-        # would write a zero delta (a self-loop that wedges every walk)
-        @pl.when(c != p)
-        def _():
-            d = jnp.where(c < 0, 0xFFFF, jnp.minimum(p - c, 0xFFFF))
-            prev[p & 0xFFFF] = d
-            htab[h] = p
+    def insert_upto(q):
+        """Insert chain entries for positions [nti, min(q, n-3))."""
+        limit = jnp.minimum(q, n - MIN_MATCH + 1)
+        start = nti[0]
 
-    def hc_search(p):
-        w = W(p)
-        max_possible = match_limit - p
-        lowest = jnp.maximum(p - 65535, 0)
+        def body(i, _):
+            w = W(i)
+            h = hash4(w)
+            c = htab[h]
+            d = jnp.where(c < 0, 0xFFFF, jnp.minimum(i - c, 0xFFFF))
+            prev[i & 0xFFFF] = d
+            htab[h] = i
+            return 0
+
+        jax.lax.fori_loop(start, jnp.maximum(start, limit), body, 0)
+        nti[0] = jnp.maximum(start, limit)
+
+    def chain_step(c):
+        d = prev[c & 0xFFFF]
+        return jnp.where(d > c, jnp.int32(-100000), c - d)
+
+    pa_on = attempts > 128  # pattern analysis from L9 up (reference clTable)
+
+    def count_pattern(p, pat):
+        """Forward run length of the repeated all-equal-bytes pattern."""
+
+        def wcond(q):
+            return (q + 4 <= match_limit) & (W(q) == pat)
+
+        q = jax.lax.while_loop(wcond, lambda q: q + 4, p)
+
+        def bcond(q):
+            return (q < match_limit) & (byte(q) == (pat & 0xFF))
+
+        q = jax.lax.while_loop(bcond, lambda q: q + 1, q)
+        return q - p
+
+    def count_back_pattern(p, pat):
+        def bcond(q):
+            return (q > 0) & (byte(q - 1) == (pat & 0xFF))
+
+        q = jax.lax.while_loop(bcond, lambda q: q - 1, p)
+        return p - q
+
+    def wider_match(ip, ilow, longest0):
+        """Widest match at ip whose start may slide back to ilow.
+
+        Returns (longest, m_start, m_pos); m_pos < 0 when nothing beat
+        ``longest0``.  Mirrors hostref._ChainFinder.wider_match including
+        the repeated-pattern acceleration at L9+ (all-equal-byte patterns
+        only, matching the reference's confirmation test)."""
+        insert_upto(ip)
+        lookback = ip - ilow
+        lowest = jnp.maximum(ip - 65535, 0)
+        pattern = W(ip)
+
+        # the head may hold entries at/after ip from deeper probes
+        cand0 = jax.lax.while_loop(
+            lambda c: c >= ip, chain_step, htab[hash4(pattern)]
+        )
 
         def walk_cond(s):
-            cand, best_len, best_cand, k = s
-            return (
-                (cand >= lowest)
-                & (k < attempts)
-                & (best_len < max_possible)
-            )
+            cand, k, longest, m_start, m_pos, rt, rc, spl = s
+            return (cand >= lowest) & (k < attempts)
 
         def walk_body(s):
-            cand, best_len, best_cand, k = s
-            ok = (W(cand) == w) & (
-                byte(cand + best_len) == byte(p + best_len)
-            )
+            cand, k, longest, m_start, m_pos, rt, rc, spl = s
+            # quick reject: the bytes that would extend the best must match
+            ok = (
+                (W(ilow + longest - 1) & 0xFFFF)
+                == (W(cand - lookback + longest - 1) & 0xFFFF)
+            ) & (W(cand) == pattern)
 
-            def measure(_):
-                l = MIN_MATCH + match_length(
-                    cand + MIN_MATCH, p + MIN_MATCH, match_limit
+            def measure(args):
+                longest, m_start, m_pos = args
+                floor = jnp.maximum(ilow - ip, -cand)
+
+                def back_cond(b):
+                    return (b > floor) & (
+                        byte(ip + b - 1) == byte(cand + b - 1)
+                    )
+
+                back = jax.lax.while_loop(
+                    back_cond, lambda b: b - 1, jnp.int32(0)
                 )
-                better = l > best_len
+                ml = (
+                    MIN_MATCH
+                    + match_length(
+                        cand + MIN_MATCH, ip + MIN_MATCH, match_limit
+                    )
+                    - back
+                )
+                better = ml > longest
                 return (
-                    jnp.where(better, l, best_len),
-                    jnp.where(better, cand, best_cand),
+                    jnp.where(better, ml, longest),
+                    jnp.where(better, ip + back, m_start),
+                    jnp.where(better, cand + back, m_pos),
                 )
 
-            best_len2, best_cand2 = jax.lax.cond(
-                ok, measure, lambda _: (best_len, best_cand), None
-            )
-            d = prev[cand & 0xFFFF]
-            return (
-                jnp.where(d > cand, -1 - 65535, cand - d),
-                best_len2,
-                best_cand2,
-                k + 1,
+            longest, m_start, m_pos = jax.lax.cond(
+                ok, measure, lambda a: a, (longest, m_start, m_pos)
             )
 
-        # p was just inserted: its chain delta points at the previous
-        # occurrence (0xFFFF sentinel yields a bogus candidate that the
-        # word-compare rejects — same behavior as the native delta ring)
-        c0 = p - prev[p & 0xFFFF]
-        _, best_len, best_cand, _ = jax.lax.while_loop(
-            walk_cond, walk_body, (c0, MIN_MATCH - 1, -1, 0)
+            if not pa_on:
+                return (chain_step(cand), k + 1, longest, m_start, m_pos,
+                        rt, rc, spl)
+
+            # -- repeated-pattern acceleration ------------------------------
+            def pa_path(args):
+                cand, longest, m_start, m_pos, rt, rc, spl = args
+                # lazily confirm the source pattern (once per search)
+                rc2 = jnp.where(
+                    rt,
+                    rc,
+                    ((pattern & 0xFFFF) == ((pattern >> 16) & 0xFFFF))
+                    & ((pattern & 0xFF) == ((pattern >> 24) & 0xFF)),
+                )
+                spl2 = jax.lax.cond(
+                    (~rt) & rc2,
+                    lambda _: count_pattern(ip + 4, pattern) + 4,
+                    lambda _: spl,
+                    None,
+                )
+                cand2 = cand - 1
+                apply = rc2 & (cand2 >= lowest) & (W(cand2) == pattern)
+
+                def do_pa(args):
+                    cand, longest, m_start, m_pos = args
+                    fwd = count_pattern(cand2 + 4, pattern) + 4
+                    backp = jnp.minimum(
+                        count_back_pattern(cand2, pattern), cand2 - lowest
+                    )
+                    seg = backp + fwd
+                    aligned = (seg >= spl2) & (fwd <= spl2)
+
+                    def jump(args):
+                        cand, longest, m_start, m_pos = args
+                        return (cand2 + fwd - spl2, longest, m_start, m_pos)
+
+                    def farthest(args):
+                        cand, longest, m_start, m_pos = args
+                        nc = cand2 - backp
+
+                        def lb0(args):
+                            longest, m_start, m_pos = args
+                            max_ml = jnp.minimum(seg, spl2)
+                            improve = longest < max_ml
+                            too_far = improve & (ip - nc > 65535)
+                            longest = jnp.where(
+                                improve & ~too_far, max_ml, longest
+                            )
+                            m_pos = jnp.where(improve & ~too_far, nc, m_pos)
+                            m_start = jnp.where(
+                                improve & ~too_far, ip, m_start
+                            )
+                            nxt = jnp.where(
+                                too_far, jnp.int32(-100000), chain_step(nc)
+                            )
+                            return nxt, longest, m_start, m_pos
+
+                        def lbN(args):
+                            longest, m_start, m_pos = args
+                            return nc, longest, m_start, m_pos
+
+                        return jax.lax.cond(
+                            lookback == 0, lb0, lbN,
+                            (longest, m_start, m_pos),
+                        )
+
+                    return jax.lax.cond(
+                        aligned, jump, farthest,
+                        (cand, longest, m_start, m_pos),
+                    )
+
+                cand, longest, m_start, m_pos = jax.lax.cond(
+                    apply,
+                    do_pa,
+                    lambda a: (chain_step(a[0]), a[1], a[2], a[3]),
+                    (cand, longest, m_start, m_pos),
+                )
+                return cand, longest, m_start, m_pos, jnp.array(True), rc2, \
+                    spl2
+
+            def plain_path(args):
+                cand, longest, m_start, m_pos, rt, rc, spl = args
+                return (chain_step(cand), longest, m_start, m_pos,
+                        rt, rc, spl)
+
+            take_pa = prev[cand & 0xFFFF] == 1
+            cand, longest, m_start, m_pos, rt, rc, spl = jax.lax.cond(
+                take_pa, pa_path, plain_path,
+                (cand, longest, m_start, m_pos, rt, rc, spl),
+            )
+            return cand, k + 1, longest, m_start, m_pos, rt, rc, spl
+
+        _, _, longest, m_start, m_pos, _, _, _ = jax.lax.while_loop(
+            walk_cond, walk_body,
+            (cand0, jnp.int32(0), longest0, ip, jnp.int32(-1),
+             jnp.array(False), jnp.array(False), jnp.int32(0)),
         )
-        return jnp.where(best_cand >= 0, best_len, 0), best_cand
+        return longest, m_start, m_pos
 
     def hc_body(state):
-        p, anchor, acc, op, search, err = state
+        ip_s, anchor, acc, op, search, err = state
+        ml1, _, mp1 = wider_match(ip_s, ip_s, MIN_MATCH - 1)
 
-        def find_cond(s):
-            p, blen, bcand = s
-            return (blen < MIN_MATCH) & (p < mf_limit)
+        def no_match(args):
+            ip_s, anchor, acc, op, err = args
+            return ip_s + 1, anchor, acc, op, err
 
-        def find_body(s):
-            p, _, _ = s
-            hc_insert(p)
-            blen, bcand = hc_search(p)
-            found = blen >= MIN_MATCH
-            return jnp.where(found, p, p + 1), blen, bcand
-
-        p, best_len, best_cand = jax.lax.while_loop(
-            find_cond, find_body, (p, jnp.int32(0), jnp.int32(-1))
-        )
-        hit = best_len >= MIN_MATCH
-
-        # one-step-lazy refinement: a strictly longer match starting at the
-        # next byte wins a literal (lightweight analog of the reference's
-        # ML2 lookahead, `x64/LL64.high.cs:568-617`)
-        def lazy(args):
-            p, best_len, best_cand = args
-
-            def lbody(s):
-                p, blen, bcand, _ = s
-                hc_insert(p + 1)
-                nlen, ncand = hc_search(p + 1)
-                better = nlen > blen
-                return (
-                    jnp.where(better, p + 1, p),
-                    jnp.where(better, nlen, blen),
-                    jnp.where(better, ncand, bcand),
-                    better & (p + 2 < mf_limit),
-                )
-
-            p, blen, bcand, _ = jax.lax.while_loop(
-                lambda s: s[3], lbody, (p, best_len, best_cand, True)
+        def machine(args):
+            ip_s, anchor, acc, op, err = args
+            # lookahead machine carry (phases 2/3 of the reference parse)
+            init = (
+                jnp.int32(2),            # phase
+                ip_s, mp1, ml1,          # ip, ref, ml  (current ML1)
+                ip_s, mp1, ml1,          # s0, r0, m0   (original ML1)
+                jnp.int32(0), jnp.int32(0), jnp.int32(0),  # s2, r2, m2
+                anchor, acc, op, err,
+                jnp.array(False),        # fin
+                ip_s,                    # ip_next (scan resume)
             )
-            return p, blen, bcand
 
-        p, best_len, best_cand = jax.lax.cond(
-            hit & (p + 1 < mf_limit), lazy,
-            lambda a: a, (p, best_len, best_cand),
+            def m_cond(c):
+                return ~c[14]
+
+            def m_body(c):
+                (phase, ip, ref, ml, s0, r0, m0, s2, r2, m2,
+                 anchor, acc, op, err, fin, ipn) = c
+
+                def do2(c):
+                    (phase, ip, ref, ml, s0, r0, m0, s2, r2, m2,
+                     anchor, acc, op, err, fin, ipn) = c
+                    l2, st2, p2 = jax.lax.cond(
+                        ip + ml <= mf_limit,
+                        lambda _: wider_match(ip + ml - 2, ip, ml),
+                        lambda _: (ml, ip, jnp.int32(-1)),
+                        None,
+                    )
+
+                    def emit_ml1(c):
+                        (phase, ip, ref, ml, s0, r0, m0, s2, r2, m2,
+                         anchor, acc, op, err, fin, ipn) = c
+                        acc2, op2 = emit_sequence(
+                            acc, op, anchor, ip, ip - ref, ml
+                        )
+                        return (phase, ip, ref, ml, s0, r0, m0, s2, r2, m2,
+                                ip + ml, acc2, op2, err | (op2 > ocap_b),
+                                jnp.array(True), ip + ml)
+
+                    def overlap(c):
+                        (phase, ip, ref, ml, s0, r0, m0, s2, r2, m2,
+                         anchor, acc, op, err, fin, ipn) = c
+                        # restore the original ML1 if it still fits
+                        restore = (s0 < ip) & (st2 < ip + m0)
+                        ip = jnp.where(restore, s0, ip)
+                        ref = jnp.where(restore, r0, ref)
+                        ml = jnp.where(restore, m0, ml)
+                        tiny = st2 - ip < 3  # ML1 too short: ML2 replaces it
+                        phase = jnp.where(tiny, 2, 3)
+                        ip2_ = jnp.where(tiny, st2, ip)
+                        ref2_ = jnp.where(tiny, p2, ref)
+                        ml2_ = jnp.where(tiny, l2, ml)
+                        s2n = jnp.where(tiny, s2, st2)
+                        r2n = jnp.where(tiny, r2, p2)
+                        m2n = jnp.where(tiny, m2, l2)
+                        return (phase, ip2_, ref2_, ml2_, s0, r0, m0,
+                                s2n, r2n, m2n, anchor, acc, op, err, fin, ipn)
+
+                    return jax.lax.cond(l2 == ml, emit_ml1, overlap, c)
+
+                def do3(c):
+                    (phase, ip, ref, ml, s0, r0, m0, s2, r2, m2,
+                     anchor, acc, op, err, fin, ipn) = c
+                    # trim ML1 so the pair packs token-optimally
+                    near = s2 - ip < _OPT_ML
+                    nml = jnp.minimum(ml, _OPT_ML)
+                    nml = jnp.where(
+                        ip + nml > s2 + m2 - MIN_MATCH,
+                        s2 - ip + m2 - MIN_MATCH,
+                        nml,
+                    )
+                    corr = jnp.maximum(nml - (s2 - ip), 0)
+                    corr = jnp.where(near, corr, 0)
+                    s2 = s2 + corr
+                    r2 = r2 + corr
+                    m2 = m2 - corr
+
+                    l3, st3, p3 = jax.lax.cond(
+                        s2 + m2 <= mf_limit,
+                        lambda _: wider_match(s2 + m2 - 3, s2, m2),
+                        lambda _: (m2, s2, jnp.int32(-1)),
+                        None,
+                    )
+
+                    def emit_pair(c):
+                        (phase, ip, ref, ml, s0, r0, m0, s2, r2, m2,
+                         anchor, acc, op, err, fin, ipn) = c
+                        mla = jnp.where(s2 < ip + ml, s2 - ip, ml)
+                        acc2, op2 = emit_sequence(
+                            acc, op, anchor, ip, ip - ref, mla
+                        )
+                        acc3, op3 = emit_sequence(
+                            acc2, op2, ip + mla, s2, s2 - r2, m2
+                        )
+                        return (phase, ip, ref, ml, s0, r0, m0, s2, r2, m2,
+                                s2 + m2, acc3, op3,
+                                err | (op3 > ocap_b), jnp.array(True),
+                                s2 + m2)
+
+                    def kill_zone(c):
+                        (phase, ip, ref, ml, s0, r0, m0, s2, r2, m2,
+                         anchor, acc, op, err, fin, ipn) = c
+
+                        def ml3_becomes_ml1(c):
+                            (phase, ip, ref, ml, s0, r0, m0, s2, r2, m2,
+                             anchor, acc, op, err, fin, ipn) = c
+                            squeeze = s2 < ip + ml
+                            corr2 = jnp.where(squeeze, ip + ml - s2, 0)
+                            s2b = s2 + corr2
+                            r2b = r2 + corr2
+                            m2b = m2 - corr2
+                            gone = m2b < MIN_MATCH
+                            s2b = jnp.where(gone, st3, s2b)
+                            r2b = jnp.where(gone, p3, r2b)
+                            m2b = jnp.where(gone, l3, m2b)
+                            acc2, op2 = emit_sequence(
+                                acc, op, anchor, ip, ip - ref, ml
+                            )
+                            return (jnp.int32(2), st3, p3, l3,
+                                    s2b, r2b, m2b,
+                                    jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                                    ip + ml, acc2, op2,
+                                    err | (op2 > ocap_b),
+                                    jnp.array(False), ipn)
+
+                        def ml3_kills_ml2(c):
+                            (phase, ip, ref, ml, s0, r0, m0, s2, r2, m2,
+                             anchor, acc, op, err, fin, ipn) = c
+                            return (jnp.int32(3), ip, ref, ml, s0, r0, m0,
+                                    st3, p3, l3, anchor, acc, op, err,
+                                    fin, ipn)
+
+                        return jax.lax.cond(
+                            st3 >= ip + ml, ml3_becomes_ml1, ml3_kills_ml2, c
+                        )
+
+                    def ascending(c):
+                        (phase, ip, ref, ml, s0, r0, m0, s2, r2, m2,
+                         anchor, acc, op, err, fin, ipn) = c
+                        # three ascending matches: emit trimmed ML1, shift
+                        overlapped = s2 < ip + ml
+                        near2 = s2 - ip < _OPT_ML
+                        mlt = jnp.minimum(ml, _OPT_ML)
+                        mlt = jnp.where(
+                            ip + mlt > s2 + m2 - MIN_MATCH,
+                            s2 - ip + m2 - MIN_MATCH,
+                            mlt,
+                        )
+                        corr3 = jnp.maximum(mlt - (s2 - ip), 0)
+                        use_corr = overlapped & near2
+                        corr3 = jnp.where(use_corr, corr3, 0)
+                        mlf = jnp.where(
+                            overlapped,
+                            jnp.where(near2, jnp.minimum(mlt, ml), s2 - ip),
+                            ml,
+                        )
+                        s2c = s2 + corr3
+                        r2c = r2 + corr3
+                        m2c = m2 - corr3
+                        acc2, op2 = emit_sequence(
+                            acc, op, anchor, ip, ip - ref, mlf
+                        )
+                        return (jnp.int32(3), s2c, r2c, m2c, s0, r0, m0,
+                                st3, p3, l3, ip + mlf, acc2, op2,
+                                err | (op2 > ocap_b), jnp.array(False), ipn)
+
+                    return jax.lax.cond(
+                        l3 == m2,
+                        emit_pair,
+                        lambda c: jax.lax.cond(
+                            st3 < ip + ml + 3, kill_zone, ascending, c
+                        ),
+                        (phase, ip, ref, ml, s0, r0, m0, s2, r2, m2,
+                         anchor, acc, op, err, fin, ipn),
+                    )
+
+                return jax.lax.cond(phase == 2, do2, do3, c)
+
+            out = jax.lax.while_loop(m_cond, m_body, init)
+            (_, _, _, _, _, _, _, _, _, _,
+             anchor2, acc2, op2, err2, _, ipn) = out
+            return ipn, anchor2, acc2, op2, err2
+
+        ip_s, anchor, acc, op, err = jax.lax.cond(
+            (ml1 >= MIN_MATCH) & (mp1 >= 0), machine, no_match,
+            (ip_s, anchor, acc, op, err),
         )
-
-        def take(args):
-            p, anchor, acc, op, cand, err = args
-
-            def back_cond(s):
-                pp, cc = s
-                return (pp > anchor) & (cc > 0) & (byte(pp - 1) == byte(cc - 1))
-
-            def back_body(s):
-                pp, cc = s
-                return pp - 1, cc - 1
-
-            p2, c2 = jax.lax.while_loop(back_cond, back_body, (p, cand))
-            ml = best_len + (p - p2)
-            acc, op2 = emit_sequence(acc, op, anchor, p2, p2 - c2, ml)
-            err = err | (op2 > ocap_b)
-            np_ = p2 + ml
-
-            def ins_body(q, _):
-                hc_insert(q)
-                return 0
-
-            jax.lax.fori_loop(p + 1, jnp.minimum(np_, mf_limit), ins_body, 0)
-            return np_, np_, acc, op2, search, err
-
-        def skip(args):
-            p, anchor, acc, op, _, err = args
-            return p + 1, anchor, acc, op, search, err
-
-        p, anchor, acc, op, search, err = jax.lax.cond(
-            hit, take, skip, (p, anchor, acc, op, best_cand, err)
-        )
-        return p, anchor, acc, op, search, err
+        return ip_s, anchor, acc, op, search, err
 
     scan_body = fast_body if attempts == 0 else hc_body
 
     def scan_cond(state):
         p, anchor, acc, op, search, err = state
+        if attempts:
+            return (p <= mf_limit) & (~err)  # reference HC bound (<=)
         return (p < mf_limit) & (~err)
 
     small_block = n < MF_LIMIT + 1
-    p0 = jnp.where(small_block, mf_limit, 0)
+    # mf_limit + 1 exits both scan bounds (< for FAST, <= for HC)
+    p0 = jnp.where(small_block, mf_limit + 1, 0)
     p, anchor, acc, op, _, err = jax.lax.while_loop(
         scan_cond, scan_body,
         (p0, 0, jnp.uint32(0), 0, acc0 << _SKIP_TRIGGER, False),
@@ -463,14 +731,15 @@ def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None):
         scratch_shapes=[
             pltpu.SMEM((1 << _HLOG,), jnp.int32),
             pltpu.SMEM((65536 if attempts else 8,), jnp.int32),
+            pltpu.SMEM((8,), jnp.int32),
         ],
     )
 
-    def kernel(lens_ref, accs_ref, src_s, out_ref, meta_ref, htab, prev):
+    def kernel(lens_ref, accs_ref, src_s, out_ref, meta_ref, htab, prev, nti):
         i = pl.program_id(0)
         acc = jnp.maximum(accs_ref[0], 1)
         _encode_one(
-            lens_ref[i], acc, src_s, htab, prev, out_ref, meta_ref,
+            lens_ref[i], acc, src_s, htab, prev, nti, out_ref, meta_ref,
             attempts, align1024(compress_bound(bcap)),
         )
 

@@ -107,3 +107,25 @@ def test_fuzz_roundtrip(rng):
             assert errs[i] == 0, (level, i)
             comp = out[i, : clens[i]].tobytes()
             assert hostref.decode_block(comp, len(d)) == d, (level, i)
+
+
+def test_hc_byte_identical_to_oracle(rng):
+    """The device HC implements the same wider-match + ML1/ML2/ML3
+    lookahead algorithm as the host oracle (including pattern analysis at
+    L9) and must produce BYTE-IDENTICAL output — three independent
+    implementations (device kernel, python oracle, native C) of the
+    reference HC agreeing byte-for-byte."""
+    cases = _cases(rng) + [
+        (b"abcabcabcabd" * 300)[:3500],
+        rng.randbytes(64) * 60,
+        b"".join(
+            rng.choice([b"the ", b"quick ", b"brown ", b"fox "])
+            for _ in range(800)
+        )[:3500],
+    ]
+    for level in (3, 6, 9):
+        out, clens, errs = _encode(cases, level=level)
+        for i, d in enumerate(cases):
+            assert errs[i] == 0, (level, i)
+            comp = out[i, : clens[i]].tobytes()
+            assert comp == hostref.encode_hc(d, level=level), (level, i)
