@@ -39,6 +39,20 @@ _HLOG = 13
 _SKIP_TRIGGER = 6
 
 
+class _Row:
+    """Scalar row view over a 2D SMEM scratch (opt-table field access)."""
+
+    def __init__(self, ref, i):
+        self._ref = ref
+        self._i = i
+
+    def __getitem__(self, k):
+        return self._ref[self._i, k]
+
+    def __setitem__(self, k, v):
+        self._ref[self._i, k] = v
+
+
 def _u(x):
     return jnp.asarray(x).astype(jnp.uint32)
 
@@ -47,8 +61,9 @@ def _i(x):
     return jnp.asarray(x).astype(jnp.int32)
 
 
-def _encode_one(n, acc0, src_s, htab, prev, nti, out_ref, meta_ref,
-                attempts: int, ocap: int):
+def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
+                attempts: int, ocap: int, opt_sufficient: int = 0,
+                opt_full: bool = False):
     """Encode one block, all-scalar.
 
     src_s:   SMEM i32[1, 1, CAP]  per-byte LE words
@@ -195,6 +210,10 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, out_ref, meta_ref,
     mf_limit = n - MF_LIMIT
     match_limit = n - LAST_LITERALS
     ocap_b = ocap
+    opt_p = _Row(opt_tab, 0)
+    opt_m = _Row(opt_tab, 1)
+    opt_o = _Row(opt_tab, 2)
+    opt_l = _Row(opt_tab, 3)
 
     # ---- init hash table -------------------------------------------------
     def init_body(h, _):
@@ -316,13 +335,16 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, out_ref, meta_ref,
         q = jax.lax.while_loop(bcond, lambda q: q - 1, p)
         return p - q
 
-    def wider_match(ip, ilow, longest0):
+    def wider_match(ip, ilow, longest0, chain_swap: bool = False):
         """Widest match at ip whose start may slide back to ilow.
 
         Returns (longest, m_start, m_pos); m_pos < 0 when nothing beat
-        ``longest0``.  Mirrors hostref._ChainFinder.wider_match including
-        the repeated-pattern acceleration at L9+ (all-equal-byte patterns
-        only, matching the reference's confirmation test)."""
+        ``longest0``.  Mirrors hostref._ChainFinder.wider_match: the
+        would-extend quick reject, backward extension, repeated-pattern
+        acceleration (always on for the optimal-parse search, L9+ for the
+        hash-chain parse), and better-chain selection (chain_swap, optimal
+        parse only)."""
+        pa_static = pa_on or chain_swap  # FindLongerMatch forces PA on
         insert_upto(ip)
         lookback = ip - ilow
         lowest = jnp.maximum(ip - 65535, 0)
@@ -333,53 +355,21 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, out_ref, meta_ref,
             lambda c: c >= ip, chain_step, htab[hash4(pattern)]
         )
 
-        def walk_cond(s):
-            cand, k, longest, m_start, m_pos, rt, rc, spl = s
-            return (cand >= lowest) & (k < attempts)
+        def advance(args):
+            """PA-or-plain chain advance from cand with chain offset co.
 
-        def walk_body(s):
-            cand, k, longest, m_start, m_pos, rt, rc, spl = s
-            # quick reject: the bytes that would extend the best must match
-            ok = (
-                (W(ilow + longest - 1) & 0xFFFF)
-                == (W(cand - lookback + longest - 1) & 0xFFFF)
-            ) & (W(cand) == pattern)
+            Returns (next_cand, longest, m_start, m_pos, rt, rc, spl)."""
+            cand, co, longest, m_start, m_pos, rt, rc, spl = args
 
-            def measure(args):
-                longest, m_start, m_pos = args
-                floor = jnp.maximum(ilow - ip, -cand)
+            def plain(args):
+                cand, longest, m_start, m_pos, rt, rc, spl = args
+                d = _i(prev[(cand + co) & 0xFFFF])
+                nc = jnp.where(d > cand, jnp.int32(-100000), cand - d)
+                return nc, longest, m_start, m_pos, rt, rc, spl
 
-                def back_cond(b):
-                    return (b > floor) & (
-                        byte(ip + b - 1) == byte(cand + b - 1)
-                    )
+            if not pa_static:
+                return plain((cand, longest, m_start, m_pos, rt, rc, spl))
 
-                back = jax.lax.while_loop(
-                    back_cond, lambda b: b - 1, jnp.int32(0)
-                )
-                ml = (
-                    MIN_MATCH
-                    + match_length(
-                        cand + MIN_MATCH, ip + MIN_MATCH, match_limit
-                    )
-                    - back
-                )
-                better = ml > longest
-                return (
-                    jnp.where(better, ml, longest),
-                    jnp.where(better, ip + back, m_start),
-                    jnp.where(better, cand + back, m_pos),
-                )
-
-            longest, m_start, m_pos = jax.lax.cond(
-                ok, measure, lambda a: a, (longest, m_start, m_pos)
-            )
-
-            if not pa_on:
-                return (chain_step(cand), k + 1, longest, m_start, m_pos,
-                        rt, rc, spl)
-
-            # -- repeated-pattern acceleration ------------------------------
             def pa_path(args):
                 cand, longest, m_start, m_pos, rt, rc, spl = args
                 # lazily confirm the source pattern (once per search)
@@ -449,28 +439,140 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, out_ref, meta_ref,
                 cand, longest, m_start, m_pos = jax.lax.cond(
                     apply,
                     do_pa,
-                    lambda a: (chain_step(a[0]), a[1], a[2], a[3]),
+                    lambda a: (
+                        chain_step(a[0]), a[1], a[2], a[3]
+                    ),
                     (cand, longest, m_start, m_pos),
                 )
-                return cand, longest, m_start, m_pos, jnp.array(True), rc2, \
-                    spl2
+                return (cand, longest, m_start, m_pos, jnp.array(True), rc2,
+                        spl2)
 
-            def plain_path(args):
-                cand, longest, m_start, m_pos, rt, rc, spl = args
-                return (chain_step(cand), longest, m_start, m_pos,
-                        rt, rc, spl)
-
-            take_pa = prev[cand & 0xFFFF] == 1
-            cand, longest, m_start, m_pos, rt, rc, spl = jax.lax.cond(
-                take_pa, pa_path, plain_path,
+            take_pa = (_i(prev[cand & 0xFFFF]) == 1) & (co == 0)
+            return jax.lax.cond(
+                take_pa, pa_path, plain,
                 (cand, longest, m_start, m_pos, rt, rc, spl),
             )
-            return cand, k + 1, longest, m_start, m_pos, rt, rc, spl
 
-        _, _, longest, m_start, m_pos, _, _, _ = jax.lax.while_loop(
+        def walk_cond(s):
+            cand, k, longest, m_start, m_pos, rt, rc, spl, co = s
+            return (cand >= lowest) & (k < attempts)
+
+        def walk_body(s):
+            cand, k, longest, m_start, m_pos, rt, rc, spl, co = s
+            # quick reject: the bytes that would extend the best must match
+            ok = (
+                (W(ilow + longest - 1) & 0xFFFF)
+                == (W(cand - lookback + longest - 1) & 0xFFFF)
+            ) & (W(cand) == pattern)
+
+            def measure(args):
+                longest, m_start, m_pos = args
+                floor = jnp.maximum(ilow - ip, -cand)
+
+                def back_cond(b):
+                    return (b > floor) & (
+                        byte(ip + b - 1) == byte(cand + b - 1)
+                    )
+
+                back = jax.lax.while_loop(
+                    back_cond, lambda b: b - 1, jnp.int32(0)
+                )
+                ml = (
+                    MIN_MATCH
+                    + match_length(
+                        cand + MIN_MATCH, ip + MIN_MATCH, match_limit
+                    )
+                    - back
+                )
+                better = ml > longest
+                return (
+                    jnp.where(better, ml, longest),
+                    jnp.where(better, ip + back, m_start),
+                    jnp.where(better, cand + back, m_pos),
+                ), ml
+
+            (longest, m_start, m_pos), mlen = jax.lax.cond(
+                ok, measure,
+                lambda a: (a, jnp.int32(0)),
+                (longest, m_start, m_pos),
+            )
+
+            if chain_swap:
+                def swap(args):
+                    cand, co = args
+
+                    def scan_cond(st):
+                        q, step, accel, bj, bo = st
+                        return q < longest - MIN_MATCH + 1
+
+                    def scan_body(st):
+                        q, step, accel, bj, bo = st
+                        d = _i(prev[(cand + q) & 0xFFFF])
+                        step2 = accel >> 4
+                        better = d > bj
+                        return (
+                            q + step2,
+                            step2,
+                            jnp.where(better, jnp.int32(1 << 4), accel + 1),
+                            jnp.where(better, d, bj),
+                            jnp.where(better, q, bo),
+                        )
+
+                    _, _, _, bj, bo = jax.lax.while_loop(
+                        scan_cond, scan_body,
+                        (jnp.int32(0), jnp.int32(1), jnp.int32(1 << 4),
+                         jnp.int32(1), jnp.int32(0)),
+                    )
+                    jumped = bj > 1
+                    nc = jnp.where(
+                        jumped,
+                        jnp.where(bj > cand, jnp.int32(-100000), cand - bj),
+                        cand,
+                    )
+                    # scan found no jump: chain_off resets to 0 (hostref
+                    # resets it at swap-block entry)
+                    return nc, jnp.int32(0), jumped
+
+                do_swap = (mlen == longest) & (mlen > 0) & (
+                    cand + longest <= ip
+                )
+                cand_s, co_s, jumped = jax.lax.cond(
+                    do_swap, swap,
+                    lambda a: (a[0], a[1], jnp.array(False)),
+                    (cand, co),
+                )
+
+                def cont_jumped(args):
+                    cand_s, co_s, longest, m_start, m_pos, rt, rc, spl = args
+                    return (cand_s, longest, m_start, m_pos, rt, rc, spl,
+                            jnp.int32(0))
+
+                def cont_advance(args):
+                    cand_s, co_s, longest, m_start, m_pos, rt, rc, spl = args
+                    nc, longest, m_start, m_pos, rt, rc, spl = advance(
+                        (cand_s, co_s, longest, m_start, m_pos, rt, rc, spl)
+                    )
+                    return nc, longest, m_start, m_pos, rt, rc, spl, co_s
+
+                (cand, longest, m_start, m_pos, rt, rc, spl, co) = (
+                    jax.lax.cond(
+                        jumped, cont_jumped, cont_advance,
+                        (cand_s, co_s, longest, m_start, m_pos, rt, rc, spl),
+                    )
+                )
+                return (cand, k + 1, longest, m_start, m_pos, rt, rc, spl,
+                        co)
+
+            cand, longest, m_start, m_pos, rt, rc, spl = advance(
+                (cand, co, longest, m_start, m_pos, rt, rc, spl)
+            )
+            return cand, k + 1, longest, m_start, m_pos, rt, rc, spl, co
+
+        _, _, longest, m_start, m_pos, _, _, _, _ = jax.lax.while_loop(
             walk_cond, walk_body,
             (cand0, jnp.int32(0), longest0, ip, jnp.int32(-1),
-             jnp.array(False), jnp.array(False), jnp.int32(0)),
+             jnp.array(False), jnp.array(False), jnp.int32(0),
+             jnp.int32(0)),
         )
         return longest, m_start, m_pos
 
@@ -672,12 +774,239 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, out_ref, meta_ref,
         )
         return ip_s, anchor, acc, op, search, err
 
-    scan_body = fast_body if attempts == 0 else hc_body
+
+    # ---- optimal parse (L10-L12): exact price-model DP -------------------
+    # `x64/LL64.high.cs:803-1122` semantics, byte-identical to
+    # block/hostref.encode_opt (which is byte-identical to the native C
+    # engine).  Prices live in SMEM scratch (opt tables: price/off/mlen/lit).
+    def lit_price(l):
+        return l + jnp.where(l >= 15, 1 + (l - 15) // 255, 0)
+
+    def seq_price(ll, m):
+        return (
+            3
+            + lit_price(ll)
+            + jnp.where(m >= 15 + MIN_MATCH,
+                        1 + (m - 15 - MIN_MATCH) // 255, 0)
+        )
+
+    def opt_find(ip, min_len):
+        ln, _, mp = wider_match(ip, ip, min_len, chain_swap=True)
+        ok = (ln > min_len) & (mp >= 0)
+        return jnp.where(ok, ln, 0), jnp.where(ok, ip - mp, 0)
+
+    def opt_body(state):
+        ip_s, anchor, acc, op, search, err = state
+        l1, o1 = opt_find(ip_s, MIN_MATCH - 1)
+
+        def no_match(args):
+            ip_s, anchor, acc, op, err = args
+            return ip_s + 1, anchor, acc, op, err
+
+        def immediate(args):
+            ip_s, anchor, acc, op, err = args
+            acc2, op2 = emit_sequence(acc, op, anchor, ip_s, o1, l1)
+            return (ip_s + l1, ip_s + l1, acc2, op2,
+                    err | (op2 > ocap_b))
+
+        def dp(args):
+            ip_s, anchor, acc, op, err = args
+            llen = ip_s - anchor
+
+            # seed: leading literals, then the first match
+            for r in range(MIN_MATCH):
+                opt_p[r] = lit_price(llen + r)
+                opt_m[r] = 1
+                opt_o[r] = 0
+                opt_l[r] = llen + r
+
+            def seed_m(m, _):
+                opt_p[m] = seq_price(llen, m)
+                opt_m[m] = m
+                opt_o[m] = o1
+                opt_l[m] = llen
+                return 0
+
+            jax.lax.fori_loop(MIN_MATCH, l1 + 1, seed_m, 0)
+
+            def trailing(last):
+                for a in range(1, 4):
+                    opt_p[last + a] = opt_p[last] + lit_price(a)
+                    opt_m[last + a] = 1
+                    opt_o[last + a] = 0
+                    opt_l[last + a] = a
+
+            trailing(l1)
+
+            def cur_cond(c):
+                cur, last, early, bm, bo = c
+                return (cur < last) & (~early)
+
+            def cur_body(c):
+                cur, last, early, bm, bo = c
+                if opt_full:
+                    prune = (opt_p[cur + 1] <= opt_p[cur]) & (
+                        opt_p[cur + MIN_MATCH] < opt_p[cur] + 3
+                    )
+                else:
+                    prune = opt_p[cur + 1] <= opt_p[cur]
+                prune = prune | (ip_s + cur > mf_limit)
+
+                def pruned(c):
+                    cur, last, early, bm, bo = c
+                    return cur + 1, last, early, bm, bo
+
+                def work(c):
+                    cur, last, early, bm, bo = c
+                    min_len = (
+                        jnp.int32(MIN_MATCH - 1) if opt_full else last - cur
+                    )
+                    nl, no = opt_find(ip_s + cur, min_len)
+
+                    def none(c):
+                        cur, last, early, bm, bo = c
+                        return cur + 1, last, early, bm, bo
+
+                    def got(c):
+                        cur, last, early, bm, bo = c
+                        big = (nl > opt_sufficient) | (nl + cur >= 4096)
+
+                        def early_exit(c):
+                            cur, last, early, bm, bo = c
+                            return cur, cur + 1, jnp.array(True), nl, no
+
+                        def update(c):
+                            cur, last, early, bm, bo = c
+                            base_ll = opt_l[cur]
+                            base_p = opt_p[cur]
+                            for l in range(1, MIN_MATCH):
+                                price = (
+                                    base_p
+                                    - lit_price(base_ll)
+                                    + lit_price(base_ll + l)
+                                )
+
+                                @pl.when(price < opt_p[cur + l])
+                                def _():
+                                    opt_p[cur + l] = price
+                                    opt_m[cur + l] = 1
+                                    opt_o[cur + l] = 0
+                                    opt_l[cur + l] = base_ll + l
+
+                            cur_is_lit = opt_m[cur] == 1
+                            ll_c = jnp.where(cur_is_lit, opt_l[cur], 0)
+                            base2 = jnp.where(
+                                cur_is_lit,
+                                jnp.where(cur > ll_c, opt_p[cur - ll_c], 0),
+                                opt_p[cur],
+                            )
+
+                            def m_body(st):
+                                m, last = st
+                                pos = cur + m
+                                price = base2 + seq_price(ll_c, m)
+                                do = (pos > last + 3) | (
+                                    price <= opt_p[pos]
+                                )
+
+                                @pl.when(do)
+                                def _():
+                                    opt_p[pos] = price
+                                    opt_m[pos] = m
+                                    opt_o[pos] = no
+                                    opt_l[pos] = ll_c
+
+                                last = jnp.where(
+                                    do & (m == nl) & (last < pos), pos, last
+                                )
+                                return m + 1, last
+
+                            _, last = jax.lax.while_loop(
+                                lambda st: st[0] <= nl, m_body,
+                                (jnp.int32(MIN_MATCH), last),
+                            )
+                            trailing(last)
+                            return cur + 1, last, early, bm, bo
+
+                        return jax.lax.cond(big, early_exit, update, c)
+
+                    return jax.lax.cond(nl == 0, none, got, c)
+
+                return jax.lax.cond(prune, pruned, work, c)
+
+            cur, last, early, bm, bo = jax.lax.while_loop(
+                cur_cond, cur_body,
+                (jnp.int32(1), l1, jnp.array(False), jnp.int32(0),
+                 jnp.int32(0)),
+            )
+            bm = jnp.where(early, bm, opt_m[last])
+            bo = jnp.where(early, bo, opt_o[last])
+            cur_r = jnp.where(early, cur, last - bm)
+
+            # reverse the chosen path in place
+            def rev_body(st):
+                pos, sl, so, stop = st
+                nl2 = opt_m[pos]
+                no2 = opt_o[pos]
+                opt_m[pos] = sl
+                opt_o[pos] = so
+                stop2 = nl2 > pos
+                return (jnp.where(stop2, pos, pos - nl2), nl2, no2, stop2)
+
+            jax.lax.while_loop(
+                lambda st: ~st[3], rev_body,
+                (cur_r, bm, bo, jnp.array(False)),
+            )
+
+            # emit the recorded sequences in order
+            def e_cond(st):
+                r, ip, anchor, acc, op, err = st
+                return r < last
+
+            def e_body(st):
+                r, ip, anchor, acc, op, err = st
+                m = opt_m[r]
+                off = opt_o[r]
+
+                def lit(st):
+                    r, ip, anchor, acc, op, err = st
+                    return r + 1, ip + 1, anchor, acc, op, err
+
+                def seq(st):
+                    r, ip, anchor, acc, op, err = st
+                    acc2, op2 = emit_sequence(acc, op, anchor, ip, off, m)
+                    return (r + m, ip + m, ip + m, acc2, op2,
+                            err | (op2 > ocap_b))
+
+                return jax.lax.cond(m == 1, lit, seq, st)
+
+            _, ip2, anchor2, acc2, op2, err2 = jax.lax.while_loop(
+                e_cond, e_body, (jnp.int32(0), ip_s, anchor, acc, op, err)
+            )
+            return ip2, anchor2, acc2, op2, err2
+
+        ip_s, anchor, acc, op, err = jax.lax.cond(
+            l1 == 0,
+            no_match,
+            lambda a: jax.lax.cond(
+                l1 > opt_sufficient, immediate, dp, a
+            ),
+            (ip_s, anchor, acc, op, err),
+        )
+        return ip_s, anchor, acc, op, search, err
+
+    if opt_sufficient:
+        scan_body = opt_body
+    elif attempts:
+        scan_body = hc_body
+    else:
+        scan_body = fast_body
+
 
     def scan_cond(state):
         p, anchor, acc, op, search, err = state
-        if attempts:
-            return (p <= mf_limit) & (~err)  # reference HC bound (<=)
+        if attempts or opt_sufficient:
+            return (p <= mf_limit) & (~err)  # reference HC/OPT bound (<=)
         return (p < mf_limit) & (~err)
 
     small_block = n < MF_LIMIT + 1
@@ -697,8 +1026,12 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, out_ref, meta_ref,
         meta_ref[0, 0, k] = 0
 
 
-@functools.partial(jax.jit, static_argnames=("bcap", "attempts"))
-def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None):
+@functools.partial(
+    jax.jit,
+    static_argnames=("bcap", "attempts", "opt_sufficient", "opt_full"),
+)
+def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
+                   opt_sufficient: int = 0, opt_full: bool = False):
     """src_i32: i32[B, CAP] block bytes (CAP % 128 == 0, >= bcap + pad).
 
     Returns (out_words i32[B, 1, OW] packed, meta i32[B, 1, 8])."""
@@ -732,15 +1065,18 @@ def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None):
             pltpu.SMEM((1 << _HLOG,), jnp.int32),
             pltpu.SMEM((65536 if attempts else 8,), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
+            pltpu.SMEM((4, 4104 if opt_sufficient else 8), jnp.int32),
         ],
     )
 
-    def kernel(lens_ref, accs_ref, src_s, out_ref, meta_ref, htab, prev, nti):
+    def kernel(lens_ref, accs_ref, src_s, out_ref, meta_ref, htab, prev,
+               nti, opt_tab):
         i = pl.program_id(0)
         acc = jnp.maximum(accs_ref[0], 1)
         _encode_one(
-            lens_ref[i], acc, src_s, htab, prev, nti, out_ref, meta_ref,
-            attempts, align1024(compress_bound(bcap)),
+            lens_ref[i], acc, src_s, htab, prev, nti, opt_tab, out_ref,
+            meta_ref, attempts, align1024(compress_bound(bcap)),
+            opt_sufficient, opt_full,
         )
 
     out, meta = pl.pallas_call(
@@ -758,15 +1094,29 @@ def encode_blocks_pallas5(
     bufs_u8: np.ndarray, lens: np.ndarray, bcap: int, level: int = 0,
     acceleration: int = 1,
 ):
-    """Host wrapper: u8[B, CAP] raw blocks -> (u8[B, OCAP], clens, errs)."""
+    """Host wrapper: u8[B, CAP] raw blocks -> (u8[B, OCAP], clens, errs).
+
+    Covers the whole level ladder: FAST (L0-L2), HC lookahead (L3-L9), and
+    the exact optimal parse (L10-L12)."""
+    from ..constants import HC_LEVEL_TABLE
     from .encode_pallas import LEVEL_ATTEMPTS
 
     src = jnp.asarray(bufs_u8, jnp.int32)
-    attempts = LEVEL_ATTEMPTS.get(int(level), 0)
-    out, meta = pallas_encode5(
-        src, jnp.asarray(lens, jnp.int32), bcap, attempts,
-        jnp.asarray([acceleration], jnp.int32),
-    )
+    level = int(level)
+    if level >= 10:
+        searches, sufficient = HC_LEVEL_TABLE[min(level, 12)]
+        out, meta = pallas_encode5(
+            src, jnp.asarray(lens, jnp.int32), bcap, searches,
+            jnp.asarray([acceleration], jnp.int32),
+            opt_sufficient=min(sufficient, 4095),
+            opt_full=level >= 12,
+        )
+    else:
+        attempts = LEVEL_ATTEMPTS.get(level, 0)
+        out, meta = pallas_encode5(
+            src, jnp.asarray(lens, jnp.int32), bcap, attempts,
+            jnp.asarray([acceleration], jnp.int32),
+        )
     words = np.ascontiguousarray(np.asarray(out).reshape(out.shape[0], -1))
     u8 = words.view(np.uint8).reshape(words.shape[0], -1)
     meta = np.asarray(meta).reshape(-1, 8)

@@ -102,12 +102,12 @@ def batched_decode(comps, comp_lens, out_cap: int):
     return jax.vmap(f)(comps, comp_lens, nodict, zero)
 
 
-# The staged (v1) Pallas kernels keep the whole compressed/raw block in
-# SMEM for the scalar parse; SMEM is 1 MB and block inputs are
-# double-buffered, so staged blocks above 64 KB do not fit.  DECODE has no
-# cap anymore: blocks above this route to the ring-streamed v3 kernel
-# (`ops/decode_pallas3`), which DMAs the stream through constant-size
-# SMEM/VMEM rings.  ENCODE above the cap still falls back to XLA/host.
+# The staged kernels keep the whole compressed/raw block in SMEM for the
+# scalar parse; SMEM is 1 MB and block buffers are double-buffered, so
+# staged blocks above 64 KB do not fit.  DECODE has no cap anymore: larger
+# blocks route to the ring-streamed kernel (`ops/decode_pallas_stream`),
+# which DMAs the stream through constant-size SMEM rings.  ENCODE above
+# the cap routes to the native host engine.
 PALLAS_MAX_BLOCK = 65536
 
 
@@ -129,15 +129,15 @@ def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
                          acceleration: int = 1):
     """Encode a batch on the device with the best available kernel.
 
-    Returns (out u8[B, OCAP], out_lens i32[B]) as numpy.  Optimal-parse
-    levels (L10-L12) have no device kernel yet and route to the native host
-    engine (honest routing; the level semantics stay exact).
+    Returns (out u8[B, OCAP], out_lens i32[B]) as numpy.  The v5 kernel
+    covers the whole ladder (FAST, HC lookahead, exact optimal parse);
+    only >64KB-block encode routes to the native host engine.
     """
-    if level >= 10 or (bcap > PALLAS_MAX_BLOCK and _on_tpu()):
-        # no device kernel for optimal-parse levels or >64KB-block encode
-        # (encode needs random candidate reads across the 64KB window — the
-        # streamed-ring design only covers decode so far); route to the
-        # native host engine rather than the slow XLA fallback
+    if bcap > PALLAS_MAX_BLOCK and _on_tpu():
+        # no device kernel for >64KB-block encode (encode needs random
+        # candidate reads across the 64KB window — the streamed-ring design
+        # only covers decode so far); route to the native host engine
+        # rather than the slow XLA fallback
         host = _host_encode_batch(bufs_np, lens_np, bcap, level)
         if host is not None:
             return host

@@ -129,3 +129,16 @@ def test_hc_byte_identical_to_oracle(rng):
             assert errs[i] == 0, (level, i)
             comp = out[i, : clens[i]].tobytes()
             assert comp == hostref.encode_hc(d, level=level), (level, i)
+
+
+def test_opt_byte_identical_to_oracle(rng):
+    """The device optimal parse (L10-L12) runs the same exact price-model
+    DP as the host oracle (and the native C engine) and must produce
+    BYTE-IDENTICAL output across the ladder's top levels."""
+    cases = _cases(rng)
+    for level in (10, 12):
+        out, clens, errs = _encode(cases, level=level)
+        for i, d in enumerate(cases):
+            assert errs[i] == 0, (level, i)
+            comp = out[i, : clens[i]].tobytes()
+            assert comp == hostref.encode_opt(d, level=level), (level, i)

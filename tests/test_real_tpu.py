@@ -62,7 +62,7 @@ def test_fast_and_hc_encode_roundtrip(tpu):
     rng = random.Random(21)
     bcap = 8192
     bufs, lens, datas, _ = _mk_blocks(rng, bcap, 6, 256)
-    for level in (0, 9):
+    for level in (0, 9, 12):
         out, clens, errs = encode_blocks_pallas5(bufs, lens, bcap, level)
         assert not errs.any(), level
         for b, d in enumerate(datas):
