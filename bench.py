@@ -74,16 +74,26 @@ def make_corpus(total_bytes: int, seed: int = 0) -> bytes:
     return out[:total_bytes]
 
 
-def _device_config(block_size, total, iters, uniq, attempts):
+def _device_config(block_size, total, iters, uniq, attempts, opt=None):
     """Measure the Pallas device path at one level (attempts=0 -> L00 FAST,
-    else HC chain depth).  Returns (enc_gbps, dec_gbps, ratio) with the
-    roundtrip asserted on the first batch."""
+    else HC chain depth; opt=(sufficient, full) selects the optimal parse).
+    Returns (enc_gbps, dec_gbps, ratio) with the roundtrip asserted on the
+    first batch."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from lz4_tpu.ops.decode_pallas5 import pallas_decode5
-    from lz4_tpu.ops.encode_pallas5 import pallas_encode5
+    from lz4_tpu.ops.encode_pallas5 import pallas_encode5 as _enc5
     from lz4_tpu.parallel.blocks import comp_capacity, split_blocks
+
+    if opt:
+        pallas_encode5 = functools.partial(
+            _enc5, opt_sufficient=opt[0], opt_full=opt[1]
+        )
+    else:
+        pallas_encode5 = _enc5
 
     enc_batches = []
     datas = []
@@ -314,8 +324,18 @@ def main():
             "decode_GBps": round(d9, 4),
             "ratio": round(r9, 4),
         }
-        # L10-12 route to the native host engine (honest routing; no device
-        # optimal parse yet) — reported under host_L12.
+        if os.environ.get("LZ4TPU_BENCH_L12") == "1":
+            # device optimal parse: opt-in (its kernel compile can take
+            # 10-20 min on a cold cache, too risky for the default run)
+            e12, d12, r12 = _device_config(
+                block_size, max(block_size, total // 16), 2, uniq + 4,
+                attempts=16384, opt=(4095, True),
+            )
+            configs["device_L12"] = {
+                "encode_GBps": round(e12, 4),
+                "decode_GBps": round(d12, 4),
+                "ratio": round(r12, 4),
+            }
         host = _host_config(total, iters, uniq + 2)
         if host:
             configs["host"] = host

@@ -24,7 +24,7 @@ from .block.hostref import LZ4Error
 from .pickler import pickle, unpickle, unpickled_size
 from .xxh32 import XXH32, xxh32
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "LZ4Level",

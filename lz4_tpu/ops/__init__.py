@@ -3,7 +3,8 @@
 Production paths (all-scalar packed-word pipelines; see PERFORMANCE.md for
 the measured cost model that selected them):
 
-- `encode_pallas5`  — FAST + lazy-HC encoder, blocks <= 64 KB
+- `encode_pallas5`  — full-ladder encoder (FAST, reference-lookahead HC,
+  exact optimal parse), blocks <= 64 KB
 - `decode_pallas5`  — decoder, blocks <= 64 KB (staged SMEM)
 - `decode_pallas_stream` — decoder for 256 KB - 4 MB+ blocks (ring DMA)
 - `xxh32_pallas`    — xxHash32 device kernel
