@@ -1,4 +1,15 @@
-"""Pallas TPU LZ4 block decoder, v3 — streamed rings for arbitrary block sizes.
+"""Pallas TPU LZ4 block decoder, v3 — KEPT AS A NEGATIVE RESULT.
+
+Superseded by `decode_pallas_stream` (the production big-block path).
+This variant never compiled under Mosaic: its HBM inputs used ANY/HBM
+memory spaces with per-chunk DMA slices that violate the (8,128) tiling
+rule ("Slice shape along dimension 0 must be aligned to tiling (8)").
+The fix — every DMA chunk owning its full trailing (rows, 128) block —
+is what `decode_pallas_stream` implements.  Works in interpret mode;
+retained for the record alongside v2/v4 (see PERFORMANCE.md).
+
+Original design notes:
+
 
 v1/v2 stage the whole compressed block in SMEM (and the whole output in
 VMEM), capping blocks at 64 KB (SMEM is 1 MB and pallas double-buffers
