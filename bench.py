@@ -84,7 +84,7 @@ def _device_config(block_size, total, iters, uniq, attempts, opt=None):
     import jax
     import jax.numpy as jnp
 
-    from lz4_tpu.ops.decode_pallas5 import pallas_decode5
+    from lz4_tpu.ops.decode_pallas6 import pallas_decode6 as pallas_decode5
     from lz4_tpu.ops.encode_pallas5 import pallas_encode5 as _enc5
     from lz4_tpu.parallel.blocks import comp_capacity, split_blocks
 

@@ -94,6 +94,14 @@ def main():
                 return out, meta.reshape(meta.shape[0], 8)
 
             return run5, "packed"
+        if name == "v6":
+            from lz4_tpu.ops.decode_pallas6 import pallas_decode6
+
+            def run6(c, l):
+                out, meta, dcapw = pallas_decode6(c, l, bs)
+                return out, meta.reshape(meta.shape[0], 8)
+
+            return run6, "packed"
         if name == "vs":
             from lz4_tpu.ops.decode_pallas_stream import pallas_decode_stream
 

@@ -61,23 +61,21 @@ def _i(x):
     return jnp.asarray(x).astype(jnp.int32)
 
 
-def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
-                attempts: int, ocap: int, opt_sufficient: int = 0,
-                opt_full: bool = False):
-    """Encode one block, all-scalar.
+def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
+                 attempts: int, ocap: int, opt_sufficient: int = 0,
+                 opt_full: bool = False):
+    """The complete FAST/HC/OPT encoder over caller-supplied accessors.
 
-    src_s:   SMEM i32[1, 1, CAP]  per-byte LE words
-    htab:    SMEM i32[2^HLOG]     hash -> most recent position
-    prev:    SMEM u-ish i32[...]  chain ring (HC) or tiny stub (FAST)
-    out_ref: SMEM i32[1, 1, OW]   packed compressed words
-    meta_ref:SMEM i32[1, 1, 8]    [0] compressed bytes, [1] overflow flag
-    """
+    W(p)        -> int32 LE word of source bytes p..p+3 (any byte offset)
+    store(wp,v) -> write packed output word wp
+    flush(wp)   -> (streaming only; None for staged) make word wp writable
 
-    def W(p):
-        return src_s[0, 0, p]
+    One body serves both the staged (whole-block SMEM) and streaming
+    (ring + DMA) wrappers, so the two are byte-identical by construction.
+    Returns (op, errv)."""
 
     def Wu(p):
-        return _u(src_s[0, 0, p])
+        return _u(W(p))
 
     def byte(p):
         return W(p) & 0xFF
@@ -92,7 +90,9 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
         wp = op >> 2
         f = _u(op & 3)
         merged = acc | (w << (8 * f))
-        out_ref[0, 0, wp] = _i(merged)
+        if flush is not None:
+            flush(wp)
+        store(wp, merged)
         sh = (8 * (4 - f)) & 31
         spill = jnp.where(f > 0, w >> sh, jnp.uint32(0))
         op2 = op + cnt
@@ -241,7 +241,12 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
             h = hash4(w)
             c = htab[h]
             htab[h] = p
-            good = (c >= 0) & (p - c > 0) & (p - c <= 65535) & (W(c) == w)
+            # the W read is clamped into the 64 KB window so the streaming
+            # wrapper's ring never fetches an evicted chunk for a candidate
+            # the distance check rejects anyway (identical output)
+            good = (c >= 0) & (p - c > 0) & (p - c <= 65535) & (
+                W(jnp.maximum(c, p - 65535)) == w
+            )
             step = jnp.where(good, 0, search >> _SKIP_TRIGGER)
             return (
                 p + step,
@@ -1018,8 +1023,35 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
     )
     # final literals
     acc, op = emit_sequence(acc, op, anchor, n, 0, 0)
-    out_ref[0, 0, op >> 2] = _i(acc)
+    if flush is not None:
+        flush(op >> 2)
+    store(op >> 2, acc)
     errv = jnp.where(err | (op > ocap_b), 1, 0)
+    return op, errv
+
+
+def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
+                attempts: int, ocap: int, opt_sufficient: int = 0,
+                opt_full: bool = False):
+    """Staged whole-block wrapper around `_encode_body`.
+
+    src_s:   SMEM i32[1, 1, CAP]  per-byte LE words
+    htab:    SMEM i32[2^HLOG]     hash -> most recent position
+    prev:    SMEM u-ish i32[...]  chain ring (HC) or tiny stub (FAST)
+    out_ref: SMEM i32[1, 1, OW]   packed compressed words
+    meta_ref:SMEM i32[1, 1, 8]    [0] compressed bytes, [1] overflow flag
+    """
+
+    def W(p):
+        return src_s[0, 0, p]
+
+    def store(wp, v):
+        out_ref[0, 0, wp] = _i(v)
+
+    op, errv = _encode_body(
+        n, acc0, W, store, None, htab, prev, nti, opt_tab,
+        attempts, ocap, opt_sufficient, opt_full,
+    )
     meta_ref[0, 0, 0] = op
     meta_ref[0, 0, 1] = errv
     for k in range(2, 8):

@@ -1,0 +1,246 @@
+"""Streaming all-scalar LZ4 encoder — arbitrary block sizes (256 KB - 4 MB+).
+
+The staged encoder (`encode_pallas5`) keeps the whole source block in SMEM
+as per-byte LE words, capping blocks at 64 KB.  This wrapper runs the SAME
+encoder body (`encode_pallas5._encode_body` — FAST, HC lookahead, exact
+optimal parse) over ring accessors, so staged and streamed output are
+byte-identical by construction:
+
+- **input ring**: per-byte LE words stream HBM -> SMEM in 16 K-position
+  chunks (64 KB/slot, 8 slots = a 128 K-position resident window).  The
+  encoder reads backward up to 65 535 bytes (candidates/chains) and
+  forward with the parse — both stay inside the window for real streams;
+  `ensure_chunk` reloads on demand either way, so an adversarial pattern
+  (e.g. a back-extension walking far behind a 64 KB-distant candidate)
+  degrades to extra DMAs, never to wrong bytes.  Chunks are shaped
+  (chunk, 128, 128) so every DMA slice is (8,128)-tile aligned.
+- **output ring**: packed words in SMEM (4 x 4 K-word segments), flushed
+  to HBM as the frontier approaches the wrap point; the compressed stream
+  is append-only so flushed segments are never touched again.
+- the hash table / HC chain ring / optimal-parse tables live in SMEM
+  scratch exactly as in the staged kernel (positions are absolute).
+
+SMEM footprint: ~610 KB (FAST), ~870 KB (HC), ~930 KB (OPT) — constant in
+the block size.  Reference capability anchor: the frame block-size ladder
+(`Frames/LZ4FrameWriter.cs:184-189`) whose 1 MB / 4 MB blocks previously
+routed to the host engine.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import compress_bound
+from .common import align1024
+from .decode_pallas import _words_le
+from .encode_pallas5 import _HLOG, _encode_body
+
+_CW_LOG = 14                   # input chunk: 16K byte-positions
+_CW = 1 << _CW_LOG
+_CW_ROWS = _CW // 128          # 128 rows of 128 words
+_NSLOTS = 8                    # 128K-position resident window
+_SEG_WORDS = 1 << 12           # output flush segment: 4K words (16KB)
+_SEG_ROWS = _SEG_WORDS // 128  # 32
+_N_OSEGS = 4                   # output ring: 16K words (64KB)
+_OR_WORDS = _N_OSEGS * _SEG_WORDS
+
+
+def _i(x):
+    return jnp.asarray(x).astype(jnp.int32)
+
+
+def _encode_stream_one(i, n, acc0, src_w, out_hbm, meta_ref, ring_w, ring_o,
+                       state, htab, prev, nti, opt_tab, sem_w, sem_o,
+                       attempts: int, ocap: int, opt_sufficient: int,
+                       opt_full: bool):
+    """Encode block i through the shared body over ring accessors.
+
+    src_w:   HBM i32[B, NC, 128, 128]  per-byte LE words, chunked
+    out_hbm: HBM i32[B, NSEG, 32, 128] packed compressed words, segmented
+    ring_w:  SMEM i32[8, 128, 128]     input ring
+    ring_o:  SMEM i32[4, 32, 128]      output ring
+    state:   SMEM i32[16]              [0..7] slot chunk ids, [8] flushed
+    """
+    for s in range(_NSLOTS):
+        state[s] = -1
+    state[8] = 0  # flushed output segments
+
+    def ensure_chunk(c):
+        slot = c & (_NSLOTS - 1)
+
+        @pl.when(state[slot] != c)
+        def _():
+            dma = pltpu.make_async_copy(
+                src_w.at[i, c], ring_w.at[slot], sem_w
+            )
+            dma.start()
+            dma.wait()
+            state[slot] = c
+
+    def W(p):
+        # clamp: eagerly-evaluated rejected branches can pass p == -1
+        # (e.g. byte(cc-1) under a cc > 0 guard); a clamped read returns
+        # chunk-0 junk that the guard discards, instead of a bad DMA
+        p = jnp.maximum(p, 0)
+        c = p >> _CW_LOG
+        ensure_chunk(c)
+        return ring_w[c & (_NSLOTS - 1), (p >> 7) & (_CW_ROWS - 1), p & 127]
+
+    def store(wp, v):
+        r = wp & (_OR_WORDS - 1)
+        ring_o[r >> 12, (r >> 7) & (_SEG_ROWS - 1), r & 127] = _i(v)
+
+    def flush(wp):
+        """Flush output segments so ring words wp (and wp+1) are writable."""
+
+        def cond(f):
+            return f * _SEG_WORDS + _OR_WORDS <= wp + 2
+
+        def body(f):
+            dma = pltpu.make_async_copy(
+                ring_o.at[f % _N_OSEGS], out_hbm.at[i, f], sem_o
+            )
+            dma.start()
+            dma.wait()
+            return f + 1
+
+        state[8] = jax.lax.while_loop(cond, body, state[8])
+
+    op, errv = _encode_body(
+        n, acc0, W, store, flush, htab, prev, nti, opt_tab,
+        attempts, ocap, opt_sufficient, opt_full,
+    )
+
+    # final flush of all remaining segments (incl. the partial one)
+    total_words = (op + 3) >> 2
+
+    def fin_cond(f):
+        return f * _SEG_WORDS < total_words + 1
+
+    def fin_body(f):
+        dma = pltpu.make_async_copy(
+            ring_o.at[f % _N_OSEGS], out_hbm.at[i, f], sem_o
+        )
+        dma.start()
+        dma.wait()
+        return f + 1
+
+    jax.lax.while_loop(fin_cond, fin_body, state[8])
+
+    meta_ref[0, 0, 0] = op
+    meta_ref[0, 0, 1] = errv
+    for k in range(2, 8):
+        meta_ref[0, 0, k] = 0
+
+
+def _align(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bcap", "attempts", "opt_sufficient", "opt_full"),
+)
+def pallas_encode_stream(src_i32, lens, bcap: int, attempts: int = 0,
+                         accs=None, opt_sufficient: int = 0,
+                         opt_full: bool = False):
+    """src_i32: i32[B, CAP] block bytes, any bcap.
+
+    Returns (out_words i32[B, NSEG, 32, 128] packed, meta i32[B, 1, 8])."""
+    b, cap = src_i32.shape
+    if accs is None:
+        accs = jnp.ones((1,), jnp.int32)
+    capw = _align(cap, _CW) + _CW  # + slack chunk for tail reads
+    nc = capw // _CW
+    words = _words_le(src_i32)
+    words = jnp.pad(words, ((0, 0), (0, capw - cap))).reshape(
+        b, nc, _CW_ROWS, 128
+    )
+    ocap = align1024(compress_bound(bcap))
+    nseg = _align(ocap // 4 + 2, _SEG_WORDS) // _SEG_WORDS + 1
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (1, 1, 8), lambda i, lens, accs: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((_NSLOTS, _CW_ROWS, 128), jnp.int32),
+            pltpu.SMEM((_N_OSEGS, _SEG_ROWS, 128), jnp.int32),
+            pltpu.SMEM((16,), jnp.int32),
+            pltpu.SMEM((1 << _HLOG,), jnp.int32),
+            pltpu.SMEM((65536 if attempts else 8,), jnp.int32),
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SMEM((4, 4104 if opt_sufficient else 8), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    def kernel(lens_ref, accs_ref, src_w, out_hbm, meta_ref, ring_w, ring_o,
+               state, htab, prev, nti, opt_tab, sem_w, sem_o):
+        i = pl.program_id(0)
+        acc = jnp.maximum(accs_ref[0], 1)
+        _encode_stream_one(
+            i, lens_ref[i], acc, src_w, out_hbm, meta_ref, ring_w, ring_o,
+            state, htab, prev, nti, opt_tab, sem_w, sem_o,
+            attempts, ocap, opt_sufficient, opt_full,
+        )
+
+    out, meta = pl.pallas_call(
+        kernel,
+        grid_spec=grid,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nseg, _SEG_ROWS, 128), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, 8), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(lens, accs, words)
+    return out, meta
+
+
+def encode_blocks_pallas_stream(
+    bufs_u8: np.ndarray, lens: np.ndarray, bcap: int, level: int = 0,
+    acceleration: int = 1,
+):
+    """Host wrapper: u8[B, CAP] raw blocks -> (u8[B, OCAP], clens, errs).
+
+    Same ladder mapping as `encode_pallas5.encode_blocks_pallas5`."""
+    from ..constants import HC_LEVEL_TABLE
+    from .encode_pallas import LEVEL_ATTEMPTS
+
+    src = jnp.asarray(bufs_u8, jnp.int32)
+    level = int(level)
+    if level >= 10:
+        searches, sufficient = HC_LEVEL_TABLE[min(level, 12)]
+        out, meta = pallas_encode_stream(
+            src, jnp.asarray(lens, jnp.int32), bcap, searches,
+            jnp.asarray([acceleration], jnp.int32),
+            opt_sufficient=min(sufficient, 4095),
+            opt_full=level >= 12,
+        )
+    else:
+        attempts = LEVEL_ATTEMPTS.get(level, 0)
+        out, meta = pallas_encode_stream(
+            src, jnp.asarray(lens, jnp.int32), bcap, attempts,
+            jnp.asarray([acceleration], jnp.int32),
+        )
+    ocap = align1024(compress_bound(bcap))
+    words = np.ascontiguousarray(np.asarray(out).reshape(out.shape[0], -1))
+    u8 = words.view(np.uint8).reshape(words.shape[0], -1)[:, :ocap]
+    meta = np.asarray(meta).reshape(-1, 8)
+    return np.ascontiguousarray(u8), meta[:, 0], meta[:, 1]

@@ -190,11 +190,12 @@ def decode_blocks_device(comps_np, clens_np, out_cap: int):
     Returns (out u8[B, out_cap], lens i32[B], errs i32[B]) as numpy.
     """
     if _use_pallas(out_cap):
-        # v5: all-scalar packed-word kernel (see ops/decode_pallas5) — the
-        # fastest measured decode path on real v5e hardware
-        from ..ops.decode_pallas5 import decode_blocks_pallas5
+        # v6: all-scalar packed-word kernel with branch-merged parse and
+        # full-word copies (see ops/decode_pallas6) — the fastest measured
+        # decode path on real v5e hardware (53 vs v5's 46 MB/s per call)
+        from ..ops.decode_pallas6 import decode_blocks_pallas6
 
-        return decode_blocks_pallas5(
+        return decode_blocks_pallas6(
             np.asarray(comps_np), np.asarray(clens_np), out_cap
         )
     if _on_tpu():

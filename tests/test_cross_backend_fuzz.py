@@ -142,6 +142,9 @@ def test_fuzz_pallas_v5_interpret(seed, monkeypatch):
         if native.available():
             streams.append(native.encode(data, 12))
         cap = comp_capacity(N)
+        from lz4_tpu.ops import decode_pallas6 as D6
+
+        D6.pallas_decode6.clear_cache()
         for ci, c in enumerate(streams):
             comps = np.zeros((1, cap), np.uint8)
             comps[0, : len(c)] = np.frombuffer(c, np.uint8)
@@ -150,6 +153,12 @@ def test_fuzz_pallas_v5_interpret(seed, monkeypatch):
             )
             assert derr[0] == 0, ci
             assert dec[0, : lens[0]].tobytes() == data, ci
+            dec6, lens6, derr6 = D6.decode_blocks_pallas6(
+                comps, np.asarray([len(c)], np.int32), N
+            )
+            assert derr6[0] == 0 and lens6[0] == lens[0], ci
+            assert dec6[0, : lens6[0]].tobytes() == data, ci
+        D6.pallas_decode6.clear_cache()
     finally:
         D5.pallas_decode5.clear_cache()
         E5.pallas_encode5.clear_cache()

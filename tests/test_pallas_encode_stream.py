@@ -1,0 +1,84 @@
+"""Streaming (ring + DMA) Pallas encoder tests — interpret mode on CPU.
+
+The streaming wrapper runs the SAME `_encode_body` as the staged kernel,
+so its output must be byte-identical to the staged kernel's at every
+level.  These tests drive the ring machinery through its edges: input
+chunk crossings (> 16 K positions), output-ring wrap + segment flushes
+(> 64 KB of compressed output), and slot eviction (> 128 K positions).
+"""
+
+import functools
+import random
+
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from lz4_tpu.block import hostref
+from lz4_tpu.ops import encode_pallas5 as E5
+from lz4_tpu.ops import encode_pallas_stream as ES
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    E5.pallas_encode5.clear_cache()
+    ES.pallas_encode_stream.clear_cache()
+    yield
+    E5.pallas_encode5.clear_cache()
+    ES.pallas_encode_stream.clear_cache()
+
+
+def _identity_case(data: bytes, bcap: int, level: int):
+    cap = -(-(bcap + 1024) // 1024) * 1024
+    bufs = np.zeros((1, cap), np.uint8)
+    bufs[0, : len(data)] = np.frombuffer(data, np.uint8)
+    lens = np.asarray([len(data)], np.int32)
+    s_out, s_len, s_err = ES.encode_blocks_pallas_stream(
+        bufs, lens, bcap, level
+    )
+    g_out, g_len, g_err = E5.encode_blocks_pallas5(bufs, lens, bcap, level)
+    assert s_err[0] == 0 and g_err[0] == 0
+    assert int(s_len[0]) == int(g_len[0]), (int(s_len[0]), int(g_len[0]))
+    comp_s = s_out[0, : s_len[0]].tobytes()
+    comp_g = g_out[0, : g_len[0]].tobytes()
+    assert comp_s == comp_g, "stream != staged"
+    assert hostref.decode_block(comp_s, len(data)) == data
+    return comp_s
+
+
+def test_fast_identity_ring_wrap(rng):
+    """80 KB mixed block: crosses 5 input chunks; the ~70 KB compressed
+    stream wraps the 64 KB output ring and exercises mid-run flushes."""
+    data = (
+        (b" ".join([b"lorem", b"ipsum", b"dolor", b"sit"] * 400))[:12000]
+        + rng.randbytes(60000)
+        + bytes(8000)
+    )
+    _identity_case(data, 81920, 0)
+
+
+def test_fast_identity_slot_eviction():
+    """272 KB periodic block: 17 input chunks force slot eviction (> 8
+    live slots) while candidates stay within the 64 KB window."""
+    pat = bytes(range(48, 48 + 61))
+    data = (pat * 5000)[: 272 * 1024]
+    _identity_case(data, 272 * 1024, 0)
+
+
+def test_hc_identity_across_chunks(rng):
+    """48 KB block at L3: chain searches read back across chunk
+    boundaries through the ring."""
+    words = [rng.randbytes(rng.randint(3, 9)) for _ in range(40)]
+    data = b"".join(rng.choice(words) for _ in range(9000))[: 48 * 1024]
+    _identity_case(data, 48 * 1024, 3)
+
+
+def test_opt_identity_across_chunks(rng):
+    """20 KB block at L10: the optimal-parse DP + chain-swap search over
+    the ring input."""
+    words = [rng.randbytes(rng.randint(2, 7)) for _ in range(25)]
+    data = b"".join(rng.choice(words) for _ in range(4500))[: 20 * 1024]
+    _identity_case(data, 20 * 1024, 10)

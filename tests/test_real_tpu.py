@@ -89,12 +89,14 @@ def test_staged_decode_roundtrip(tpu):
         assert out[b, : olens[b]].tobytes() == d, b
 
 
-def test_scalar_decode_v5(tpu):
-    """The production (v5 all-scalar) decode kernel on real hardware,
+def test_scalar_decode_v6(tpu):
+    """The production (v6 all-scalar) decode kernel on real hardware,
     covering the small-period pattern paths that only trigger under Mosaic
     codegen (not interpret mode)."""
     from lz4_tpu import native
-    from lz4_tpu.ops.decode_pallas5 import decode_blocks_pallas5
+    from lz4_tpu.ops.decode_pallas6 import (
+        decode_blocks_pallas6 as decode_blocks_pallas5,
+    )
     from lz4_tpu.parallel.blocks import comp_capacity
 
     rng = random.Random(23)
