@@ -118,6 +118,14 @@ def _on_tpu() -> bool:
         return False
 
 
+def _prefer_device_stream_encode() -> bool:
+    """Opt-in: encode >64KB blocks with the streaming Pallas kernel instead
+    of the (faster) native host engine — for device-resident pipelines."""
+    import os
+
+    return os.environ.get("LZ4TPU_DEVICE_STREAM_ENCODE", "") == "1"
+
+
 def _use_pallas(block_size: int = 65536) -> bool:
     """Staged-kernel gate: Pallas on real TPUs for blocks that fit SMEM;
     the XLA dense kernels remain for CPU meshes (tests, the driver's
@@ -130,17 +138,42 @@ def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
     """Encode a batch on the device with the best available kernel.
 
     Returns (out u8[B, OCAP], out_lens i32[B]) as numpy.  The v5 kernel
-    covers the whole ladder (FAST, HC lookahead, exact optimal parse);
-    only >64KB-block encode routes to the native host engine.
+    covers the whole ladder (FAST, HC lookahead, exact optimal parse) for
+    blocks <= 64KB; above that the streaming kernel covers the same ladder
+    on device (opt-in / host-unavailable), with the native host engine as
+    the default big-block route (it is faster per chip).
     """
     if bcap > PALLAS_MAX_BLOCK and _on_tpu():
-        # no device kernel for >64KB-block encode (encode needs random
-        # candidate reads across the 64KB window — the streamed-ring design
-        # only covers decode so far); route to the native host engine
-        # rather than the slow XLA fallback
+        if _prefer_device_stream_encode():
+            # streaming encoder: same body as the staged kernel over
+            # SMEM rings + HBM DMA, any block size (ops/encode_pallas_stream)
+            from ..ops.encode_pallas_stream import (
+                encode_blocks_pallas_stream,
+            )
+
+            out, out_lens, errs = encode_blocks_pallas_stream(
+                np.asarray(bufs_np), np.asarray(lens_np), bcap, int(level),
+                acceleration,
+            )
+            if errs.any():
+                raise RuntimeError("pallas stream encoder overflow")
+            return out, out_lens
+        # default: the native host engine is ~20x faster per chip than the
+        # scalar device pipeline for big-block encode; route honestly and
+        # leave LZ4TPU_DEVICE_STREAM_ENCODE=1 for device-resident pipelines
+        # that want to avoid the host round-trip
         host = _host_encode_batch(bufs_np, lens_np, bcap, level)
         if host is not None:
             return host
+        from ..ops.encode_pallas_stream import encode_blocks_pallas_stream
+
+        out, out_lens, errs = encode_blocks_pallas_stream(
+            np.asarray(bufs_np), np.asarray(lens_np), bcap, int(level),
+            acceleration,
+        )
+        if errs.any():
+            raise RuntimeError("pallas stream encoder overflow")
+        return out, out_lens
     if _use_pallas(bcap):
         # v5: all-scalar packed-word kernel (see ops/encode_pallas5)
         from ..ops.encode_pallas5 import encode_blocks_pallas5

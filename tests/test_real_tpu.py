@@ -151,6 +151,31 @@ def test_streaming_decode_large_blocks(tpu):
         assert out[b, : olens[b]].tobytes() == d, b
 
 
+def test_streaming_encode_large_blocks(tpu):
+    """The ring-streamed encoder beyond the 64 KB staged cap (128 KB),
+    byte-identical to the native host engine (same parse semantics)."""
+    from lz4_tpu import native
+    from lz4_tpu.ops.encode_pallas_stream import encode_blocks_pallas_stream
+
+    rng = random.Random(33)
+    bcap = 131072
+    words = [rng.randbytes(rng.randint(3, 8)) for _ in range(30)]
+    d = (
+        b" ".join(rng.choice(words) for _ in range(bcap))[: bcap // 2]
+        + rng.randbytes(bcap // 4)
+        + bytes(bcap // 4)
+    )
+    bufs = np.zeros((2, bcap), np.uint8)
+    bufs[0] = bufs[1] = np.frombuffer(d, np.uint8)
+    lens = np.full((2,), bcap, np.int32)
+    for level in (0, 9):
+        out, clens, errs = encode_blocks_pallas_stream(bufs, lens, bcap, level)
+        assert not errs.any(), level
+        ref = native.encode(d, level)
+        for b in (0, 1):
+            assert out[b, : clens[b]].tobytes() == ref, (level, b)
+
+
 def test_dict_decode(tpu):
     from lz4_tpu import native
     from lz4_tpu.ops.decode_pallas import decode_blocks_pallas
