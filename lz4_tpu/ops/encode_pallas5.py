@@ -35,7 +35,8 @@ from .common import align1024
 from .decode_pallas import _words_le
 
 _LANES = 128
-_HLOG = 13
+_HLOG = 15  # matches the host engines (FAST_HASH_LOG / HC_HASH_LOG) so all
+            # three implementations stay byte-identical by construction
 _SKIP_TRIGGER = 6
 
 
@@ -83,6 +84,26 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
     def hash4(w):
         prod = (w * jnp.int32(-1640531535)).astype(jnp.uint32)
         return _i(prod >> (32 - _HLOG))
+
+    # ---- HC delta ring, packed as u16 pairs ------------------------------
+    # 64 K u16 deltas live in 32 K i32 words (position p -> word p>>1,
+    # halfword p&1).  The packing pays for the 15-bit head table that keeps
+    # this kernel byte-identical to the host engines (same hash geometry);
+    # net SMEM change is -32 KB.  Reads mask after an arithmetic shift, the
+    # write is a halfword RMW; both halves of a word are always written
+    # (positions insert in order) before any chain read reaches them.
+    def chain_d(p):
+        w = prev[(p >> 1) & 0x7FFF]
+        return (w >> ((p & 1) << 4)) & 0xFFFF
+
+    def set_chain_d(p, d):
+        idx = (p >> 1) & 0x7FFF
+        w = prev[idx]
+        prev[idx] = jnp.where(
+            (p & 1) == 1,
+            (w & 0xFFFF) | (d << 16),
+            (w & jnp.int32(-65536)) | d,
+        )
 
     # ---- packed append ---------------------------------------------------
     def append(acc, op, w, cnt):
@@ -306,7 +327,7 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
             h = hash4(w)
             c = htab[h]
             d = jnp.where(c < 0, 0xFFFF, jnp.minimum(i - c, 0xFFFF))
-            prev[i & 0xFFFF] = d
+            set_chain_d(i, d)
             htab[h] = i
             return 0
 
@@ -314,7 +335,7 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
         nti[0] = jnp.maximum(start, limit)
 
     def chain_step(c):
-        d = prev[c & 0xFFFF]
+        d = chain_d(c)
         return jnp.where(d > c, jnp.int32(-100000), c - d)
 
     pa_on = attempts > 128  # pattern analysis from L9 up (reference clTable)
@@ -368,7 +389,7 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
 
             def plain(args):
                 cand, longest, m_start, m_pos, rt, rc, spl = args
-                d = _i(prev[(cand + co) & 0xFFFF])
+                d = chain_d(cand + co)
                 nc = jnp.where(d > cand, jnp.int32(-100000), cand - d)
                 return nc, longest, m_start, m_pos, rt, rc, spl
 
@@ -452,7 +473,7 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                 return (cand, longest, m_start, m_pos, jnp.array(True), rc2,
                         spl2)
 
-            take_pa = (_i(prev[cand & 0xFFFF]) == 1) & (co == 0)
+            take_pa = (chain_d(cand) == 1) & (co == 0)
             return jax.lax.cond(
                 take_pa, pa_path, plain,
                 (cand, longest, m_start, m_pos, rt, rc, spl),
@@ -512,7 +533,7 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
 
                     def scan_body(st):
                         q, step, accel, bj, bo = st
-                        d = _i(prev[(cand + q) & 0xFFFF])
+                        d = chain_d(cand + q)
                         step2 = accel >> 4
                         better = d > bj
                         return (
@@ -534,9 +555,12 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                         jnp.where(bj > cand, jnp.int32(-100000), cand - bj),
                         cand,
                     )
-                    # scan found no jump: chain_off resets to 0 (hostref
-                    # resets it at swap-block entry)
-                    return nc, jnp.int32(0), jumped
+                    # after a jump the walk continues along the chain of the
+                    # in-match position that jumped (chain_off = bo), exactly
+                    # as the host engines keep chain_off after `cand -=
+                    # best_jump`; with no jump it resets to 0 (swap-block
+                    # entry reset)
+                    return nc, jnp.where(jumped, bo, jnp.int32(0)), jumped
 
                 do_swap = (mlen == longest) & (mlen > 0) & (
                     cand + longest <= ip
@@ -550,7 +574,7 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                 def cont_jumped(args):
                     cand_s, co_s, longest, m_start, m_pos, rt, rc, spl = args
                     return (cand_s, longest, m_start, m_pos, rt, rc, spl,
-                            jnp.int32(0))
+                            co_s)
 
                 def cont_advance(args):
                     cand_s, co_s, longest, m_start, m_pos, rt, rc, spl = args
@@ -1095,7 +1119,7 @@ def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
         ],
         scratch_shapes=[
             pltpu.SMEM((1 << _HLOG,), jnp.int32),
-            pltpu.SMEM((65536 if attempts else 8,), jnp.int32),
+            pltpu.SMEM((32768 if attempts else 8,), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
             pltpu.SMEM((4, 4104 if opt_sufficient else 8), jnp.int32),
         ],

@@ -183,7 +183,7 @@ def pallas_encode_stream(src_i32, lens, bcap: int, attempts: int = 0,
             pltpu.SMEM((_N_OSEGS, _SEG_ROWS, 128), jnp.int32),
             pltpu.SMEM((16,), jnp.int32),
             pltpu.SMEM((1 << _HLOG,), jnp.int32),
-            pltpu.SMEM((65536 if attempts else 8,), jnp.int32),
+            pltpu.SMEM((32768 if attempts else 8,), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
             pltpu.SMEM((4, 4104 if opt_sufficient else 8), jnp.int32),
             pltpu.SemaphoreType.DMA(()),

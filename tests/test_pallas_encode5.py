@@ -142,3 +142,35 @@ def test_opt_byte_identical_to_oracle(rng):
             assert errs[i] == 0, (level, i)
             comp = out[i, : clens[i]].tobytes()
             assert comp == hostref.encode_opt(d, level=level), (level, i)
+
+
+def test_identity_large_wordy_block():
+    """Regression: a ~26 KB wordy block (repeated short phrases + noise)
+    that exposed two real divergences between the device kernel and the
+    host engines — a 13-bit vs 15-bit hash-table geometry mismatch (FAST
+    candidates differed from ~1 KB in) and chain_off being dropped after a
+    chain-swap jump (the OPT search walked the wrong chain and missed a
+    longer match near mf_limit).  Identity is asserted against the native
+    engine across the ladder; sizes straddle the historic 25944 threshold."""
+    from lz4_tpu import native
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    rng = random.Random(33)
+    words = [rng.randbytes(rng.randint(3, 8)) for _ in range(30)]
+    big = 131072
+    d = (
+        b" ".join(rng.choice(words) for _ in range(big))[: big // 2]
+        + rng.randbytes(big // 4)
+        + bytes(big // 4)
+    )[:26200]
+    n = len(d)
+    cap = -(-(n + 256) // 128) * 128
+    bufs = np.zeros((1, cap), np.uint8)
+    bufs[0, :n] = np.frombuffer(d, np.uint8)
+    lens = np.full((1,), n, np.int32)
+    for level in (0, 9, 12):
+        out, clens, errs = E5.encode_blocks_pallas5(bufs, lens, n, level)
+        assert errs[0] == 0, level
+        comp = out[0, : clens[0]].tobytes()
+        assert comp == native.encode(d, level), level
