@@ -199,8 +199,10 @@ def encode_fast(
     acceleration = max(1, acceleration)
 
     table: dict[int, int] = {}
-    # preload dictionary positions
-    for p in range(0, max(0, d - MIN_MATCH + 1)):
+    # preload dictionary positions (stride 2, matching the native engine's
+    # sparse seeding so the two host engines stay byte-identical in
+    # dictionary mode; the stride is a speed heuristic, not wire format)
+    for p in range(0, max(0, d - MIN_MATCH + 1), 2):
         table[_hash4(_read4(buf, p))] = p
 
     anchor = d

@@ -62,6 +62,10 @@ def compress(
         host_parallel = _try_host_parallel_compress(data, settings, workers)
         if host_parallel is not None:
             return host_parallel
+    if settings.chain_blocks and device_path and len(data) > settings.block_size:
+        fast = _try_chained_device_compress(data, settings)
+        if fast is not None:
+            return fast
     if (
         settings.chain_blocks
         or not device_path
@@ -246,6 +250,45 @@ def _scan_single_frame(data: bytes, allow_chained: bool = False):
     if pos + tail != n:
         return None  # multi-frame stream
     return d, blocks, pos
+
+
+def _try_chained_device_compress(data: bytes, settings: EncoderSettings):
+    """Chained-block frame compressed in ONE batched device call.
+
+    Block k's dictionary is the previous 64 KB of plaintext — known up
+    front — so chained ENCODE parallelizes even though chained decode is
+    serial.  The streaming encoder's dictionary mode is byte-identical to
+    the host chain encoder, so this path produces the exact bytes the
+    sequential FrameWriter would."""
+    from ..parallel.blocks import _on_tpu, encode_blocks_chained_device
+
+    if not _on_tpu():
+        return None
+    d = settings.to_descriptor()
+    bs = settings.block_size
+    parts = [build_header(d)]
+    content_hash = XXH32() if d.content_checksum else None
+    if content_hash is not None:
+        content_hash.update(data)
+    comps = encode_blocks_chained_device(
+        data, bs, level=settings.compression_level
+    )
+    n = len(data)
+    for i, comp in enumerate(comps):
+        raw_len = min(bs, n - i * bs)
+        if len(comp) >= raw_len:
+            payload = data[i * bs : i * bs + raw_len]
+            parts.append(struct.pack("<I", raw_len | _UNCOMPRESSED_FLAG))
+        else:
+            payload = comp
+            parts.append(struct.pack("<I", len(comp)))
+        parts.append(payload)
+        if d.block_checksum:
+            parts.append(struct.pack("<I", xxh32(payload)))
+    parts.append(b"\x00\x00\x00\x00")
+    if content_hash is not None:
+        parts.append(struct.pack("<I", content_hash.digest()))
+    return b"".join(parts)
 
 
 def _try_chained_device_decompress(data: bytes, settings: DecoderSettings):

@@ -64,16 +64,26 @@ def _i(x):
 
 def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                  attempts: int, ocap: int, opt_sufficient: int = 0,
-                 opt_full: bool = False):
+                 opt_full: bool = False, src_off=None):
     """The complete FAST/HC/OPT encoder over caller-supplied accessors.
 
     W(p)        -> int32 LE word of source bytes p..p+3 (any byte offset)
     store(wp,v) -> write packed output word wp
     flush(wp)   -> (streaming only; None for staged) make word wp writable
+    src_off     -> dictionary mode: positions [0, src_off) are a preset
+                   dictionary prefix; the parse starts at src_off and n is
+                   the TOTAL (dict + source) length.  Matches the host
+                   engines' flat-prefix layout (`native/lz4tpu.c`
+                   lz4tpu_encode_* src_off): FAST preseeds the hash table
+                   at stride 2, HC/OPT insert the prefix through the
+                   normal chain build.
 
     One body serves both the staged (whole-block SMEM) and streaming
     (ring + DMA) wrappers, so the two are byte-identical by construction.
     Returns (op, errv)."""
+    has_dict = src_off is not None
+    if src_off is None:
+        src_off = jnp.int32(0)
 
     def Wu(p):
         return _u(W(p))
@@ -1038,12 +1048,27 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
             return (p <= mf_limit) & (~err)  # reference HC/OPT bound (<=)
         return (p < mf_limit) & (~err)
 
-    small_block = n < MF_LIMIT + 1
+    if has_dict and not attempts and not opt_sufficient:
+        # FAST dictionary preseed: stride-2 hash inserts over the prefix
+        # (native lz4tpu_encode_fast's sparse seeding; identity-gated)
+        def seed_body(j, _):
+            i = j * 2
+            htab[hash4(W(i))] = i
+            return 0
+
+        jax.lax.fori_loop(
+            0,
+            jnp.maximum((src_off - MIN_MATCH) // 2 + 1, 0),
+            seed_body,
+            0,
+        )
+
+    small_block = n - src_off < MF_LIMIT + 1
     # mf_limit + 1 exits both scan bounds (< for FAST, <= for HC)
-    p0 = jnp.where(small_block, mf_limit + 1, 0)
+    p0 = jnp.where(small_block, mf_limit + 1, src_off)
     p, anchor, acc, op, _, err = jax.lax.while_loop(
         scan_cond, scan_body,
-        (p0, 0, jnp.uint32(0), 0, acc0 << _SKIP_TRIGGER, False),
+        (p0, src_off, jnp.uint32(0), 0, acc0 << _SKIP_TRIGGER, False),
     )
     # final literals
     acc, op = emit_sequence(acc, op, anchor, n, 0, 0)

@@ -58,7 +58,7 @@ def _i(x):
 def _encode_stream_one(i, n, acc0, src_w, out_hbm, meta_ref, ring_w, ring_o,
                        state, htab, prev, nti, opt_tab, sem_w, sem_o,
                        attempts: int, ocap: int, opt_sufficient: int,
-                       opt_full: bool):
+                       opt_full: bool, src_off=None):
     """Encode block i through the shared body over ring accessors.
 
     src_w:   HBM i32[B, NC, 128, 128]  per-byte LE words, chunked
@@ -114,7 +114,7 @@ def _encode_stream_one(i, n, acc0, src_w, out_hbm, meta_ref, ring_w, ring_o,
 
     op, errv = _encode_body(
         n, acc0, W, store, flush, htab, prev, nti, opt_tab,
-        attempts, ocap, opt_sufficient, opt_full,
+        attempts, ocap, opt_sufficient, opt_full, src_off=src_off,
     )
 
     # final flush of all remaining segments (incl. the partial one)
@@ -145,17 +145,25 @@ def _align(v: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bcap", "attempts", "opt_sufficient", "opt_full"),
+    static_argnames=("bcap", "attempts", "opt_sufficient", "opt_full",
+                     "has_dict"),
 )
 def pallas_encode_stream(src_i32, lens, bcap: int, attempts: int = 0,
                          accs=None, opt_sufficient: int = 0,
-                         opt_full: bool = False):
+                         opt_full: bool = False, src_offs=None,
+                         has_dict: bool = False):
     """src_i32: i32[B, CAP] block bytes, any bcap.
+
+    Dictionary mode (has_dict): each row is [dict | src] flat-prefix
+    (host-engine layout), `src_offs[b]` is the dict length, `lens[b]` the
+    TOTAL length, and `bcap` bounds the SOURCE part (sizes the output).
 
     Returns (out_words i32[B, NSEG, 32, 128] packed, meta i32[B, 1, 8])."""
     b, cap = src_i32.shape
     if accs is None:
         accs = jnp.ones((1,), jnp.int32)
+    if src_offs is None:
+        src_offs = jnp.zeros((b,), jnp.int32)
     capw = _align(cap, _CW) + _CW  # + slack chunk for tail reads
     nc = capw // _CW
     words = _words_le(src_i32)
@@ -166,7 +174,7 @@ def pallas_encode_stream(src_i32, lens, bcap: int, attempts: int = 0,
     nseg = _align(ocap // 4 + 2, _SEG_WORDS) // _SEG_WORDS + 1
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -174,7 +182,7 @@ def pallas_encode_stream(src_i32, lens, bcap: int, attempts: int = 0,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
-                (1, 1, 8), lambda i, lens, accs: (i, 0, 0),
+                (1, 1, 8), lambda i, lens, accs, offs: (i, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
         ],
@@ -191,14 +199,16 @@ def pallas_encode_stream(src_i32, lens, bcap: int, attempts: int = 0,
         ],
     )
 
-    def kernel(lens_ref, accs_ref, src_w, out_hbm, meta_ref, ring_w, ring_o,
-               state, htab, prev, nti, opt_tab, sem_w, sem_o):
+    def kernel(lens_ref, accs_ref, offs_ref, src_w, out_hbm, meta_ref,
+               ring_w, ring_o, state, htab, prev, nti, opt_tab, sem_w,
+               sem_o):
         i = pl.program_id(0)
         acc = jnp.maximum(accs_ref[0], 1)
         _encode_stream_one(
             i, lens_ref[i], acc, src_w, out_hbm, meta_ref, ring_w, ring_o,
             state, htab, prev, nti, opt_tab, sem_w, sem_o,
             attempts, ocap, opt_sufficient, opt_full,
+            src_off=offs_ref[i] if has_dict else None,
         )
 
     out, meta = pl.pallas_call(
@@ -209,19 +219,44 @@ def pallas_encode_stream(src_i32, lens, bcap: int, attempts: int = 0,
             jax.ShapeDtypeStruct((b, 1, 8), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(lens, accs, words)
+    )(lens, accs, src_offs, words)
     return out, meta
 
 
 def encode_blocks_pallas_stream(
     bufs_u8: np.ndarray, lens: np.ndarray, bcap: int, level: int = 0,
-    acceleration: int = 1,
+    acceleration: int = 1, dicts: np.ndarray | None = None,
+    dict_lens: np.ndarray | None = None,
 ):
     """Host wrapper: u8[B, CAP] raw blocks -> (u8[B, OCAP], clens, errs).
 
-    Same ladder mapping as `encode_pallas5.encode_blocks_pallas5`."""
+    Same ladder mapping as `encode_pallas5.encode_blocks_pallas5`.
+
+    Dictionary mode: `dicts` u8[B, DW] holds each block's preset window
+    RIGHT-aligned (the last `dict_lens[b]` bytes are the dictionary, like
+    the decode kernels take it); output matches the host engines'
+    `encode(..., dictionary=...)` byte for byte."""
     from ..constants import HC_LEVEL_TABLE
     from .encode_pallas import LEVEL_ATTEMPTS
+
+    bufs_u8 = np.asarray(bufs_u8)
+    lens = np.asarray(lens, np.int32)
+    src_offs = None
+    has_dict = dicts is not None
+    if has_dict:
+        dicts = np.asarray(dicts)
+        dls = np.minimum(np.asarray(dict_lens, np.int32), 65535 + 1)
+        b, cap = bufs_u8.shape
+        dw = dicts.shape[1]
+        concat = np.zeros((b, dw + cap), np.uint8)
+        for k in range(b):
+            dl = int(dls[k])
+            if dl:
+                concat[k, :dl] = dicts[k, dw - dl:]
+            concat[k, dl: dl + cap] = bufs_u8[k]
+        bufs_u8 = concat
+        src_offs = jnp.asarray(dls, jnp.int32)
+        lens = jnp.asarray(dls + lens, jnp.int32)
 
     src = jnp.asarray(bufs_u8, jnp.int32)
     level = int(level)
@@ -232,12 +267,14 @@ def encode_blocks_pallas_stream(
             jnp.asarray([acceleration], jnp.int32),
             opt_sufficient=min(sufficient, 4095),
             opt_full=level >= 12,
+            src_offs=src_offs, has_dict=has_dict,
         )
     else:
         attempts = LEVEL_ATTEMPTS.get(level, 0)
         out, meta = pallas_encode_stream(
             src, jnp.asarray(lens, jnp.int32), bcap, attempts,
             jnp.asarray([acceleration], jnp.int32),
+            src_offs=src_offs, has_dict=has_dict,
         )
     ocap = align1024(compress_bound(bcap))
     words = np.ascontiguousarray(np.asarray(out).reshape(out.shape[0], -1))

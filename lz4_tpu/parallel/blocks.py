@@ -217,6 +217,44 @@ def _host_encode_batch(bufs_np, lens_np, bcap: int, level: int):
     return out, out_lens
 
 
+def encode_blocks_chained_device(data: bytes, block_size: int,
+                                 level: int = 0, acceleration: int = 1):
+    """Chained-block batch encode on device: block k's dictionary is the
+    previous 64 KB of PLAINTEXT (`block/incremental.py` ChainEncoder
+    semantics, reference `LZ4FastChainEncoder` + `LZ4_saveDict`), which is
+    known up front — so unlike chained DECODE, chained encode is
+    embarrassingly parallel.  One streaming-kernel call covers every block
+    at any block size, byte-identical to the host chain encoder.
+
+    Returns the list of per-block compressed payloads (no stored-block
+    fallback applied — the caller compares against the raw length)."""
+    from ..ops.encode_pallas_stream import encode_blocks_pallas_stream
+
+    n = len(data)
+    nb = -(-n // block_size)
+    arr = np.frombuffer(data, np.uint8)
+    bufs = np.zeros((nb, block_size), np.uint8)
+    lens = np.zeros((nb,), np.int32)
+    dicts = np.zeros((nb, 65536), np.uint8)
+    dls = np.zeros((nb,), np.int32)
+    for k in range(nb):
+        start = k * block_size
+        raw = arr[start : min(start + block_size, n)]
+        bufs[k, : len(raw)] = raw
+        lens[k] = len(raw)
+        dl = min(start, 65536)
+        if dl:
+            dicts[k, 65536 - dl :] = arr[start - dl : start]
+        dls[k] = dl
+    out, clens, errs = encode_blocks_pallas_stream(
+        bufs, lens, block_size, int(level), acceleration,
+        dicts=dicts, dict_lens=dls,
+    )
+    if np.asarray(errs).any():
+        raise RuntimeError("pallas chained encoder overflow")
+    return [out[k, : int(clens[k])].tobytes() for k in range(nb)]
+
+
 def decode_blocks_device(comps_np, clens_np, out_cap: int):
     """Decode a batch on the device with the best available kernel.
 

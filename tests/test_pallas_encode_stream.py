@@ -82,3 +82,69 @@ def test_opt_identity_across_chunks(rng):
     words = [rng.randbytes(rng.randint(2, 7)) for _ in range(25)]
     data = b"".join(rng.choice(words) for _ in range(4500))[: 20 * 1024]
     _identity_case(data, 20 * 1024, 10)
+
+
+def test_dictionary_mode_identity(rng):
+    """Streaming-encoder dictionary mode (flat [dict | src] prefix with a
+    per-block src_off) is byte-identical to the host engines'
+    `encode(..., dictionary=...)` across the ladder, including a full
+    64 KB window and an empty dictionary in the same batch."""
+    from lz4_tpu import native
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    words = [rng.randbytes(rng.randint(3, 8)) for _ in range(30)]
+
+    def wordy(n, r):
+        return b" ".join(r.choice(words) for _ in range(n * 2))[:n]
+
+    cap, dw = 8192, 65536
+    cases = []
+    for k, dlen in enumerate((3000, 65536, 0)):
+        r = random.Random(200 + k)
+        cases.append((wordy(dlen, r), wordy(cap, r)))
+    bufs = np.zeros((len(cases), cap), np.uint8)
+    lens = np.zeros((len(cases),), np.int32)
+    dicts = np.zeros((len(cases), dw), np.uint8)
+    dls = np.zeros((len(cases),), np.int32)
+    for k, (d, s) in enumerate(cases):
+        bufs[k, : len(s)] = np.frombuffer(s, np.uint8)
+        lens[k] = len(s)
+        if d:
+            dicts[k, dw - len(d):] = np.frombuffer(d, np.uint8)
+        dls[k] = len(d)
+    for level in (0, 9, 12):
+        out, clens, errs = ES.encode_blocks_pallas_stream(
+            bufs, lens, cap, level, dicts=dicts, dict_lens=dls
+        )
+        assert not np.asarray(errs).any(), level
+        for k, (d, s) in enumerate(cases):
+            got = out[k, : clens[k]].tobytes()
+            assert got == native.encode(s, level, dictionary=d), (level, k)
+
+
+def test_chained_device_frame_identical(monkeypatch):
+    """The batched chained-frame device path emits the exact bytes the
+    sequential host FrameWriter produces (dict-carry parity end-to-end),
+    and the result decodes on the host path."""
+    from lz4_tpu import frame
+    from lz4_tpu.frame import api as frame_api
+    from lz4_tpu.frame.descriptor import EncoderSettings
+    from lz4_tpu.parallel import blocks as PB
+
+    rng2 = random.Random(77)
+    words = [rng2.randbytes(rng2.randint(3, 8)) for _ in range(40)]
+    data = (
+        b" ".join(rng2.choice(words) for _ in range(30000))[:100_000]
+        + rng2.randbytes(20_000)
+        + bytes(30_000)
+    )
+    settings = EncoderSettings(
+        chain_blocks=True, block_size=65536, content_checksum=True
+    )
+    ref = frame.compress(data, settings=settings, backend="host")
+    monkeypatch.setattr(PB, "_on_tpu", lambda: True)
+    fast = frame_api._try_chained_device_compress(data, settings)
+    assert fast is not None
+    assert fast == ref
+    assert frame.decompress(fast) == data

@@ -224,6 +224,13 @@ def test_frame_roundtrip_tpu_backend(tpu):
     blob2 = frame.compress(data, settings=s_chain, backend="host")
     assert frame.decompress(blob2, backend="tpu") == data
 
+    # chained device ENCODE: one batched streaming-kernel call with
+    # per-block plaintext dictionaries — byte-identical to the host
+    # FrameWriter's sequential dict-carry
+    blob3 = frame.compress(data, settings=s_chain, backend="tpu")
+    assert blob3 == blob2
+    assert frame.decompress(blob3, backend="host") == data
+
 
 def test_xxh32_kernel(tpu):
     from lz4_tpu.ops.xxh32_pallas import xxh32_blocks
