@@ -102,6 +102,16 @@ def main():
                 return out, meta.reshape(meta.shape[0], 8)
 
             return run6, "packed"
+        if name in ("v6p", "v6l"):
+            from lz4_tpu.ops.decode_pallas6 import pallas_decode6
+
+            md = "parse" if name == "v6p" else "lit"
+
+            def run6m(c, l, md=md):
+                out, meta, dcapw = pallas_decode6(c, l, bs, mode=md)
+                return out, meta.reshape(meta.shape[0], 8)
+
+            return run6m, False
         if name == "vs":
             from lz4_tpu.ops.decode_pallas_stream import pallas_decode_stream
 

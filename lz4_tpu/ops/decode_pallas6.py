@@ -63,7 +63,7 @@ def _i(x):
 
 
 def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
-                dcapw: int, out_cap: int):
+                dcapw: int, out_cap: int, mode: str = "full"):
     """Decode one block, all-scalar (see module docstring).
 
     comp_s:  SMEM i32[1, 1, CAP]  per-byte LE words (word[p] = bytes p..p+3)
@@ -341,17 +341,26 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
             fast, parse_fast, parse_slow, None
         )
 
-        acc, op = copy_literals(acc, op, la, ll)
+        # mode: profiling decomposition knob (kbench) — "parse" skips all
+        # byte emission, "lit" emits literals but skips match copies; both
+        # keep op/err exact so the parse walk is byte-for-byte the same
+        if mode == "parse":
+            op = op + ll + ml
+        elif mode == "lit":
+            acc, op = copy_literals(acc, op, la, ll)
+            op = op + ml
+        else:
+            acc, op = copy_literals(acc, op, la, ll)
 
-        def do_match(a):
-            return jax.lax.cond(
-                off >= 8,
-                lambda a: copy_match_far(a[0], a[1], off, ml),
-                lambda a: copy_match_near(a[0], a[1], off, ml),
-                a,
-            )
+            def do_match(a):
+                return jax.lax.cond(
+                    off >= 8,
+                    lambda a: copy_match_far(a[0], a[1], off, ml),
+                    lambda a: copy_match_near(a[0], a[1], off, ml),
+                    a,
+                )
 
-        acc, op = jax.lax.cond(ml > 0, do_match, lambda a: a, (acc, op))
+            acc, op = jax.lax.cond(ml > 0, do_match, lambda a: a, (acc, op))
         return (
             ip2,
             op,
@@ -371,9 +380,10 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
         meta_ref[0, 0, k] = 0
 
 
-@functools.partial(jax.jit, static_argnames=("out_cap", "with_dict"))
+@functools.partial(jax.jit, static_argnames=("out_cap", "with_dict", "mode"))
 def pallas_decode6(comps_i32, comp_lens, out_cap: int, dicts_i32=None,
-                   dict_lens=None, with_dict: bool = False):
+                   dict_lens=None, with_dict: bool = False,
+                   mode: str = "full"):
     """comps_i32: i32[B, CAP] one byte per element, zero padded.
 
     Returns (out_words i32[B, OW] packed LE words with the dict prefix
@@ -427,7 +437,7 @@ def pallas_decode6(comps_i32, comp_lens, out_cap: int, dicts_i32=None,
         i = pl.program_id(0)
         _decode_one(
             lens_ref[i], dlens_ref[i], comp_s, dict_w, out_ref, meta_ref,
-            sem, dcapw, out_cap,
+            sem, dcapw, out_cap, mode,
         )
 
     words = _words_le(comps_i32)
