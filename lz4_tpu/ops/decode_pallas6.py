@@ -176,13 +176,30 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
         )
         return acc2 & mask8(f2), op2
 
+    # NOTE (negative result, kept for the record): a dedicated short-match
+    # path (off >= 8, ml <= 8: two unaligned reads + two appends) behind an
+    # extra cond level measured 100.2 ms vs 82.4 ms per 4 MiB — 22% SLOWER
+    # despite doing strictly less copy work.  A two-sided lax.cond in this
+    # kernel costs ~100 cyc (live-state movement between Mosaic regions),
+    # an order of magnitude above an untaken pl.when.  Branch-count
+    # reduction, not path specialization, is the optimization axis.
+
     def copy_match_far(acc, op, off, ml):
-        """off >= 8, any ml: full-word stores, constant source phase, one
-        incremental source load per word after the first.
+        """off >= 8 (or ml == 0), any ml: full-word stores, constant source
+        phase, one incremental source load per word after the first.
 
         Safety: store0 merges acc, so word wp is FULLY valid after it;
         the loop's fetched word sw+j has max byte 4(wp+j)+7-off <=
-        4(wp+j)-1 for off >= 8, i.e. always below the store frontier."""
+        4(wp+j)-1 for off >= 8, i.e. always below the store frontier.
+
+        ml == 0 degenerates to a no-op (so the caller needs no ml > 0
+        cond — saving one ~100 cyc region switch per sequence): off is
+        clamped to >= 8 so the speculative s0/lo0 reads stay below the
+        frontier, nw == 0 skips the loop, the store0 overshoot writes
+        garbage above op that later stores rewrite, and the final select
+        keeps the incoming acc."""
+        acc_in = acc
+        off = jnp.maximum(off, 8)
         op2 = op + ml
         wp = op >> 2
         f = op & 3
@@ -206,7 +223,7 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
         jax.lax.while_loop(lambda s: s[0] < nw, body, (1, lo0))
         f2 = op2 & 3
         acc2 = read_out_u(op2 - f2 - off) & mask8(f2)
-        return acc2, op2
+        return jnp.where(ml == 0, acc_in, acc2), op2
 
     def copy_match_near(acc, op, off, ml):
         """off < 8: store acc (the seed reads the partial word), seed
@@ -337,30 +354,52 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
                 ip3, bad, is_last,
             )
 
+        if mode == "full":
+            # Speculative offset load (mo_at <= ip + 15, inside padding):
+            # lets the common case run parse + literal copy + far match
+            # copy as ONE flat cond arm — a single region switch for the
+            # ~85% of sequences with no VLE and off >= 8.  The slow arm
+            # keeps the general machinery (its nested conds only tax the
+            # rare sequences).
+            wo_s = _i(W(mo_at)) & 0xFFFF
+            fused = fast & (wo_s >= 8) & (wo_s <= op + ll0 - lo)
+
+            def arm_fast(_):
+                a2, o2 = copy_literals(acc, op, lit_at, ll0)
+                a3, o3 = copy_match_far(a2, o2, wo_s, mln + MIN_MATCH)
+                return mo_at + 2, o3, a3, err, done
+
+            def arm_slow(_):
+                ll, la, off, ml, ip2, bad, is_last = jax.lax.cond(
+                    fast, parse_fast, parse_slow, None
+                )
+                a2, o2 = copy_literals(acc, op, la, ll)
+                a3, o3 = jax.lax.cond(
+                    (ml == 0) | (off >= 8),
+                    lambda a: copy_match_far(a[0], a[1], off, ml),
+                    lambda a: copy_match_near(a[0], a[1], off, ml),
+                    (a2, o2),
+                )
+                return (
+                    ip2, o3, a3, jnp.where(bad, 1, err),
+                    done | is_last | bad,
+                )
+
+            return jax.lax.cond(fused, arm_fast, arm_slow, None)
+
         ll, la, off, ml, ip2, bad, is_last = jax.lax.cond(
             fast, parse_fast, parse_slow, None
         )
 
-        # mode: profiling decomposition knob (kbench) — "parse" skips all
-        # byte emission, "lit" emits literals but skips match copies; both
-        # keep op/err exact so the parse walk is byte-for-byte the same
+        # profiling decomposition knob (kbench; mode == "full" returned
+        # above) — "parse" skips all byte emission, "lit" emits literals
+        # but skips match copies; both keep op/err exact so the parse walk
+        # is byte-for-byte the same
         if mode == "parse":
             op = op + ll + ml
-        elif mode == "lit":
+        else:  # "lit"
             acc, op = copy_literals(acc, op, la, ll)
             op = op + ml
-        else:
-            acc, op = copy_literals(acc, op, la, ll)
-
-            def do_match(a):
-                return jax.lax.cond(
-                    off >= 8,
-                    lambda a: copy_match_far(a[0], a[1], off, ml),
-                    lambda a: copy_match_near(a[0], a[1], off, ml),
-                    a,
-                )
-
-            acc, op = jax.lax.cond(ml > 0, do_match, lambda a: a, (acc, op))
         return (
             ip2,
             op,

@@ -64,7 +64,8 @@ def _i(x):
 
 def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                  attempts: int, ocap: int, opt_sufficient: int = 0,
-                 opt_full: bool = False, src_off=None):
+                 opt_full: bool = False, src_off=None,
+                 profile: str = "full"):
     """The complete FAST/HC/OPT encoder over caller-supplied accessors.
 
     W(p)        -> int32 LE word of source bytes p..p+3 (any byte offset)
@@ -304,7 +305,10 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
             ml = MIN_MATCH + match_length(
                 c2 + MIN_MATCH, p2 + MIN_MATCH, match_limit
             )
-            acc, op2 = emit_sequence(acc, op, anchor, p2, p2 - c2, ml)
+            if profile == "find":  # kbench knob: match-finding cost only
+                op2 = op + ml  # data-dependent so the search isn't DCE'd
+            else:
+                acc, op2 = emit_sequence(acc, op, anchor, p2, p2 - c2, ml)
             err = err | (op2 > ocap_b)
             np_ = p2 + ml
             htab[hash4(W(np_ - 2))] = np_ - 2
@@ -1081,7 +1085,7 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
 
 def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
                 attempts: int, ocap: int, opt_sufficient: int = 0,
-                opt_full: bool = False):
+                opt_full: bool = False, profile: str = "full"):
     """Staged whole-block wrapper around `_encode_body`.
 
     src_s:   SMEM i32[1, 1, CAP]  per-byte LE words
@@ -1099,7 +1103,7 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
 
     op, errv = _encode_body(
         n, acc0, W, store, None, htab, prev, nti, opt_tab,
-        attempts, ocap, opt_sufficient, opt_full,
+        attempts, ocap, opt_sufficient, opt_full, profile=profile,
     )
     meta_ref[0, 0, 0] = op
     meta_ref[0, 0, 1] = errv
@@ -1109,10 +1113,12 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bcap", "attempts", "opt_sufficient", "opt_full"),
+    static_argnames=("bcap", "attempts", "opt_sufficient", "opt_full",
+                     "profile"),
 )
 def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
-                   opt_sufficient: int = 0, opt_full: bool = False):
+                   opt_sufficient: int = 0, opt_full: bool = False,
+                   profile: str = "full"):
     """src_i32: i32[B, CAP] block bytes (CAP % 128 == 0, >= bcap + pad).
 
     Returns (out_words i32[B, 1, OW] packed, meta i32[B, 1, 8])."""
@@ -1157,7 +1163,7 @@ def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
         _encode_one(
             lens_ref[i], acc, src_s, htab, prev, nti, opt_tab, out_ref,
             meta_ref, attempts, align1024(compress_bound(bcap)),
-            opt_sufficient, opt_full,
+            opt_sufficient, opt_full, profile=profile,
         )
 
     out, meta = pl.pallas_call(

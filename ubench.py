@@ -93,6 +93,52 @@ def m_smem(n):
     return k
 
 
+def m_smem2(n):
+    """Two INDEPENDENT dependent-load chains per iteration.  If cyc/iter
+    is ~equal to smem_dep_read, the scalar VLIW overlaps independent
+    chains (dual-block kernel interleave would pay off); if ~2x, loads
+    serialize and interleaving buys nothing."""
+    def k(seed, out, sc):
+        for j in range(8):
+            sc[j] = (seed[0, 1] + 3 * j + 1) & 7
+            sc[8 + j] = (seed[0, 2] + 5 * j + 2) & 7
+
+        def body(s):
+            i, a, b = s
+            return i + 1, sc[a & 7], sc[8 + (b & 7)]
+
+        _, a, b = jax.lax.while_loop(
+            lambda s: s[0] < n, body, (seed[0, 0], 0, 1)
+        )
+        out[:] = jnp.full((1, 128), a + b, jnp.int32)
+
+    return k
+
+
+def m_smem4(n):
+    """Four independent chains per iteration."""
+    def k(seed, out, sc):
+        for j in range(8):
+            sc[j] = (seed[0, 1] + 3 * j + 1) & 7
+            sc[8 + j] = (seed[0, 2] + 5 * j + 2) & 7
+            sc[16 + j] = (seed[0, 3] + 7 * j + 3) & 7
+            sc[24 + j] = (seed[0, 4] + j + 5) & 7
+
+        def body(s):
+            i, a, b, c, d = s
+            return (
+                i + 1, sc[a & 7], sc[8 + (b & 7)], sc[16 + (c & 7)],
+                sc[24 + (d & 7)],
+            )
+
+        _, a, b, c, d = jax.lax.while_loop(
+            lambda s: s[0] < n, body, (seed[0, 0], 0, 1, 2, 3)
+        )
+        out[:] = jnp.full((1, 128), a + b + c + d, jnp.int32)
+
+    return k
+
+
 def m_vread(n):
     def k(seed, out, vm):
         def body(s):
@@ -253,6 +299,8 @@ SC = (pltpu.SMEM((8,), jnp.int32),)
 BENCHES = {
     "loop": (m_loop, ()),
     "smem_dep_read": (m_smem, SC),
+    "smem_dep_read2": (m_smem2, (pltpu.SMEM((16,), jnp.int32),)),
+    "smem_dep_read4": (m_smem4, (pltpu.SMEM((32,), jnp.int32),)),
     "vmem_dyn_read": (m_vread, VM),
     "vmem_dyn_rmw": (m_vrmw, VM),
     "roll_dynamic": (m_roll, ()),
