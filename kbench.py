@@ -112,6 +112,30 @@ def main():
                 return out, meta.reshape(meta.shape[0], 8)
 
             return run6m, False
+        if name == "v7":
+            from lz4_tpu.ops.decode_pallas7 import pallas_decode7
+
+            split_cache = {}
+
+            def run7(c, l):
+                key = id(c)
+                if key not in split_cache:
+                    cu, lu = np.asarray(c), np.asarray(l)
+                    if cu.shape[0] & 1:
+                        cu = np.vstack([cu, np.zeros_like(cu[:1])])
+                        lu = np.concatenate([lu, np.zeros((1,), np.int32)])
+                    split_cache[key] = tuple(
+                        jnp.asarray(x)
+                        for x in (cu[0::2], cu[1::2], lu[0::2], lu[1::2])
+                    )
+                ca, cb, la, lb = split_cache[key]
+                oa, ob, ma, mb = pallas_decode7(ca, cb, la, lb, bs)
+                meta = jnp.concatenate(
+                    [ma.reshape(-1, 8), mb.reshape(-1, 8)]
+                )
+                return (oa, ob), meta
+
+            return run7, "pair"
         if name == "vs":
             from lz4_tpu.ops.decode_pallas_stream import pallas_decode_stream
 
@@ -202,7 +226,22 @@ def main():
         mh = np.asarray(meta)
         print(f"{name} compile+run {time.time()-t0:.1f}s "
               f"errs={int(mh[:,1].sum())}", flush=True)
-        if check in ("packed", "packed0"):
+        if check == "pair":
+            oa, ob = dec
+            mh2 = mh.reshape(2, -1, 8)
+            skip = 8
+            parts = []
+            for b in range(n_blocks):
+                half = np.ascontiguousarray(
+                    np.asarray(oa if b % 2 == 0 else ob).reshape(
+                        np.asarray(oa).shape[0], -1
+                    )
+                )
+                u8 = half.view(np.uint8).reshape(half.shape[0], -1)
+                ln = int(mh2[b % 2, b // 2, 0])
+                parts.append(u8[b // 2, skip : skip + ln].tobytes())
+            assert b"".join(parts) == datas[0], f"{name} roundtrip FAIL"
+        elif check in ("packed", "packed0"):
             skip = 8 if check == "packed" else 0
             words = np.ascontiguousarray(
                 np.asarray(dec).reshape(np.asarray(dec).shape[0], -1)
