@@ -112,12 +112,13 @@ def main():
                 return out, meta.reshape(meta.shape[0], 8)
 
             return run6m, False
-        if name == "v7":
+        if name in ("v7", "v7s"):
             from lz4_tpu.ops.decode_pallas7 import pallas_decode7
 
             split_cache = {}
+            joint = name == "v7"
 
-            def run7(c, l):
+            def run7(c, l, joint=joint):
                 key = id(c)
                 if key not in split_cache:
                     cu, lu = np.asarray(c), np.asarray(l)
@@ -129,7 +130,9 @@ def main():
                         for x in (cu[0::2], cu[1::2], lu[0::2], lu[1::2])
                     )
                 ca, cb, la, lb = split_cache[key]
-                oa, ob, ma, mb = pallas_decode7(ca, cb, la, lb, bs)
+                oa, ob, ma, mb = pallas_decode7(
+                    ca, cb, la, lb, bs, joint=joint
+                )
                 meta = jnp.concatenate(
                     [ma.reshape(-1, 8), mb.reshape(-1, 8)]
                 )

@@ -24,9 +24,17 @@ region:
 The unrolled copies rely on forward-overshoot stores being safe (bytes
 above the frontier are rewritten by later appends; `op + 40 <= ocap`
 keeps them in the +4-word slack) and on off >= 8 keeping every chained
-source word strictly below the store frontier.  Byte behavior, meta
-layout, and error codes match v6 (`decode_pallas6.py`); no dictionary
-mode (dict batches route to v6 / the streaming decoder).
+source word strictly below the store frontier.
+
+Unlike v5/v6, the compressed stream is staged PACKED (one byte per
+byte): two double-buffered per-byte-LE-word inputs would need ~1.07 MB
+of SMEM (compile fails at 1.27 MB used).  Packed halves the total
+footprint to ~540 KB at the cost of funnel-shift reads (2 loads instead
+of 1 for unaligned words, incremental 1-load chains for sequential
+copies) — latencies the second machine's independent chain hides.
+Byte behavior, meta layout, and error codes match v6
+(`decode_pallas6.py`); no dictionary mode (dict batches route to v6 /
+the streaming decoder).
 
 Reference behavior anchor: `LZ4_decompress_generic`
 (/root/reference/src/sanitized/lz4.c) / `x64/LL64.dec.cs:124-467`.
@@ -43,7 +51,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import MIN_MATCH
-from .decode_pallas import _words_le
 
 _LANES = 128
 _DCAPW = 2  # 2-word output prefix (index-safety pad, stripped by wrapper)
@@ -57,13 +64,27 @@ def _i(x):
     return x.astype(jnp.int32)
 
 
-def _machine(comp_s, out_ref, clen, ocap: int):
-    """Closure bundle for one decode machine (v6 semantics, no dict)."""
+def _machine(comp_w, out_ref, clen, ocap: int):
+    """Closure bundle for one decode machine (v6 semantics, no dict).
+
+    comp_w holds the compressed stream PACKED (i32 LE words, byte p at
+    word p >> 2); unaligned reads are funnel shifts, sequential copies
+    chain one load per word."""
     dcap = _DCAPW * 4
     lo = dcap
 
-    def W(p):
-        return _u(comp_s[0, 0, p])
+    def CW(q):
+        return _u(comp_w[0, 0, q])
+
+    def comp_byte(p):
+        return (CW(p >> 2) >> (8 * _u(p & 3))) & 0xFF
+
+    def read_comp_u(p):
+        """Bytes p..p+3 of the compressed stream as one LE word."""
+        ph = _u(p & 3) * 8
+        lw = CW(p >> 2)
+        hw = CW((p >> 2) + 1)
+        return jnp.where(ph == 0, lw, (lw >> ph) | (hw << ((32 - ph) & 31)))
 
     def OUTW(q):
         return _u(out_ref[0, 0, q])
@@ -81,7 +102,7 @@ def _machine(comp_s, out_ref, clen, ocap: int):
 
         def body(s):
             v, q, last = s
-            b = _i(W(q)) & 0xFF
+            b = _i(comp_byte(q))
             return v + b, q + 1, b
 
         v0, q0, _ = jax.lax.while_loop(cond, body, (0, p, 255))
@@ -118,19 +139,29 @@ def _machine(comp_s, out_ref, clen, ocap: int):
         nw = (op2 >> 2) - wp
         f = op & 3
         lsh = _u(f) * 8
-        w0 = W(lit_at)
+        w0 = read_comp_u(lit_at)
         store(wp, acc | (w0 << lsh))
-        base = lit_at - f
+        # incremental funnel chain: dest word wp+j reads source bytes
+        # starting at base + 4(j-1); one CW load per word after the seed
+        base = lit_at - f + 4
+        sph = _u(base & 3) * 8
+        sphc = (32 - sph) & 31
+        ssel = sph == 0
+        sw = base >> 2
+        p0 = CW(sw)
 
-        def body(j):
-            store(wp + j, W(base + 4 * j))
-            return j + 1
+        def body(s):
+            j, lov = s
+            hi = CW(sw + j)
+            w = jnp.where(ssel, lov, (lov >> sph) | (hi << sphc))
+            store(wp + j, w)
+            return j + 1, hi
 
-        jax.lax.while_loop(lambda j: j < nw, body, 1)
+        jax.lax.while_loop(lambda s: s[0] < nw, body, (1, p0))
         f2 = op2 & 3
         acc2 = jnp.where(
             nw > 0,
-            W(jnp.maximum(lit_at + ll - f2, 0)),
+            read_comp_u(jnp.maximum(lit_at + ll - f2, 0)),
             acc | (w0 << lsh),
         )
         return acc2 & mask8(f2), op2
@@ -212,8 +243,7 @@ def _machine(comp_s, out_ref, clen, ocap: int):
     # ---- header parse (pre-cond, shared by all arms) ---------------------
     def head(ip, op):
         """Returns (ll0, mln, lit_at, mo_at, off_s, fast, fused)."""
-        w0 = _i(W(ip))
-        token = w0 & 0xFF
+        token = _i(comp_byte(ip))
         ll0 = token >> 4
         mln = token & 15
         lit_at = ip + 1
@@ -222,7 +252,7 @@ def _machine(comp_s, out_ref, clen, ocap: int):
             (ll0 < 15) & (mln < 15)
             & (mo_at + 2 <= clen) & (op + 40 <= ocap)
         )
-        off_s = _i(W(mo_at)) & 0xFFFF
+        off_s = _i(read_comp_u(mo_at)) & 0xFFFF
         # fused adds: off >= 8 (far copy), ll <= 11 / ml <= 15 (so the
         # unrolled copies' static store counts cover every word)
         fused = (
@@ -239,17 +269,26 @@ def _machine(comp_s, out_ref, clen, ocap: int):
         wp = op >> 2
         f = op & 3
         lsh = _u(f) * 8
-        w0 = W(lit_at)
-        base = lit_at - f
+        w0 = read_comp_u(lit_at)
         store(wp, acc | (w0 << lsh))
-        store(wp + 1, W(base + 4))
-        store(wp + 2, W(base + 8))
-        store(wp + 3, W(base + 12))
+        # incremental funnel chain, unrolled to the ll <= 11 word bound
+        base = lit_at - f + 4
+        sph = _u(base & 3) * 8
+        sphc = (32 - sph) & 31
+        ssel = sph == 0
+        sw = base >> 2
+        p0 = CW(sw)
+        h1 = CW(sw + 1)
+        store(wp + 1, jnp.where(ssel, p0, (p0 >> sph) | (h1 << sphc)))
+        h2 = CW(sw + 2)
+        store(wp + 2, jnp.where(ssel, h1, (h1 >> sph) | (h2 << sphc)))
+        h3 = CW(sw + 3)
+        store(wp + 3, jnp.where(ssel, h2, (h2 >> sph) | (h3 << sphc)))
         f2 = op2 & 3
         nw = (op2 >> 2) - wp
         acc2 = jnp.where(
             nw > 0,
-            W(jnp.maximum(lit_at + ll - f2, 0)),
+            read_comp_u(jnp.maximum(lit_at + ll - f2, 0)),
             acc | (w0 << lsh),
         )
         return acc2 & mask8(f2), op2
@@ -317,7 +356,7 @@ def _machine(comp_s, out_ref, clen, ocap: int):
 
                 def parse_match(args):
                     ipq, badq = args
-                    woff = _i(W(ipq)) & 0xFFFF
+                    woff = _i(read_comp_u(ipq)) & 0xFFFF
                     ipq = ipq + 2
                     ml = mln + MIN_MATCH
 
@@ -375,7 +414,7 @@ def _machine(comp_s, out_ref, clen, ocap: int):
 
 
 def _decode_pair(clen_a, clen_b, comp_a, comp_b, out_a, out_b,
-                 meta_a, meta_b, out_cap: int):
+                 meta_a, meta_b, out_cap: int, joint: bool = True):
     dcap = _DCAPW * 4
     ocap = dcap + out_cap
     A = _machine(comp_a, out_a, clen_a, ocap)
@@ -418,7 +457,12 @@ def _decode_pair(clen_a, clen_b, comp_a, comp_b, out_a, out_b,
               jnp.bool_(False))
     init_b = (jnp.int32(0), jnp.int32(dcap), jnp.uint32(0), jnp.int32(0),
               jnp.bool_(False))
-    sa, sb = jax.lax.while_loop(joint_cond, joint_body, (init_a, init_b))
+    if joint:
+        sa, sb = jax.lax.while_loop(
+            joint_cond, joint_body, (init_a, init_b)
+        )
+    else:  # diagnostic: sequential machines, same packed machinery
+        sa, sb = init_a, init_b
 
     # ---- phase 2: drain whichever machine is still live ------------------
     sa = jax.lax.while_loop(active, A["step"], sa)
@@ -437,14 +481,18 @@ def _decode_pair(clen_a, clen_b, comp_a, comp_b, out_a, out_b,
             meta_ref[0, 0, k] = 0
 
 
-@functools.partial(jax.jit, static_argnames=("out_cap",))
-def pallas_decode7(comps_a, comps_b, lens_a, lens_b, out_cap: int):
+@functools.partial(jax.jit, static_argnames=("out_cap", "joint"))
+def pallas_decode7(comps_a, comps_b, lens_a, lens_b, out_cap: int,
+                   joint: bool = True):
     """comps_{a,b}: i32[B2, CAP] per-byte values, zero padded.
 
     Returns (out_a, out_b i32[B2, 1, OW] packed LE words with a 2-word
     prefix, meta_a, meta_b i32[B2, 1, 8])."""
     b2, cap = comps_a.shape
     assert cap % _LANES == 0, cap
+    # packed words + one slack lane row so read_comp_u's +1 word stays in
+    # bounds at the very end of the stream
+    capw = cap // 4 + _LANES
     ow = _DCAPW + out_cap // 4 + 4
 
     grid = pltpu.PrefetchScalarGridSpec(
@@ -452,11 +500,11 @@ def pallas_decode7(comps_a, comps_b, lens_a, lens_b, out_cap: int):
         grid=(b2,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, cap), lambda i, la, lb: (i, 0, 0),
+                (1, 1, capw), lambda i, la, lb: (i, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, 1, cap), lambda i, la, lb: (i, 0, 0),
+                (1, 1, capw), lambda i, la, lb: (i, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
         ],
@@ -485,11 +533,18 @@ def pallas_decode7(comps_a, comps_b, lens_a, lens_b, out_cap: int):
         i = pl.program_id(0)
         _decode_pair(
             la_ref[i], lb_ref[i], comp_a, comp_b, out_a, out_b,
-            meta_a, meta_b, out_cap,
+            meta_a, meta_b, out_cap, joint,
         )
 
-    wa = _words_le(comps_a).reshape(b2, 1, cap)
-    wb = _words_le(comps_b).reshape(b2, 1, cap)
+    def _pack(c):
+        w = (
+            c.reshape(b2, cap // 4, 4)
+            * jnp.array([1, 1 << 8, 1 << 16, 1 << 24], jnp.int32)
+        ).sum(axis=2, dtype=jnp.int32)
+        return jnp.pad(w, ((0, 0), (0, _LANES))).reshape(b2, 1, capw)
+
+    wa = _pack(comps_a)
+    wb = _pack(comps_b)
     out_a, out_b, meta_a, meta_b = pl.pallas_call(
         kernel,
         grid_spec=grid,
