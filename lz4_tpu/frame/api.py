@@ -477,11 +477,7 @@ class LZ4FrameFile(io.RawIOBase):
     def read1(self, n: int = -1) -> bytes:
         if self._reader is None:
             raise io.UnsupportedOperation("not open for reading")
-        out = self._reader.read1()
-        if n is not None and 0 <= n < len(out):
-            # keep the overflow buffered
-            self._reader._buffer[:0] = out[n:]
-            out = out[:n]
+        out = self._reader.read1(n if n is not None else -1)
         self._pos += len(out)
         return out
 

@@ -253,11 +253,16 @@ class FrameReader:
         self._buffer.clear()
         return out
 
-    def read1(self) -> bytes:
-        """Interactive read: return whatever one block yields (like the
-        reference's interactive mode, `ReadManyBytes(..., interactive: true)`).
-        ``extra_memory`` buys read-ahead blocks per pull — the analog of the
-        reference's ExtraMemory -> bigger decoder ring (`Extensions.cs:18-19`)."""
+    def read1(self, n: int = -1) -> bytes:
+        """Interactive read: return available bytes as soon as ANY are
+        ready (the reference's `ReadManyBytes(..., interactive: true)`,
+        `Frames/LZ4FrameReader.blocking.cs:157-179`: fill up to the
+        caller's byte budget but never block for more once something is
+        available).  ``n`` is that budget (< 0: everything buffered after
+        one block); surplus stays buffered for the next call.
+        ``extra_memory`` buys read-ahead blocks per pull — the analog of
+        the reference's ExtraMemory -> bigger decoder ring
+        (`Extensions.cs:18-19`)."""
         while not self._buffer:
             if not self._ensure_frame():
                 break
@@ -268,8 +273,12 @@ class FrameReader:
             for _ in range(extra):
                 if not self._in_frame or not self._next_block():
                     break
-        out = bytes(self._buffer)
-        self._buffer.clear()
+        if n is None or n < 0 or n >= len(self._buffer):
+            out = bytes(self._buffer)
+            self._buffer.clear()
+            return out
+        out = bytes(self._buffer[:n])
+        del self._buffer[:n]
         return out
 
     def peek(self, n: int = -1) -> bytes:

@@ -331,3 +331,31 @@ def test_all_block_size_codes_roundtrip(lorem, rng):
             s = EncoderSettings(chain_blocks=chain, block_size=bs)
             blob = frame.compress(data, settings=s, backend="host")
             assert frame.decompress(blob, backend="host") == data, (bs, chain)
+
+
+def test_read1_byte_budget(lorem, rng):
+    """Interactive reads honor a byte budget without losing surplus
+    (reference interactive-mode semantics: return once any bytes are
+    ready, fill at most the caller's buffer)."""
+    from lz4_tpu import frame
+    from lz4_tpu.frame.descriptor import EncoderSettings
+    from lz4_tpu.frame.reader import FrameReader
+
+    data = lorem(50_000, rng)
+    blob = frame.compress(
+        data, settings=EncoderSettings(block_size=65536, chain_blocks=False)
+    )
+    r = FrameReader(io.BytesIO(blob))
+    got = bytearray()
+    while True:
+        chunk = r.read1(777)
+        if not chunk:
+            break
+        assert len(chunk) <= 777
+        got += chunk
+    assert bytes(got) == data
+    # mixed budgets: read1(n) surplus must remain available to read()
+    r2 = FrameReader(io.BytesIO(blob))
+    first = r2.read1(100)
+    rest = r2.read(-1)
+    assert first + rest == data
