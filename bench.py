@@ -280,7 +280,11 @@ def main():
         pass
 
     block_size = int(os.environ.get("LZ4TPU_BENCH_BLOCK", 64 * 1024))
-    total_mb = int(os.environ.get("LZ4TPU_BENCH_MB", 4))
+    # 16 MiB default: the payload pipelines through fixed 2 MiB batch
+    # chunks (no extra compiles) and amortizes the tunnel's ~29 ms fixed
+    # dispatch cost, measuring sustained rather than single-call
+    # throughput (the reference's CPU numbers are sustained too)
+    total_mb = int(os.environ.get("LZ4TPU_BENCH_MB", 16))
     iters = int(os.environ.get("LZ4TPU_BENCH_ITERS", 3))
     full = os.environ.get("LZ4TPU_BENCH_FULL", "1") != "0"
     total = total_mb * (1 << 20)

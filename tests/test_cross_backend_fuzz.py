@@ -162,3 +162,27 @@ def test_fuzz_pallas_v5_interpret(seed, monkeypatch):
     finally:
         D5.pallas_decode5.clear_cache()
         E5.pallas_encode5.clear_cache()
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_dictionary_cross_backend(seed):
+    """Dictionary-mode parity: every host engine produces identical bytes
+    with the same preset window, and every decoder recovers the data."""
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    rng = random.Random(1000 + seed)
+    dict_ = _random_structured(rng, rng.choice([100, 4000, 66000]))
+    data = _random_structured(rng, rng.choice([500, 8000]))
+    for lvl, hfn in (
+        (0, lambda d, dc: hostref.encode_fast(d, dc)),
+        (6, lambda d, dc: hostref.encode_hc(d, dc, level=6)),
+        (12, lambda d, dc: hostref.encode_opt(d, dc, level=12)),
+    ):
+        c_native = native.encode(data, lvl, dictionary=dict_)
+        c_host = hfn(data, dict_)
+        assert c_native == c_host, (seed, lvl)
+        win = dict_[-65535 - 1:]
+        assert hostref.decode_block(c_native, len(data), dictionary=win) \
+            == data, (seed, lvl)
+        assert native.decode(c_native, len(data), dictionary=win) \
+            == data, (seed, lvl)
