@@ -139,6 +139,66 @@ def main():
                 return (oa, ob), meta
 
             return run7, "pair"
+        if name == "v9":
+            from lz4_tpu.ops.decode_pallas7 import pallas_decode9
+
+            split9 = {}
+
+            def run9(c, l):
+                key = id(c)
+                if key not in split9:
+                    cu, lu = np.asarray(c), np.asarray(l)
+                    if cu.shape[0] & 1:
+                        cu = np.vstack([cu, np.zeros_like(cu[:1])])
+                        lu = np.concatenate([lu, np.zeros((1,), np.int32)])
+                    split9[key] = tuple(
+                        jnp.asarray(x)
+                        for x in (cu[0::2], cu[1::2], lu[0::2], lu[1::2])
+                    )
+                ca, cb, la, lb = split9[key]
+                oa, ob, ma, mb = pallas_decode9(ca, cb, la, lb, bs)
+                meta = jnp.concatenate(
+                    [ma.reshape(-1, 8), mb.reshape(-1, 8)]
+                )
+                return (oa, ob), meta
+
+            return run9, "pair"
+        if name == "v10":
+            from lz4_tpu.ops.decode_pallas7 import pallas_decode10
+
+            st10 = {}
+
+            def run10(c, l):
+                key = id(c)
+                if key not in st10:
+                    cu, lu = np.asarray(c), np.asarray(l)
+                    if cu.shape[0] & 1:
+                        cu = np.vstack([cu, np.zeros_like(cu[:1])])
+                        lu = np.concatenate([lu, np.zeros((1,), np.int32)])
+                    st10[key] = (
+                        jnp.asarray(
+                            cu.reshape(cu.shape[0] // 2, 2, cu.shape[1])
+                        ),
+                        jnp.asarray(lu),
+                    )
+                c2, l2 = st10[key]
+                out, meta = pallas_decode10(c2, l2, bs)
+                return out, meta.reshape(-1, 8)
+
+            return run10, "packed2"
+        if name in ("v8", "v8p", "v8d"):
+            from lz4_tpu.ops.decode_pallas7 import pallas_decode7_single
+
+            pad = name == "v8p"
+            dead = name == "v8d"
+
+            def run8(c, l, pad=pad, dead=dead):
+                out, meta = pallas_decode7_single(
+                    c, l, bs, pad_state=pad, dead_operands=dead
+                )
+                return out, meta.reshape(meta.shape[0], 8)
+
+            return run8, "packed"
         if name == "vs":
             from lz4_tpu.ops.decode_pallas_stream import pallas_decode_stream
 
@@ -229,7 +289,17 @@ def main():
         mh = np.asarray(meta)
         print(f"{name} compile+run {time.time()-t0:.1f}s "
               f"errs={int(mh[:,1].sum())}", flush=True)
-        if check == "pair":
+        if check == "packed2":
+            w = np.ascontiguousarray(
+                np.asarray(dec).reshape(-1, np.asarray(dec).shape[-1])
+            )
+            u8 = w.view(np.uint8).reshape(w.shape[0], -1)
+            recon = b"".join(
+                u8[b, 8 : 8 + int(mh[b, 0])].tobytes()
+                for b in range(n_blocks)
+            )
+            assert recon == datas[0], f"{name} roundtrip FAIL"
+        elif check == "pair":
             oa, ob = dec
             mh2 = mh.reshape(2, -1, 8)
             skip = 8

@@ -1,4 +1,16 @@
-"""Pallas TPU LZ4 block decoder, v7 — dual-block instruction interleave.
+"""Pallas TPU LZ4 block decoders v7-v10 — dual-block interleave (EXPERIMENTAL,
+NEGATIVE RESULT; not wired into dispatch).
+
+Every pair-decoding variant here measures ~10x slower than the production
+v6 kernel despite byte-correct output; see PERFORMANCE.md ("Dual-block
+interleave: exhaustively-diagnosed negative result") for the controlled
+diagnostic matrix (v7/v7s/v8/v8p/v8d/v9/v10) that eliminated code mass,
+state width, operand count, and ref layout, leaving "two interleaved
+machine contexts in one Mosaic kernel" as the trigger.  The
+single-machine packed-input variant (pallas_decode7_single) is within
+12% of v6 and bounds the packed-read tax.
+
+Original design rationale (kept for context):
 
 The scalar core's per-sequence cost is dominated by dependent-SMEM-load
 chains and region switches (PERFORMANCE.md cost model).  ubench measured
@@ -64,7 +76,7 @@ def _i(x):
     return x.astype(jnp.int32)
 
 
-def _machine(comp_w, out_ref, clen, ocap: int):
+def _machine(comp_w, out_ref, clen, ocap: int, row: int = 0):
     """Closure bundle for one decode machine (v6 semantics, no dict).
 
     comp_w holds the compressed stream PACKED (i32 LE words, byte p at
@@ -74,7 +86,7 @@ def _machine(comp_w, out_ref, clen, ocap: int):
     lo = dcap
 
     def CW(q):
-        return _u(comp_w[0, 0, q])
+        return _u(comp_w[0, row, q])
 
     def comp_byte(p):
         return (CW(p >> 2) >> (8 * _u(p & 3))) & 0xFF
@@ -87,10 +99,10 @@ def _machine(comp_w, out_ref, clen, ocap: int):
         return jnp.where(ph == 0, lw, (lw >> ph) | (hw << ((32 - ph) & 31)))
 
     def OUTW(q):
-        return _u(out_ref[0, 0, q])
+        return _u(out_ref[0, row, q])
 
     def store(q, v):
-        out_ref[0, 0, q] = _i(v)
+        out_ref[0, row, q] = _i(v)
 
     def mask8(f):
         return (jnp.uint32(1) << (8 * _u(f))) - 1
@@ -322,94 +334,100 @@ def _machine(comp_w, out_ref, clen, ocap: int):
         return acc2, op2
 
     # ---- general single-sequence step (v6 structure) ---------------------
-    def step(state):
-        """(ip, op, acc, err, done) -> advanced by one sequence."""
-        ip, op, acc, err, done = state
-        ll0, mln, lit_at, mo_at, off_s, fast, fused = head(ip, op)
+    def make_step(with_fast_arm: bool):
+        def step(state):
+            """(ip, op, acc, err, done) -> advanced by one sequence."""
+            ip, op, acc, err, done = state
+            ll0, mln, lit_at, mo_at, off_s, fast, fused = head(ip, op)
 
-        def arm_fast(_):
-            a2, o2 = copy_literals(acc, op, lit_at, ll0)
-            a3, o3 = copy_match_far(a2, o2, off_s, mln + MIN_MATCH)
-            return mo_at + 2, o3, a3, err, done
+            def arm_fast(_):
+                a2, o2 = copy_literals(acc, op, lit_at, ll0)
+                a3, o3 = copy_match_far(a2, o2, off_s, mln + MIN_MATCH)
+                return mo_at + 2, o3, a3, err, done
 
-        def arm_slow(_):
-            def parse_fast(_):
-                bad = (off_s == 0) | (off_s > op + ll0 - lo)
-                return (
-                    jnp.where(bad, 0, ll0), lit_at, off_s,
-                    jnp.where(bad, 0, mln + MIN_MATCH), mo_at + 2, bad,
-                    ll0 < 0,
-                )
-
-            def parse_slow(_):
-                def ll_ext(_):
-                    v, q = read_vle(lit_at)
-                    return 15 + v, q
-
-                ll, ipp = jax.lax.cond(
-                    ll0 == 15, ll_ext, lambda _: (ll0, lit_at), None
-                )
-                bad = (ip >= clen) | (ipp + ll > clen) | (op + ll > ocap)
-                la = ipp
-                ipp = ipp + ll
-                is_last = ipp >= clen
-
-                def parse_match(args):
-                    ipq, badq = args
-                    woff = _i(read_comp_u(ipq)) & 0xFFFF
-                    ipq = ipq + 2
-                    ml = mln + MIN_MATCH
-
-                    def ml_ext(_):
-                        v, q = read_vle(ipq)
-                        return MIN_MATCH + 15 + v, q
-
-                    ml, ipq = jax.lax.cond(
-                        mln == 15, ml_ext, lambda _: (ml, ipq), None
+            def arm_slow(_):
+                def parse_fast(_):
+                    bad = (off_s == 0) | (off_s > op + ll0 - lo)
+                    return (
+                        jnp.where(bad, 0, ll0), lit_at, off_s,
+                        jnp.where(bad, 0, mln + MIN_MATCH), mo_at + 2, bad,
+                        ll0 < 0,
                     )
-                    badq = (
-                        badq
-                        | (woff == 0)
-                        | (woff > op + ll - lo)
-                        | (op + ll + ml > ocap)
-                        | (ipq > clen)
-                    )
-                    return ipq, badq, woff, ml
 
-                ip3, bad, off, ml = jax.lax.cond(
-                    is_last,
-                    lambda a: (a[0], a[1], jnp.int32(1), jnp.int32(0)),
-                    parse_match,
-                    (ipp, bad),
-                )
-                return (
-                    jnp.where(bad, 0, ll), la, off,
-                    jnp.where(bad, 0, ml), ip3, bad, is_last,
-                )
+                def parse_slow(_):
+                    def ll_ext(_):
+                        v, q = read_vle(lit_at)
+                        return 15 + v, q
+
+                    ll, ipp = jax.lax.cond(
+                        ll0 == 15, ll_ext, lambda _: (ll0, lit_at), None
+                    )
+                    bad = (ip >= clen) | (ipp + ll > clen) | (op + ll > ocap)
+                    la = ipp
+                    ipp = ipp + ll
+                    is_last = ipp >= clen
+
+                    def parse_match(args):
+                        ipq, badq = args
+                        woff = _i(read_comp_u(ipq)) & 0xFFFF
+                        ipq = ipq + 2
+                        ml = mln + MIN_MATCH
+
+                        def ml_ext(_):
+                            v, q = read_vle(ipq)
+                            return MIN_MATCH + 15 + v, q
+
+                        ml, ipq = jax.lax.cond(
+                            mln == 15, ml_ext, lambda _: (ml, ipq), None
+                        )
+                        badq = (
+                            badq
+                            | (woff == 0)
+                            | (woff > op + ll - lo)
+                            | (op + ll + ml > ocap)
+                            | (ipq > clen)
+                        )
+                        return ipq, badq, woff, ml
+
+                    ip3, bad, off, ml = jax.lax.cond(
+                        is_last,
+                        lambda a: (a[0], a[1], jnp.int32(1), jnp.int32(0)),
+                        parse_match,
+                        (ipp, bad),
+                    )
+                    return (
+                        jnp.where(bad, 0, ll), la, off,
+                        jnp.where(bad, 0, ml), ip3, bad, is_last,
+                    )
 
             # `fast` here may still hold (off < 8 / invalid off cases)
-            ll, la, off, ml, ip2, bad, is_last = jax.lax.cond(
-                fast, parse_fast, parse_slow, None
-            )
-            a2, o2 = copy_literals(acc, op, la, ll)
-            a3, o3 = jax.lax.cond(
-                (ml == 0) | (off >= 8),
-                lambda a: copy_match_far(a[0], a[1], off, ml),
-                lambda a: copy_match_near(a[0], a[1], off, ml),
-                (a2, o2),
-            )
-            return (
-                ip2, o3, a3, jnp.where(bad, 1, err),
-                done | is_last | bad,
-            )
+                ll, la, off, ml, ip2, bad, is_last = jax.lax.cond(
+                    fast, parse_fast, parse_slow, None
+                )
+                a2, o2 = copy_literals(acc, op, la, ll)
+                a3, o3 = jax.lax.cond(
+                    (ml == 0) | (off >= 8),
+                    lambda a: copy_match_far(a[0], a[1], off, ml),
+                    lambda a: copy_match_near(a[0], a[1], off, ml),
+                    (a2, o2),
+                )
+                return (
+                    ip2, o3, a3, jnp.where(bad, 1, err),
+                    done | is_last | bad,
+                )
 
-        return jax.lax.cond(fused, arm_fast, arm_slow, None)
+            if not with_fast_arm:
+                return arm_slow(None)
+            return jax.lax.cond(fused, arm_fast, arm_slow, None)
+
+        return step
 
     return {
         "head": head,
         "lit_unrolled": lit_unrolled,
         "match_unrolled": match_unrolled,
-        "step": step,
+        "step": make_step(True),
+        "step_slow": make_step(False),
     }
 
 
@@ -591,3 +609,450 @@ def decode_blocks_pallas7(
     meta[0::2] = ma
     meta[1::2] = mb
     return out[:b], meta[:b, 0], meta[:b, 1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_cap", "pad_state", "dead_operands")
+)
+def pallas_decode7_single(comps, lens, out_cap: int,
+                          pad_state: bool = False,
+                          dead_operands: bool = False):
+    """Diagnostic: ONE machine per grid step with the same packed-input
+    machinery (v6-sized program).  Isolates which v7 ingredient regressed:
+    if this runs near v6 speed, the pair kernel's ~6x code duplication is
+    the poison (instruction-memory pathology); if this is also several
+    times slower than v6, the packed funnel reads are."""
+    b, cap = comps.shape
+    assert cap % _LANES == 0, cap
+    capw = cap // 4 + _LANES
+    ow = _DCAPW + out_cap // 4 + 4
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, capw), lambda i, lens: (i, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, ow), lambda i, lens: (i, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, 8), lambda i, lens: (i, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+    ]
+    if dead_operands:
+        # diagnostic: declare a second (untouched) input/output pair so
+        # the kernel has the pair variants' 6-operand windowed pipeline
+        # with single-machine code — isolates operand-count pathology
+        in_specs.append(in_specs[0])
+        out_specs.insert(1, out_specs[0])
+        out_specs.append(out_specs[-1])
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+
+    def kernel(lens_ref, comp_w, *rest):
+        if dead_operands:
+            _dead_in, out_ref, _dead_out, meta_ref, _dead_meta = rest
+        else:
+            out_ref, meta_ref = rest
+        i = pl.program_id(0)
+        clen = lens_ref[i]
+        dcap = _DCAPW * 4
+        M = _machine(comp_w, out_ref, clen, dcap + out_cap)
+
+        if pad_state:
+            # diagnostic: same machine, but the while carries 5 extra
+            # live values (the width of a second machine's state) — if
+            # this alone regresses several-fold, pair kernels are bound
+            # by loop-carried state width, not code size
+            def act_p(st):
+                ip, op, acc, err, done = st[:5]
+                return (~done) & (err == 0)
+
+            def body_p(st):
+                ip2, op2, acc2, err2, done2 = M["step"](st[:5])
+                d = st[5:]
+                return (ip2, op2, acc2, err2, done2,
+                        d[0] + 1, d[1] ^ ip2, d[2] + op2, d[3] ^ d[0],
+                        d[4] + 1)
+
+            stp = jax.lax.while_loop(
+                act_p, body_p,
+                (jnp.int32(0), jnp.int32(dcap), jnp.uint32(0),
+                 jnp.int32(0), jnp.bool_(False),
+                 jnp.int32(1), jnp.int32(2), jnp.int32(3), jnp.int32(4),
+                 jnp.int32(5)),
+            )
+            st = stp[:5]
+            meta_ref[0, 0, 7] = stp[5] ^ stp[6] ^ stp[7] ^ stp[8] ^ stp[9]
+        else:
+            def act(st):
+                ip, op, acc, err, done = st
+                return (~done) & (err == 0)
+
+            st = jax.lax.while_loop(
+                act, M["step"],
+                (jnp.int32(0), jnp.int32(dcap), jnp.uint32(0),
+                 jnp.int32(0), jnp.bool_(False)),
+            )
+        ip, op, acc, err, _ = st
+        out_ref[0, 0, op >> 2] = _i(acc)
+        meta_ref[0, 0, 0] = op - dcap
+        meta_ref[0, 0, 1] = jnp.where(
+            err != 0, err, jnp.where(ip != clen, 2, 0)
+        )
+        for k in range(2, 8):
+            meta_ref[0, 0, k] = 0
+
+    def _pack1(c):
+        w = (
+            c.reshape(b, cap // 4, 4)
+            * jnp.array([1, 1 << 8, 1 << 16, 1 << 24], jnp.int32)
+        ).sum(axis=2, dtype=jnp.int32)
+        return jnp.pad(w, ((0, 0), (0, _LANES))).reshape(b, 1, capw)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, 1, ow), jnp.int32),
+        jax.ShapeDtypeStruct((b, 1, 8), jnp.int32),
+    ]
+    ins = [_pack1(comps)]
+    if dead_operands:
+        out_shape = [
+            jax.ShapeDtypeStruct((b, 1, ow), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, ow), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, 8), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, 8), jnp.int32),
+        ]
+        ins.append(ins[0])
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid,
+        out_shape=out_shape,
+    )(lens, *ins)
+    if dead_operands:
+        out, _d1, meta, _d2 = res
+    else:
+        out, meta = res
+    return out, meta
+
+
+def _decode_pair2(clen_a, clen_b, comp_a, comp_b, out_a, out_b,
+                  meta_a, meta_b, out_cap: int):
+    """v9: ONE unified loop — flat 3-way switch per iteration between
+    [merged fused pair | general step A | general step B].  No separate
+    fallback-both or drain loops, and the general step omits its fused
+    fast arm: the program carries ONE merged arm + TWO slim step bodies
+    (about half of v7's instruction mass, whose duplication measured 10x
+    slower; the single-machine diagnostic bounded the packed-read tax at
+    ~12%)."""
+    dcap = _DCAPW * 4
+    ocap = dcap + out_cap
+    A = _machine(comp_a, out_a, clen_a, ocap)
+    B = _machine(comp_b, out_b, clen_b, ocap)
+
+    def active(st):
+        ip, op, acc, err, done = st
+        return (~done) & (err == 0)
+
+    def cond_any(s):
+        return active(s[0]) | active(s[1])
+
+    def body(s):
+        sa, sb = s
+        ipA, opA, accA, errA, doneA = sa
+        ipB, opB, accB, errB, doneB = sb
+        actA = active(sa)
+        actB = active(sb)
+        llA, mlnA, litA, moA, offA, fastA, fusedA = A["head"](ipA, opA)
+        llB, mlnB, litB, moB, offB, fastB, fusedB = B["head"](ipB, opB)
+
+        def merged(_):
+            a1, oA1 = A["lit_unrolled"](accA, opA, litA, llA)
+            b1, oB1 = B["lit_unrolled"](accB, opB, litB, llB)
+            a2, oA2 = A["match_unrolled"](a1, oA1, offA, mlnA + MIN_MATCH)
+            b2, oB2 = B["match_unrolled"](b1, oB1, offB, mlnB + MIN_MATCH)
+            return (
+                (moA + 2, oA2, a2, errA, doneA),
+                (moB + 2, oB2, b2, errB, doneB),
+            )
+
+        def only_a(_):
+            return A["step_slow"](sa), sb
+
+        def only_b(_):
+            return sa, B["step_slow"](sb)
+
+        idx = jnp.where(
+            actA & actB & fusedA & fusedB,
+            0,
+            jnp.where(actA, 1, 2),
+        )
+        return jax.lax.switch(idx, (merged, only_a, only_b), None)
+
+    init_a = (jnp.int32(0), jnp.int32(dcap), jnp.uint32(0), jnp.int32(0),
+              jnp.bool_(False))
+    init_b = (jnp.int32(0), jnp.int32(dcap), jnp.uint32(0), jnp.int32(0),
+              jnp.bool_(False))
+    sa, sb = jax.lax.while_loop(cond_any, body, (init_a, init_b))
+
+    for st, out_ref, meta_ref, clen in (
+        (sa, out_a, meta_a, clen_a),
+        (sb, out_b, meta_b, clen_b),
+    ):
+        ip, op, acc, err, _ = st
+        out_ref[0, 0, op >> 2] = _i(acc)
+        errv = jnp.where(err != 0, err, jnp.where(ip != clen, 2, 0))
+        meta_ref[0, 0, 0] = op - dcap
+        meta_ref[0, 0, 1] = errv
+        for k in range(2, 8):
+            meta_ref[0, 0, k] = 0
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def pallas_decode9(comps_a, comps_b, lens_a, lens_b, out_cap: int):
+    """Pair decoder, unified-loop variant (see _decode_pair2)."""
+    b2, cap = comps_a.shape
+    assert cap % _LANES == 0, cap
+    capw = cap // 4 + _LANES
+    ow = _DCAPW + out_cap // 4 + 4
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b2,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, capw), lambda i, la, lb: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, capw), lambda i, la, lb: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, ow), lambda i, la, lb: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, ow), lambda i, la, lb: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 8), lambda i, la, lb: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 8), lambda i, la, lb: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+    )
+
+    def kernel(la_ref, lb_ref, comp_a, comp_b, out_a, out_b, meta_a,
+               meta_b):
+        i = pl.program_id(0)
+        _decode_pair2(
+            la_ref[i], lb_ref[i], comp_a, comp_b, out_a, out_b,
+            meta_a, meta_b, out_cap,
+        )
+
+    def _pack(c):
+        w = (
+            c.reshape(b2, cap // 4, 4)
+            * jnp.array([1, 1 << 8, 1 << 16, 1 << 24], jnp.int32)
+        ).sum(axis=2, dtype=jnp.int32)
+        return jnp.pad(w, ((0, 0), (0, _LANES))).reshape(b2, 1, capw)
+
+    out_a, out_b, meta_a, meta_b = pl.pallas_call(
+        kernel,
+        grid_spec=grid,
+        out_shape=[
+            jax.ShapeDtypeStruct((b2, 1, ow), jnp.int32),
+            jax.ShapeDtypeStruct((b2, 1, ow), jnp.int32),
+            jax.ShapeDtypeStruct((b2, 1, 8), jnp.int32),
+            jax.ShapeDtypeStruct((b2, 1, 8), jnp.int32),
+        ],
+    )(lens_a, lens_b, _pack(comps_a), _pack(comps_b))
+    return out_a, out_b, meta_a, meta_b
+
+
+def decode_blocks_pallas9(
+    comps_u8: np.ndarray, comp_lens: np.ndarray, out_cap: int
+):
+    """Host wrapper for the unified-loop pair decoder (v9)."""
+    comps_u8 = np.asarray(comps_u8)
+    comp_lens = np.asarray(comp_lens, np.int32)
+    b, cap = comps_u8.shape
+    b_pad = b + (b & 1)
+    if b_pad != b:
+        comps_u8 = np.vstack([comps_u8, np.zeros((1, cap), np.uint8)])
+        comp_lens = np.concatenate([comp_lens, np.zeros((1,), np.int32)])
+    ca = jnp.asarray(comps_u8[0::2], jnp.int32)
+    cb = jnp.asarray(comps_u8[1::2], jnp.int32)
+    la = jnp.asarray(comp_lens[0::2])
+    lb = jnp.asarray(comp_lens[1::2])
+    out_a, out_b, meta_a, meta_b = pallas_decode9(ca, cb, la, lb, out_cap)
+    b2 = b_pad // 2
+    wa = np.ascontiguousarray(np.asarray(out_a).reshape(b2, -1))
+    wb = np.ascontiguousarray(np.asarray(out_b).reshape(b2, -1))
+    skip = _DCAPW * 4
+    u8a = wa.view(np.uint8).reshape(b2, -1)[:, skip: skip + out_cap]
+    u8b = wb.view(np.uint8).reshape(b2, -1)[:, skip: skip + out_cap]
+    out = np.empty((b_pad, out_cap), np.uint8)
+    out[0::2] = u8a
+    out[1::2] = u8b
+    ma = np.asarray(meta_a).reshape(b2, 8)
+    mb = np.asarray(meta_b).reshape(b2, 8)
+    meta = np.empty((b_pad, 8), np.int32)
+    meta[0::2] = ma
+    meta[1::2] = mb
+    return out[:b], meta[:b, 0], meta[:b, 1]
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def pallas_decode10(comps2, lens2, out_cap: int):
+    """Pair decoder over SHARED refs: the pair lives in ONE input
+    (1, 2, capw), one output (1, 2, ow), and one meta (1, 2, 8) — the
+    same 3-operand layout as the (fast) single-machine kernel, with the
+    machines separated by STATIC row indices.  Tests/realizes the
+    hypothesis that the 10x pair regression comes from actively touching
+    two separate operand sets, not from code mass, state width, or
+    operand declarations (all individually exonerated by kbench
+    diagnostics v9/v8p/v8d)."""
+    b2, two, cap = comps2.shape
+    assert two == 2 and cap % _LANES == 0, comps2.shape
+    capw = cap // 4 + _LANES
+    ow = _DCAPW + out_cap // 4 + 4
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b2,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 2, capw), lambda i, l2: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 2, ow), lambda i, l2: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, 8), lambda i, l2: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+    )
+
+    def kernel(l2_ref, comp_w, out_ref, meta_ref):
+        i = pl.program_id(0)
+        dcap = _DCAPW * 4
+        ocap = dcap + out_cap
+        clen_a = l2_ref[2 * i]
+        clen_b = l2_ref[2 * i + 1]
+        A = _machine(comp_w, out_ref, clen_a, ocap, row=0)
+        B = _machine(comp_w, out_ref, clen_b, ocap, row=1)
+
+        def active(st):
+            ip, op, acc, err, done = st
+            return (~done) & (err == 0)
+
+        def cond_any(s):
+            return active(s[0]) | active(s[1])
+
+        def body(s):
+            sa, sb = s
+            ipA, opA, accA, errA, doneA = sa
+            ipB, opB, accB, errB, doneB = sb
+            actA = active(sa)
+            actB = active(sb)
+            llA, mlnA, litA, moA, offA, fastA, fusedA = A["head"](ipA, opA)
+            llB, mlnB, litB, moB, offB, fastB, fusedB = B["head"](ipB, opB)
+
+            def merged(_):
+                a1, oA1 = A["lit_unrolled"](accA, opA, litA, llA)
+                b1, oB1 = B["lit_unrolled"](accB, opB, litB, llB)
+                a2, oA2 = A["match_unrolled"](
+                    a1, oA1, offA, mlnA + MIN_MATCH
+                )
+                b2_, oB2 = B["match_unrolled"](
+                    b1, oB1, offB, mlnB + MIN_MATCH
+                )
+                return (
+                    (moA + 2, oA2, a2, errA, doneA),
+                    (moB + 2, oB2, b2_, errB, doneB),
+                )
+
+            def only_a(_):
+                return A["step"](sa), sb
+
+            def only_b(_):
+                return sa, B["step"](sb)
+
+            idx = jnp.where(
+                actA & actB & fusedA & fusedB,
+                0,
+                jnp.where(actA, 1, 2),
+            )
+            return jax.lax.switch(idx, (merged, only_a, only_b), None)
+
+        init = (jnp.int32(0), jnp.int32(_DCAPW * 4), jnp.uint32(0),
+                jnp.int32(0), jnp.bool_(False))
+        sa, sb = jax.lax.while_loop(cond_any, body, (init, init))
+
+        for row, st, clen in ((0, sa, clen_a), (1, sb, clen_b)):
+            ip, op, acc, err, _ = st
+            out_ref[0, row, op >> 2] = _i(acc)
+            errv = jnp.where(err != 0, err, jnp.where(ip != clen, 2, 0))
+            meta_ref[0, row, 0] = op - dcap
+            meta_ref[0, row, 1] = errv
+            for k in range(2, 8):
+                meta_ref[0, row, k] = 0
+
+    def _pack2(c):
+        w = (
+            c.reshape(b2, 2, cap // 4, 4)
+            * jnp.array([1, 1 << 8, 1 << 16, 1 << 24], jnp.int32)
+        ).sum(axis=3, dtype=jnp.int32)
+        return jnp.pad(w, ((0, 0), (0, 0), (0, _LANES)))
+
+    out, meta = pl.pallas_call(
+        kernel,
+        grid_spec=grid,
+        out_shape=[
+            jax.ShapeDtypeStruct((b2, 2, ow), jnp.int32),
+            jax.ShapeDtypeStruct((b2, 2, 8), jnp.int32),
+        ],
+    )(lens2, _pack2(comps2))
+    return out, meta
+
+
+def decode_blocks_pallas10(
+    comps_u8: np.ndarray, comp_lens: np.ndarray, out_cap: int
+):
+    """Host wrapper for the shared-ref pair decoder (v10)."""
+    comps_u8 = np.asarray(comps_u8)
+    comp_lens = np.asarray(comp_lens, np.int32)
+    b, cap = comps_u8.shape
+    b_pad = b + (b & 1)
+    if b_pad != b:
+        comps_u8 = np.vstack([comps_u8, np.zeros((1, cap), np.uint8)])
+        comp_lens = np.concatenate([comp_lens, np.zeros((1,), np.int32)])
+    b2 = b_pad // 2
+    c2 = jnp.asarray(comps_u8.reshape(b2, 2, cap), jnp.int32)
+    l2 = jnp.asarray(comp_lens)
+    out, meta = pallas_decode10(c2, l2, out_cap)
+    w = np.ascontiguousarray(np.asarray(out).reshape(b_pad, -1))
+    skip = _DCAPW * 4
+    u8 = w.view(np.uint8).reshape(b_pad, -1)[:, skip: skip + out_cap]
+    meta = np.asarray(meta).reshape(b_pad, 8)
+    return np.ascontiguousarray(u8[:b]), meta[:b, 0], meta[:b, 1]

@@ -136,3 +136,80 @@ def test_matches_v6_bytes(rng):
         assert (
             o7[i, : l7[i]].tobytes() == o6[i, : l6[i]].tobytes()
         ), i
+
+
+def test_v9_unified_loop_matches_v6(rng):
+    """The unified-loop pair decoder (v9) is byte-equal to v6 across the
+    mixed shape set, odd batches, and asymmetric pair drains."""
+    from lz4_tpu.ops import decode_pallas6 as D6
+
+    D6.pallas_decode6.clear_cache()
+    D7.pallas_decode9.clear_cache()
+    cases = _cases(rng)  # 11 cases -> odd batch too
+    cap = comp_capacity(N)
+    comps = np.zeros((len(cases), cap), np.uint8)
+    clens = np.zeros((len(cases),), np.int32)
+    for i, d in enumerate(cases):
+        c = native.encode(d, 0)
+        comps[i, : len(c)] = np.frombuffer(c, np.uint8)
+        clens[i] = len(c)
+    o9, l9, e9 = D7.decode_blocks_pallas9(comps, clens, N)
+    o6, l6, e6 = D6.decode_blocks_pallas6(comps, clens, N)
+    assert (np.asarray(l9) == np.asarray(l6)).all()
+    assert (np.asarray(e9) == np.asarray(e6)).all()
+    for i in range(len(cases)):
+        assert o9[i, : l9[i]].tobytes() == o6[i, : l6[i]].tobytes(), i
+
+
+def test_v9_hc_and_malformed(rng):
+    """v9: denser HC streams + per-machine error isolation."""
+    words = [rng.randbytes(rng.randint(3, 8)) for _ in range(30)]
+    data = b" ".join(rng.choice(words) for _ in range(1500))[:N]
+    cap = comp_capacity(N)
+    c_good = native.encode(data, 9)
+    bad = bytes([0x00, 0x10, 0x00]) + bytes(20)
+    comps = np.zeros((2, cap), np.uint8)
+    clens = np.zeros((2,), np.int32)
+    comps[0, : len(bad)] = np.frombuffer(bad, np.uint8)
+    clens[0] = len(bad)
+    comps[1, : len(c_good)] = np.frombuffer(c_good, np.uint8)
+    clens[1] = len(c_good)
+    out, olens, errs = D7.decode_blocks_pallas9(comps, clens, N)
+    assert errs[0] != 0 and errs[1] == 0
+    assert out[1, : olens[1]].tobytes() == data
+
+
+def test_v10_shared_ref_matches_v6(rng):
+    """The shared-ref pair decoder (v10) is byte-equal to v6, including
+    odd batches and a malformed/good pair."""
+    from lz4_tpu.ops import decode_pallas6 as D6
+
+    D6.pallas_decode6.clear_cache()
+    D7.pallas_decode10.clear_cache()
+    cases = _cases(rng)  # 11 -> odd batch
+    cap = comp_capacity(N)
+    comps = np.zeros((len(cases), cap), np.uint8)
+    clens = np.zeros((len(cases),), np.int32)
+    for i, d in enumerate(cases):
+        c = native.encode(d, 0)
+        comps[i, : len(c)] = np.frombuffer(c, np.uint8)
+        clens[i] = len(c)
+    oX, lX, eX = D7.decode_blocks_pallas10(comps, clens, N)
+    o6, l6, e6 = D6.decode_blocks_pallas6(comps, clens, N)
+    assert (np.asarray(lX) == np.asarray(l6)).all()
+    assert (np.asarray(eX) == np.asarray(e6)).all()
+    for i in range(len(cases)):
+        assert oX[i, : lX[i]].tobytes() == o6[i, : l6[i]].tobytes(), i
+    # malformed A + good B in one pair
+    bad = bytes([0x00, 0x10, 0x00]) + bytes(20)
+    comps2 = np.zeros((2, cap), np.uint8)
+    clens2 = np.zeros((2,), np.int32)
+    comps2[0, : len(bad)] = np.frombuffer(bad, np.uint8)
+    clens2[0] = len(bad)
+    good = cases[6]
+    cg = native.encode(good, 0)
+    comps2[1, : len(cg)] = np.frombuffer(cg, np.uint8)
+    clens2[1] = len(cg)
+    out, olens, errs = D7.decode_blocks_pallas10(comps2, clens2, N)
+    assert errs[0] != 0 and errs[1] == 0
+    assert out[1, : olens[1]].tobytes() == good
