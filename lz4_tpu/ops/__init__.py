@@ -4,8 +4,12 @@ Production paths (all-scalar packed-word pipelines; see PERFORMANCE.md for
 the measured cost model that selected them):
 
 - `encode_pallas5`  — full-ladder encoder (FAST, reference-lookahead HC,
-  exact optimal parse), blocks <= 64 KB
-- `decode_pallas5`  — decoder, blocks <= 64 KB (staged SMEM)
+  exact optimal parse), blocks <= 64 KB, staged SMEM
+- `encode_pallas_stream` — same encoder body over SMEM rings + HBM DMA:
+  any block size, plus dictionary mode ([dict | src] flat prefix) — the
+  chained-frame batch path
+- `decode_pallas6`  — decoder, blocks <= 64 KB (branch-merged parse,
+  full-word copies, fused fast arm)
 - `decode_pallas_stream` — decoder for 256 KB - 4 MB+ blocks (ring DMA)
 - `xxh32_pallas`    — xxHash32 device kernel
 
@@ -15,6 +19,10 @@ Kept implementations:
   the decoder still serves the staged dictionary mode
 - `encode_jax` / `decode_jax` — pure-XLA dense kernels (CPU-mesh paths:
   tests, the driver's virtual-device dry-run, shard_map sharding)
+- `decode_pallas5` — previous production decoder (v6's baseline)
 - `decode_pallas2/3/4` — measured negative-result experiments, kept with
   their numbers (split-phase tables, ring-ANY DMA, speculative parse)
+- `decode_pallas7` — the dual-block interleave experiment family
+  (v7/v8/v9/v10): byte-correct, ~10x slower, exhaustively diagnosed
+  (PERFORMANCE.md); not dispatched
 """

@@ -163,3 +163,34 @@ if __name__ == "__main__" and "regen" in sys.argv:
         )
         print(f'    "{name}": {{{entries}}},')
     print("}")
+
+
+_DICT_GOLDEN = {
+    0: (5137, 0x6EDBD731),
+    3: (2656, 0x1B8DBD70),
+    9: (2640, 0x1114B614),
+    10: (2621, 0xC9265DBE),
+    12: (2606, 0xD518B3FE),
+}
+
+
+def test_dictionary_mode_golden():
+    """Dictionary-mode regression pins (both host engines, one table):
+    preset-window parses must stay stable across the ladder — this traps
+    silent changes to dict seeding (e.g. the FAST stride) or chain
+    construction over the prefix."""
+    rng = random.Random(424242)
+    words = [rng.randbytes(rng.randint(3, 8)) for _ in range(30)]
+    dict_ = b" ".join(rng.choice(words) for _ in range(4000))[:16000]
+    data = b" ".join(rng.choice(words) for _ in range(3000))[:12000]
+    for lvl, (size, digest) in _DICT_GOLDEN.items():
+        host = (
+            hostref.encode_fast(data, dict_) if lvl < 3
+            else hostref.encode_hc(data, dict_, level=lvl) if lvl < 10
+            else hostref.encode_opt(data, dict_, level=lvl)
+        )
+        assert (len(host), xxh32(host)) == (size, digest), lvl
+        if native.available():
+            assert native.encode(data, lvl, dictionary=dict_) == host, lvl
+        win = dict_[-65536:]
+        assert hostref.decode_block(host, len(data), dictionary=win) == data
