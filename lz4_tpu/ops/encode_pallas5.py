@@ -260,16 +260,18 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
         p, anchor, acc, op, search, err = state
 
         def find_cond(s):
-            p, search, cand = s
+            p, search, cand, w = s
             return (cand < 0) & (p < mf_limit)
 
         def find_body(s):
             # NOTE: a 4-way unrolled probe (precomputed miss-steps, pipelined
             # loads, first-hit select) measured SLOWER (33.9 vs 35.2 MB/s)
             # and worse ratio (0.471 vs 0.453) — post-hit bucket stores evict
-            # useful candidates; the serial probe stays.
-            p, search, cand = s
-            w = W(p)
+            # useful candidates; the serial probe stays.  The probe WORD is
+            # software-pipelined instead: W(next p) issues at the iteration
+            # tail so its latency overlaps the good/step ALU (identical
+            # probe sequence and inserts — byte-identical output).
+            p, search, cand, w = s
             h = hash4(w)
             c = htab[h]
             htab[h] = p
@@ -280,14 +282,16 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                 W(jnp.maximum(c, p - 65535)) == w
             )
             step = jnp.where(good, 0, search >> _SKIP_TRIGGER)
+            p2 = p + step
             return (
-                p + step,
+                p2,
                 search + jnp.where(good, 0, 1),
                 jnp.where(good, c, -1),
+                W(p2),
             )
 
-        p, search, cand = jax.lax.while_loop(
-            find_cond, find_body, (p, search, jnp.int32(-1))
+        p, search, cand, _ = jax.lax.while_loop(
+            find_cond, find_body, (p, search, jnp.int32(-1), W(p))
         )
 
         def take(args):
