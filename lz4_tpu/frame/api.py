@@ -270,9 +270,14 @@ def _try_chained_device_compress(data: bytes, settings: EncoderSettings):
     content_hash = XXH32() if d.content_checksum else None
     if content_hash is not None:
         content_hash.update(data)
-    comps = encode_blocks_chained_device(
-        data, bs, level=settings.compression_level
-    )
+    try:
+        comps = encode_blocks_chained_device(
+            data, bs, level=settings.compression_level
+        )
+    except Exception:
+        # kernel overflow / device trouble: the sequential host FrameWriter
+        # produces the identical frame — fall back instead of failing
+        return None
     n = len(data)
     for i, comp in enumerate(comps):
         raw_len = min(bs, n - i * bs)

@@ -148,3 +148,31 @@ def test_chained_device_frame_identical(monkeypatch):
     assert fast is not None
     assert fast == ref
     assert frame.decompress(fast) == data
+
+
+def test_big_block_stream_encode_routing(monkeypatch):
+    """LZ4TPU_DEVICE_STREAM_ENCODE=1 keeps >64KB-block encode on device
+    (the streaming kernel); default routes to the native host engine.
+    Exercised on the interpret backend by faking _on_tpu."""
+    import os
+
+    from lz4_tpu import native
+    from lz4_tpu.parallel import blocks as PB
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    monkeypatch.setattr(PB, "_on_tpu", lambda: True)
+    monkeypatch.setenv("LZ4TPU_DEVICE_STREAM_ENCODE", "1")
+    rng2 = random.Random(55)
+    words = [rng2.randbytes(rng2.randint(3, 8)) for _ in range(30)]
+    bcap = 131072
+    d = b" ".join(rng2.choice(words) for _ in range(bcap))[:bcap]
+    bufs = np.zeros((1, bcap), np.uint8)
+    bufs[0] = np.frombuffer(d, np.uint8)
+    lens = np.full((1,), bcap, np.int32)
+    out, clens = PB.encode_blocks_device(bufs, lens, bcap, 0)
+    assert out[0, : clens[0]].tobytes() == native.encode(d, 0)
+    # default (env unset): host engine handles it — same bytes
+    monkeypatch.delenv("LZ4TPU_DEVICE_STREAM_ENCODE")
+    out2, clens2 = PB.encode_blocks_device(bufs, lens, bcap, 0)
+    assert out2[0, : clens2[0]].tobytes() == native.encode(d, 0)
