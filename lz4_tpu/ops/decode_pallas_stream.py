@@ -101,6 +101,12 @@ def _decode_one(i, clen, dict_len, comp_w, dict_w, out_hbm, meta_ref,
         ensure_chunk(c)
         return _u(ring_w[c & 1, (p >> 7) & (_CW_ROWS - 1), p & 127])
 
+    def Wr(p):
+        """Raw ring read — caller guarantees the chunk is resident."""
+        return _u(
+            ring_w[(p >> _CW_LOG) & 1, (p >> 7) & (_CW_ROWS - 1), p & 127]
+        )
+
     # ---- output ring accessors -------------------------------------------
     def OUTW(q):
         r = q & (_OR_WORDS - 1)
@@ -178,6 +184,63 @@ def _decode_one(i, clen, dict_len, comp_w, dict_w, out_hbm, meta_ref,
     def read_out_byte(q):
         return (OUTW(q >> 2) >> (8 * _u(q & 3))) & 0xFF
 
+    def mask8(f):
+        return (jnp.uint32(1) << (8 * _u(f))) - 1
+
+    # ---- v6-style fused-arm copies (one flush check per SEQUENCE, full-
+    # word stores, no per-append bookkeeping; see decode_pallas6) --------
+    def lit_fast(acc, op, lit_at, ll):
+        """Raw reads: the fused arm's comp accesses all live inside
+        [ip, mo_at + 3], whose chunks the caller ensures once — no
+        per-read ensure_chunk tax."""
+        op2 = op + ll
+        wp = op >> 2
+        nw = (op2 >> 2) - wp
+        f = op & 3
+        lsh = _u(f) * 8
+        w0 = Wr(lit_at)
+        store_word(wp, acc | (w0 << lsh))
+        base = lit_at - f
+
+        def body(j):
+            store_word(wp + j, Wr(base + 4 * j))
+            return j + 1
+
+        jax.lax.while_loop(lambda j: j < nw, body, 1)
+        f2 = op2 & 3
+        acc2 = jnp.where(
+            nw > 0,
+            Wr(jnp.maximum(lit_at + ll - f2, 0)),
+            acc | (w0 << lsh),
+        )
+        return acc2 & mask8(f2), op2
+
+    def match_fast(acc, op, off, ml):
+        op2 = op + ml
+        wp = op >> 2
+        f = op & 3
+        nw = (op2 >> 2) - wp
+        lsh = _u(f) * 8
+        s0 = read_out_u(op - off)
+        store_word(wp, acc | (s0 << lsh))
+        sb = 4 * wp + 4 - off
+        ph = _u(sb & 3) * 8
+        phc = (32 - ph) & 31
+        sw = sb >> 2
+        lo0 = OUTW(sw)
+
+        def body(s):
+            j, lov = s
+            hi = OUTW(sw + j)
+            w = jnp.where(ph == 0, lov, (lov >> ph) | (hi << phc))
+            store_word(wp + j, w)
+            return j + 1, hi
+
+        jax.lax.while_loop(lambda s: s[0] < nw, body, (1, lo0))
+        f2 = op2 & 3
+        acc2 = read_out_u(op2 - f2 - off) & mask8(f2)
+        return acc2, op2
+
     def copy_match_far(acc, op, off, ml):
         ms = op - off
 
@@ -242,6 +305,38 @@ def _decode_one(i, clen, dict_len, comp_w, dict_w, out_hbm, meta_ref,
         return (~done) & (err == 0)
 
     def seq_body(state):
+        ip, op, acc, err, done = state
+        bad = ip >= clen
+        w0 = _i(W(jnp.minimum(ip, clen - 1)))
+        token = w0 & 0xFF
+        ll0 = token >> 4
+        mln = token & 15
+        mo_at = ip + 1 + ll0
+        # speculative offset read (inside the wrapper's slack chunk) lets
+        # the no-VLE off>=8 common case run parse + literal copy + far
+        # match copy as ONE cond arm with ONE ring-flush check, exactly
+        # like the staged v6 kernel (which this port follows)
+        wo_s = _i(W(mo_at)) & 0xFFFF
+        fused = (
+            (~bad) & (ll0 < 15) & (mln < 15)
+            & (mo_at + 2 <= clen) & (op + 40 <= ocap)
+            & (wo_s >= 8) & (wo_s <= op + ll0 - lo)
+        )
+
+        def arm_fast(_):
+            # one residency guarantee for every raw read in the arm
+            ensure_chunk((mo_at + 3) >> _CW_LOG)
+            flush_for((op + ll0 + mln + MIN_MATCH) >> 2)
+            a2, o2 = lit_fast(acc, op, ip + 1, ll0)
+            a3, o3 = match_fast(a2, o2, wo_s, mln + MIN_MATCH)
+            return mo_at + 2, o3, a3, err, done
+
+        def arm_slow(_):
+            return seq_slow(state)
+
+        return jax.lax.cond(fused, arm_fast, arm_slow, None)
+
+    def seq_slow(state):
         ip, op, acc, err, done = state
         bad = ip >= clen
         w0 = _i(W(jnp.minimum(ip, clen - 1)))
