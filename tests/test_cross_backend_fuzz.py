@@ -186,3 +186,39 @@ def test_fuzz_dictionary_cross_backend(seed):
             == data, (seed, lvl)
         assert native.decode(c_native, len(data), dictionary=win) \
             == data, (seed, lvl)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_corrupted_blocks_device_decoder(seed, monkeypatch):
+    """Randomly corrupted compressed blocks through the production device
+    decoder (interpret mode): every outcome must be a clean error flag or
+    a decode result — never a crash, out-of-bounds index, or hang."""
+    import functools
+
+    import numpy as np
+    from jax.experimental import pallas as pl
+
+    from lz4_tpu.ops import decode_pallas6 as D6
+    from lz4_tpu.parallel.blocks import comp_capacity
+
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    D6.pallas_decode6.clear_cache()
+    rng = random.Random(7000 + seed)
+    n = 4096
+    data = _random_structured(rng, n)
+    comp = bytearray(hostref.encode_fast(data))
+    # flip a handful of random bytes (headers, offsets, lengths alike)
+    for _ in range(rng.randrange(1, 6)):
+        comp[rng.randrange(len(comp))] ^= 1 << rng.randrange(8)
+    cap = comp_capacity(n)
+    comps = np.zeros((1, cap), np.uint8)
+    comps[0, : len(comp)] = np.frombuffer(bytes(comp), np.uint8)
+    clens = np.asarray([len(comp)], np.int32)
+    out, olens, errs = D6.decode_blocks_pallas6(comps, clens, n)
+    if errs[0] == 0:
+        # the corruption happened to stay parseable: the produced length
+        # must be in range (bytes may legitimately differ from `data`)
+        assert 0 <= int(olens[0]) <= n
+    D6.pallas_decode6.clear_cache()
