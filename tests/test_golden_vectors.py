@@ -194,3 +194,30 @@ def test_dictionary_mode_golden():
             assert native.encode(data, lvl, dictionary=dict_) == host, lvl
         win = dict_[-65536:]
         assert hostref.decode_block(host, len(data), dictionary=win) == data
+
+
+_ACCEL_GOLDEN = {
+    1: (6994, 0x8583D8DD),
+    2: (7067, 0x5497AE9D),
+    8: (7333, 0x454C66DC),
+    32: (9344, 0xDAF274EE),
+}
+
+
+def test_acceleration_golden():
+    """Acceleration-parameter regression pins: the skip-trigger schedule
+    (reference `LZ4_compress_fast` acceleration) must stay stable — size
+    grows monotonically with acceleration on compressible input, and both
+    host engines agree byte-for-byte."""
+    rng = random.Random(90909)
+    words = [rng.randbytes(rng.randint(3, 8)) for _ in range(30)]
+    data = b" ".join(rng.choice(words) for _ in range(4000))[:16000]
+    prev_size = 0
+    for acc, (size, digest) in sorted(_ACCEL_GOLDEN.items()):
+        host = hostref.encode_fast(data, acceleration=acc)
+        assert (len(host), xxh32(host)) == (size, digest), acc
+        assert len(host) >= prev_size, acc
+        prev_size = len(host)
+        if native.available():
+            assert native.encode(data, 0, acceleration=acc) == host, acc
+        assert hostref.decode_block(host, len(data)) == data
