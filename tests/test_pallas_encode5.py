@@ -174,3 +174,25 @@ def test_identity_large_wordy_block():
         assert errs[0] == 0, level
         comp = out[0, : clens[0]].tobytes()
         assert comp == native.encode(d, level), level
+
+
+def test_acceleration_identity_device():
+    """The traced acceleration scalar drives the same skip schedule as
+    the host engines: device FAST output is byte-identical at accel > 1."""
+    from lz4_tpu import native
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    rng = random.Random(91)
+    words = [rng.randbytes(rng.randint(3, 8)) for _ in range(30)]
+    d = b" ".join(rng.choice(words) for _ in range(1200))[:N]
+    bufs = np.zeros((1, CAP), np.uint8)
+    bufs[0, : len(d)] = np.frombuffer(d, np.uint8)
+    lens = np.asarray([len(d)], np.int32)
+    for acc in (2, 8):
+        out, clens, errs = E5.encode_blocks_pallas5(
+            bufs, lens, N, 0, acceleration=acc
+        )
+        assert errs[0] == 0
+        comp = out[0, : clens[0]].tobytes()
+        assert comp == native.encode(d, 0, acceleration=acc), acc

@@ -176,3 +176,27 @@ def test_big_block_stream_encode_routing(monkeypatch):
     monkeypatch.delenv("LZ4TPU_DEVICE_STREAM_ENCODE")
     out2, clens2 = PB.encode_blocks_device(bufs, lens, bcap, 0)
     assert out2[0, : clens2[0]].tobytes() == native.encode(d, 0)
+
+
+def test_chained_device_frame_large_blocks(monkeypatch):
+    """Chained frame with 256 KB blocks end-to-end on the device paths:
+    batched streaming dict-ENCODE produces the host FrameWriter's exact
+    bytes, and the streaming dict-DECODE recovers the data."""
+    from lz4_tpu import frame
+    from lz4_tpu.frame import api as frame_api
+    from lz4_tpu.frame.descriptor import DecoderSettings, EncoderSettings
+    from lz4_tpu.parallel import blocks as PB
+
+    rng2 = random.Random(88)
+    words = [rng2.randbytes(rng2.randint(3, 8)) for _ in range(40)]
+    data = (
+        b" ".join(rng2.choice(words) for _ in range(120_000))[:550_000]
+        + bytes(40_000)
+    )
+    settings = EncoderSettings(chain_blocks=True, block_size=262144)
+    ref = frame.compress(data, settings=settings, backend="host")
+    monkeypatch.setattr(PB, "_on_tpu", lambda: True)
+    fast = frame_api._try_chained_device_compress(data, settings)
+    assert fast == ref
+    dev = frame_api._try_chained_device_decompress(ref, DecoderSettings())
+    assert dev == data
