@@ -203,6 +203,18 @@ def _host_config(total, iters, uniq):
         blob = frame.compress(data, settings=s, workers=8)
         times.append(time.perf_counter() - t0)
     out["frame_encode_threaded_GBps"] = round(total / min(times) / 1e9, 4)
+    # ...and the matching threaded frame decode (block-parallel across the
+    # independent blocks — the production host read path)
+    blobs = [
+        frame.compress(data, settings=s, workers=8) for data in datas
+    ]
+    times = []
+    for data, blob in zip(datas, blobs):
+        t0 = time.perf_counter()
+        r = frame.decompress(blob, workers=8)
+        times.append(time.perf_counter() - t0)
+        assert r == data
+    out["frame_decode_threaded_GBps"] = round(total / min(times) / 1e9, 4)
     return out
 
 

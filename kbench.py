@@ -6,8 +6,12 @@ one process.  Usage:
 
     python kbench.py v1 v2 v2p v3 [--mb 4] [--block 65536] [--iters 2]
 
-Variant names: v1 (staged kernel), v2 (split parse/copy), v2p (v2 parse
-phase only — no output, timing knob), v3 (ring-streamed).
+Decode variants: v1 (round-1 vector), v2/v2p v3 v4/v4p (negative-result
+experiments), v5 (scalar packed-word), v6 (production; v6p/v6l = parse /
+parse+literal profile modes), vs (ring-streamed, >64KB blocks),
+v7/v7s/v9/v10 + v8/v8p/v8d (dual-block interleave diagnostic matrix —
+see PERFORMANCE.md).  Encode variants: e1 (round-1), e5 (production),
+e5hc (L9), e5f (find-only profile mode).
 """
 
 import os
