@@ -181,16 +181,34 @@ def _try_host_parallel_decompress(data, settings, workers):
         return None
     bs = d.block_size
 
+    nb = len(blocks)
+    out_buf = bytearray(nb * bs)
+    out_view = memoryview(out_buf)
+    lens = [0] * nb
+
     def one(i):
         off, length, stored = blocks[i]
         chunk = data[off : off + length]
-        return chunk if stored else native.decode(chunk, capacity=bs)
+        dst = out_view[i * bs : (i + 1) * bs]
+        if stored:
+            dst[:length] = chunk
+            lens[i] = length
+        else:
+            # zero-copy: the native decoder writes this block's slice of
+            # the shared output buffer directly (no per-block allocation,
+            # memset, or join copy)
+            lens[i] = native.decode_into(chunk, dst)
 
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(n_workers) as ex:
-        parts = list(ex.map(one, range(len(blocks))))
-    result = b"".join(parts)
+        list(ex.map(one, range(nb)))
+    if all(lens[i] == bs for i in range(nb - 1)):
+        result = bytes(out_view[: bs * (nb - 1) + lens[-1]])
+    else:  # spec-legal short interior blocks: compact
+        result = b"".join(
+            bytes(out_view[i * bs : i * bs + lens[i]]) for i in range(nb)
+        )
     if d.content_checksum:
         (expected,) = struct.unpack_from("<I", data, pos)
         if xxh32(result) != expected:

@@ -165,6 +165,30 @@ def decode(
     return out.raw[:rc]
 
 
+def decode_into(data, dst, dictionary: bytes = b"") -> int:
+    """Decode one block directly into a writable buffer (zero-copy: no
+    create_string_buffer memset, no result-slice copy — the C decoder
+    writes the caller's memory).  Returns the decoded length; raises on
+    malformed input or an undersized buffer."""
+    from ..block.hostref import LZ4Error
+
+    lib = _load()
+    data = bytes(data)
+    if not data:
+        raise LZ4Error("empty input")
+    view = memoryview(dst).cast("B")
+    if view.readonly:
+        raise LZ4Error("destination buffer is read-only")
+    buf = (ctypes.c_char * len(view)).from_buffer(view)
+    rc = lib.lz4tpu_decode(
+        data, len(data), bytes(dictionary), len(dictionary),
+        ctypes.addressof(buf), len(view), -1,
+    )
+    if rc < 0:
+        raise LZ4Error(f"malformed LZ4 block (native rc={rc})")
+    return rc
+
+
 def xxh32(data: bytes, seed: int = 0) -> int:
     lib = _load()
     return int(lib.lz4tpu_xxh32(bytes(data), len(data), seed & 0xFFFFFFFF))
