@@ -126,6 +126,21 @@ def encode_into(
     NEGATIVE value when the buffer is too small (mirroring the reference's
     negative-length convention)."""
     view = memoryview(dest).cast("B")
+    if backend != "tpu":
+        # zero-copy fast path: with compress_bound room the native encoder
+        # writes the caller's buffer directly
+        try:
+            from .. import native
+
+            if native.available() and len(view) >= compress_bound(
+                len(memoryview(data).cast("B"))
+            ):
+                return native.encode_into(
+                    bytes(memoryview(data).cast("B")), view, int(level),
+                    dictionary, acceleration,
+                )
+        except ImportError:
+            pass
     comp = encode(
         data, level=level, dictionary=dictionary, acceleration=acceleration,
         backend=backend,

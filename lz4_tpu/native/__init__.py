@@ -117,6 +117,49 @@ def encode(
     return out.raw[:rc]
 
 
+def encode_into(
+    data, dst, level: int = 0, dictionary: bytes = b"",
+    acceleration: int = 1,
+) -> int:
+    """Compress one block directly into a writable buffer (zero-copy).
+
+    The caller must provide at least compress_bound(len(data)) bytes —
+    checked here — so the C encoder never overflows.  Returns the
+    compressed length."""
+    from ..constants import DISTANCE_MAX, compress_bound
+
+    lib = _load()
+    dictionary = bytes(dictionary[-(DISTANCE_MAX + 1) :])
+    buf = dictionary + bytes(data)
+    view = memoryview(dst).cast("B")
+    if view.readonly:
+        raise ValueError("destination buffer is read-only")
+    need = compress_bound(len(buf) - len(dictionary))
+    if len(view) < need:
+        raise ValueError(
+            f"destination {len(view)} < compress_bound {need}"
+        )
+    out = (ctypes.c_char * len(view)).from_buffer(view)
+    if level < 3:
+        rc = lib.lz4tpu_encode_fast(
+            buf, len(buf), len(dictionary), ctypes.addressof(out),
+            len(view), acceleration
+        )
+    elif level < 10:
+        rc = lib.lz4tpu_encode_hc(
+            buf, len(buf), len(dictionary), ctypes.addressof(out),
+            len(view), level
+        )
+    else:
+        rc = lib.lz4tpu_encode_opt(
+            buf, len(buf), len(dictionary), ctypes.addressof(out),
+            len(view), level
+        )
+    if rc < 0:
+        raise RuntimeError(f"native encode failed ({rc})")
+    return rc
+
+
 def decode(
     data: bytes,
     target_length: int | None = None,

@@ -208,3 +208,22 @@ def test_frame_corruption_fuzz(lorem, rng):
             blob[pos] = old
     # with both checksums on, essentially every corruption is caught
     assert outcomes["error"] >= 55, outcomes
+
+
+def test_encode_into_zero_copy_path(rng):
+    """With compress_bound room, encode_into writes the caller's buffer
+    via the native zero-copy path — byte-identical to encode(); small
+    buffers still report the needed size as a negative length."""
+    import lz4_tpu
+    from lz4_tpu import native
+    from lz4_tpu.constants import compress_bound
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    d = (b"spam eggs " * 800 + rng.randbytes(1500))[:8000]
+    for lvl in (0, 9, 12):
+        buf = bytearray(compress_bound(len(d)))
+        rc = lz4_tpu.encode_into(d, buf, level=lvl)
+        assert bytes(buf[:rc]) == native.encode(d, lvl), lvl
+        small = bytearray(4)
+        assert lz4_tpu.encode_into(d, small, level=lvl) == -rc, lvl
