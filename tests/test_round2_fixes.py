@@ -227,3 +227,43 @@ def test_encode_into_zero_copy_path(rng):
         assert bytes(buf[:rc]) == native.encode(d, lvl), lvl
         small = bytearray(4)
         assert lz4_tpu.encode_into(d, small, level=lvl) == -rc, lvl
+
+
+def test_tar_of_chunks_roundtrip(rng, tmp_path):
+    """Reference `TarTests` analog: a tar of random-sized member files
+    compressed through the frame stream facade and recovered intact via
+    the standard tarfile module on both ends."""
+    import io
+    import tarfile
+
+    from lz4_tpu import frame
+
+    members = {}
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for k in range(12):
+            name = f"chunk{k:02}.bin"
+            payload = (
+                rng.randbytes(rng.randint(0, 3000))
+                + b"lorem ipsum " * rng.randint(0, 200)
+            )
+            members[name] = payload
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    raw_tar = buf.getvalue()
+
+    path = tmp_path / "archive.tar.lz4"
+    with frame.open(str(path), "wb") as f:
+        # random-sized writes exercise the writer's topup batching
+        pos = 0
+        while pos < len(raw_tar):
+            step = rng.randint(1, 100_000)
+            f.write(raw_tar[pos : pos + step])
+            pos += step
+    with frame.open(str(path), "rb") as f:
+        recovered = f.read()
+    assert recovered == raw_tar
+    with tarfile.open(fileobj=io.BytesIO(recovered)) as tf:
+        for name, payload in members.items():
+            assert tf.extractfile(name).read() == payload
