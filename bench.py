@@ -108,7 +108,8 @@ def _device_config(block_size, total, iters, uniq, attempts, opt=None):
     n_blocks = -(-total // block_size)
 
     out, meta = pallas_encode5(*enc_batches[0], block_size, attempts)
-    _ = np.asarray(meta)  # compile + warm + drain
+    mh0 = np.asarray(meta).reshape(-1, 8)  # compile + warm + drain
+    assert int(mh0[:, 1].sum()) == 0
     # pipelined dispatch (issue all batches, then drain): measures the
     # sustained rate a pipelining caller gets; the ~29 ms tunnel dispatch
     # latency amortizes over the batch train
@@ -121,7 +122,13 @@ def _device_config(block_size, total, iters, uniq, attempts, opt=None):
     ]
     metas = [np.asarray(m).reshape(-1, 8) for _, m in outs]
     enc_times = [time.perf_counter() - t0]
-    enc_outs = []
+    # the WARM batch's output seeds the decode warm-up/roundtrip slot, so
+    # all `iters` timed encode outputs become timed decode batches (with
+    # iters=1 the decode loop was previously empty -> a fake 0.0)
+    warm_words = np.ascontiguousarray(
+        np.asarray(out).reshape(out.shape[0], -1)
+    )
+    enc_outs = [(warm_words.view(np.uint8), mh0[:, 0])]
     for (out, _), mh in zip(outs, metas):
         assert int(mh[:, 1].sum()) == 0
         words = np.ascontiguousarray(
@@ -152,7 +159,7 @@ def _device_config(block_size, total, iters, uniq, attempts, opt=None):
         u8[b, dcapw * 4 : dcapw * 4 + int(meta_h[b, 0])].tobytes()
         for b in range(n_blocks)
     )
-    assert recon == datas[1], "roundtrip mismatch in bench"
+    assert recon == datas[0], "roundtrip mismatch in bench"
 
     t0 = time.perf_counter()
     outs = [
