@@ -162,6 +162,18 @@ def decode_into(
     Returns the decoded length; raises when the buffer is too small or the
     block is malformed (reference `LZ4Codec.Decode` span overloads)."""
     view = memoryview(dest).cast("B")
+    if backend != "tpu":
+        # zero-copy fast path: the native decoder writes the caller's
+        # buffer directly
+        try:
+            from .. import native
+
+            if native.available():
+                return native.decode_into(
+                    bytes(memoryview(data).cast("B")), view, dictionary
+                )
+        except ImportError:
+            pass
     raw = decode(data, dictionary=dictionary, backend=backend,
                  capacity=len(view))
     if len(raw) > len(view):
