@@ -24,18 +24,25 @@ _tried = False
 
 
 def _build() -> bool:
+    # build machine == run machine (compiled on demand), so -march=native
+    # is safe; retry without it for compilers that reject the flag
+    flag_sets = (
+        ["-O3", "-march=native", "-shared", "-fPIC"],
+        ["-O3", "-shared", "-fPIC"],
+    )
     for cc in ("cc", "gcc", "clang"):
-        try:
-            r = subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", _LIB + ".tmp", _SRC],
-                capture_output=True,
-                timeout=120,
-            )
-        except (OSError, subprocess.TimeoutExpired):
-            continue
-        if r.returncode == 0:
-            os.replace(_LIB + ".tmp", _LIB)
-            return True
+        for flags in flag_sets:
+            try:
+                r = subprocess.run(
+                    [cc, *flags, "-o", _LIB + ".tmp", _SRC],
+                    capture_output=True,
+                    timeout=120,
+                )
+            except (OSError, subprocess.TimeoutExpired):
+                continue
+            if r.returncode == 0:
+                os.replace(_LIB + ".tmp", _LIB)
+                return True
     return False
 
 

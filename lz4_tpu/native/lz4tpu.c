@@ -51,6 +51,27 @@ static inline uint16_t read16le(const uint8_t *p) {
 
 /* ---------------------------------------------------------------- decode */
 
+/* Overlap-safe match copy for short distances: double the valid pattern
+ * span behind `dst` until wide strides are safe, then stride.  May write up
+ * to 7 bytes past dst+len (the caller guarantees margin). */
+static inline void overlap_copy(uint8_t *dst, int64_t dist, int64_t len) {
+    if (dist == 1) {               /* byte run: plain fill */
+        memset(dst, dst[-1], (size_t)len);
+        return;
+    }
+    int64_t have = dist;           /* bytes of valid period behind dst+pos */
+    int64_t pos = 0;
+    while (have < 8 && pos < len) {
+        memcpy(dst + pos, dst + pos - have, (size_t)have);
+        pos += have;
+        have += have;
+    }
+    while (pos < len) {
+        memcpy(dst + pos, dst + pos - have, 8);
+        pos += 8;
+    }
+}
+
 int64_t lz4tpu_decode(
     const uint8_t *src, int64_t src_len,
     const uint8_t *dict, int64_t dict_len,
@@ -60,6 +81,114 @@ int64_t lz4tpu_decode(
     const uint8_t *ip = src, *iend = src + src_len;
     uint8_t *op = out, *oend = out + out_cap;
     if (src_len <= 0) return ERR_MALFORMED;
+
+    /* ---- fast loop: wide unguarded copies while both margins hold ----
+     * Margins: >= 16 input bytes (token + VLE + 16B literal overrun) and
+     * >= 64 output bytes (literal + match wildcopy overrun).  Anything
+     * that cannot be proven safe rewinds to the sequence start and falls
+     * through to the byte-exact guarded loop below.  Partial decode
+     * (target >= 0) skips the fast loop: it needs per-byte accounting. */
+    if (target < 0) {
+        const uint8_t *ifast = iend - 16;
+        uint8_t *ofast = oend - 64;
+        while (ip < ifast && op < ofast) {
+            const uint8_t *ip_seq = ip;
+            uint8_t *op_seq = op;
+            uint32_t token = *ip++;
+            int64_t lit = token >> 4;
+            if ((token & 15) != 15 && lit != 15) {
+                /* shortcut: <=14 literals + 4..18-byte match resolve with
+                 * two wide copies and a single compound branch.  Input
+                 * reads stay in bounds: ip_seq <= iend-17 covers
+                 * token + 14 literals + 2 offset bytes. */
+                memcpy(op, ip, 16);
+                op += lit; ip += lit;
+                uint32_t offset = read16le(ip);
+                ip += 2;
+                int64_t mlen = (token & 15) + MINMATCH;
+                const uint8_t *mp = op - offset;
+                if (__builtin_expect(offset >= 16 && mp >= out, 1)) {
+                    memcpy(op, mp, 16);
+                    memcpy(op + 16, mp + 16, 2);
+                    op += mlen;
+                    continue;
+                }
+                if (offset == 0) return ERR_MALFORMED;
+                if (mp < out) goto fast_bail;  /* dict ref: guarded loop */
+                if (offset >= 8) {
+                    memcpy(op, mp, 8);
+                    memcpy(op + 8, mp + 8, 8);
+                    memcpy(op + 16, mp + 16, 2);
+                } else {
+                    overlap_copy(op, offset, mlen);
+                }
+                op += mlen;
+                continue;
+            }
+            if (lit == 15) {
+                uint32_t b;
+                do {
+                    if (ip >= ifast) goto fast_bail;
+                    b = *ip++;
+                    lit += b;
+                } while (b == 255);
+                if (lit > (ifast - ip) || lit > (ofast - op))
+                    goto fast_bail;
+                /* long literal run: 16B strides, overrun covered by margin */
+                {
+                    uint8_t *d = op;
+                    const uint8_t *s = ip;
+                    int64_t k = 0;
+                    do {
+                        memcpy(d + k, s + k, 16);
+                        k += 16;
+                    } while (k < lit);
+                }
+            } else {
+                memcpy(op, ip, 16);  /* lit <= 14: one wide copy */
+            }
+            ip += lit; op += lit;
+            if (ip >= ifast) { ip = ip_seq; op = op_seq; break; }
+
+            /* match */
+            uint32_t offset = read16le(ip);
+            ip += 2;
+            int64_t mlen = (token & 15) + MINMATCH;
+            if ((token & 15) == 15) {
+                uint32_t b;
+                do {
+                    if (ip >= iend) goto fast_bail;
+                    b = *ip++;
+                    mlen += b;
+                } while (b == 255);
+            }
+            if (offset == 0) return ERR_MALFORMED;
+            int64_t pos = (op - out) - (int64_t)offset;
+            if (pos < 0 || mlen > (ofast - op) + 32) goto fast_bail;
+            const uint8_t *mp = out + pos;
+            if (offset >= 16) {
+                int64_t k = 0;
+                do {
+                    memcpy(op + k, mp + k, 16);
+                    k += 16;
+                } while (k < mlen);
+            } else if (offset >= 8) {
+                int64_t k = 0;
+                do {
+                    memcpy(op + k, mp + k, 8);
+                    k += 8;
+                } while (k < mlen);
+            } else {
+                overlap_copy(op, offset, mlen);
+            }
+            op += mlen;
+            continue;
+fast_bail:
+            ip = ip_seq;
+            op = op_seq;
+            break;
+        }
+    }
 
     for (;;) {
         if (ip >= iend) return ERR_MALFORMED;
@@ -158,7 +287,13 @@ static inline int64_t emit_sequence(
         while (v >= 255) { *op++ = 255; v -= 255; }
         *op++ = (uint8_t)v;
     }
-    memcpy(op, lit, (size_t)lit_len);
+    {
+        /* 16B strides over the aligned span, exact tail: never reads past
+         * lit+lit_len nor writes past op+lit_len */
+        int64_t k = 0, wide = lit_len & ~(int64_t)15;
+        for (; k < wide; k += 16) memcpy(op + k, lit + k, 16);
+        memcpy(op + k, lit + k, (size_t)(lit_len - k));
+    }
     op += lit_len;
     if (mlen) {
         write16(op, (uint16_t)offset);
