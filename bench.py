@@ -222,7 +222,52 @@ def _host_config(total, iters, uniq):
         times.append(time.perf_counter() - t0)
         assert r == data
     out["frame_decode_threaded_GBps"] = round(total / min(times) / 1e9, 4)
+    canon = _canonical_config(datas)
+    if canon:
+        out["canonical_liblz4"] = canon
     return out
+
+
+def _canonical_config(datas):
+    """Measured anchors from the canonical upstream liblz4 (system library),
+    same corpus, same machine — an honest local baseline next to the
+    reference's published claims."""
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("liblz4.so.1")
+    except OSError:
+        return None
+    lib.LZ4_compressBound.restype = ctypes.c_int
+    lib.LZ4_compress_default.restype = ctypes.c_int
+    lib.LZ4_compress_default.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.LZ4_decompress_safe.restype = ctypes.c_int
+    lib.LZ4_decompress_safe.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
+    total = len(datas[0])
+    bound = lib.LZ4_compressBound(total)
+    out = ctypes.create_string_buffer(bound)
+    et, n = [], 0
+    for data in datas:
+        t0 = time.perf_counter()
+        n = lib.LZ4_compress_default(data, out, total, bound)
+        et.append(time.perf_counter() - t0)
+    comp = out.raw[:n]
+    dec = ctypes.create_string_buffer(total)
+    dt = []
+    for _ in datas:
+        t0 = time.perf_counter()
+        m = lib.LZ4_decompress_safe(comp, dec, n, total)
+        dt.append(time.perf_counter() - t0)
+    assert m == total
+    return {
+        "encode_L00_GBps": round(total / min(et) / 1e9, 4),
+        "decode_GBps": round(total / min(dt) / 1e9, 4),
+        "ratio_L00": round(n / total, 4),
+    }
 
 
 _SCALING_SNIPPET = r"""

@@ -1,0 +1,207 @@
+"""Cross-implementation interop against the canonical upstream liblz4.
+
+The reference validates its frames against the canonical `lz4.exe` CLI
+(reference `Streams.Tests/Internal/ReferenceLZ4.cs:9-47`,
+`DecoderTests.cs:13-23`, `EncoderTests.cs`); this image carries the
+canonical C library (liblz4 1.9.x) instead, which is a strictly stronger
+oracle: block, dictionary, partial, and frame APIs in both directions.
+
+Headline properties pinned here:
+  * every block we emit (L0-L12) decodes bit-exact with canonical
+    LZ4_decompress_safe, and vice versa;
+  * our HC/OPT output (L3-L12) is BYTE-IDENTICAL to canonical
+    LZ4_compress_HC — the clean-room engine reproduces the canonical
+    parse exactly (the BASELINE "size <= reference per level" gate,
+    proven at equality);
+  * our FAST output is smaller than canonical (15-bit vs 12-bit table);
+  * frames interop both directions across block sizes, chaining modes,
+    and checksum flags.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+import lz4_tpu
+from lz4_tpu import frame, native
+from lz4_tpu.block import hostref
+from lz4_tpu.frame.descriptor import EncoderSettings
+
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import liblz4
+
+pytestmark = pytest.mark.skipif(
+    liblz4.LIB is None, reason="system liblz4 not available"
+)
+
+
+def _mixed(n: int, seed: int = 5) -> bytes:
+    rng = random.Random(seed)
+    out = bytearray()
+    while len(out) < n:
+        kind = rng.randrange(4)
+        if kind == 0:
+            out += rng.randbytes(rng.randrange(1, 200))
+        elif kind == 1:
+            out += bytes([rng.randrange(256)]) * rng.randrange(1, 300)
+        elif kind == 2:
+            word = rng.randbytes(rng.randrange(2, 9))
+            out += word * rng.randrange(2, 40)
+        else:
+            out += b"the quick brown fox jumps over the lazy dog "
+    return bytes(out[:n])
+
+
+SAMPLES = {
+    "mixed64k": _mixed(1 << 16),
+    "mixed300k": _mixed(300_000, seed=6),
+    "text": b"hello world, hello hello world again and again " * 800,
+    "zeros": bytes(50_000),
+    "random": random.Random(11).randbytes(20_000),
+    "tiny": b"abc",
+}
+
+
+@pytest.mark.parametrize("level", [0, 3, 9, 12])
+@pytest.mark.parametrize("name", sorted(SAMPLES))
+def test_our_blocks_decode_with_canonical(name, level):
+    data = SAMPLES[name]
+    comp = native.encode(data, level)
+    assert liblz4.decompress_block(comp, len(data)) == data
+
+
+@pytest.mark.parametrize("level", [0, 9])
+@pytest.mark.parametrize("name", sorted(SAMPLES))
+def test_canonical_blocks_decode_with_ours(name, level):
+    data = SAMPLES[name]
+    comp = liblz4.compress_block(data, level)
+    assert native.decode(comp, target_length=len(data)) == data
+    assert hostref.decode_block(comp, target_length=len(data)) == data
+
+
+@pytest.mark.parametrize("level", [3, 6, 9, 10, 12])
+def test_hc_opt_bytes_identical_to_canonical(level):
+    """The clean-room HC/OPT engines reproduce the canonical parse exactly
+    (liblz4 1.9.x, same lineage as the reference's 1.9.2 port)."""
+    for name, data in SAMPLES.items():
+        if not data:
+            continue
+        ours = native.encode(data, level)
+        theirs = liblz4.compress_block(data, level)
+        assert ours == theirs, (name, level, len(ours), len(theirs))
+
+
+@pytest.mark.parametrize("name", ["mixed64k", "text", "mixed300k"])
+def test_fast_size_close_to_canonical(name):
+    """FAST output need not match bytes (table geometry is a free choice).
+    Ours trades a larger (15-bit) table for ratio: on Silesia-like mixes it
+    compresses ~8% smaller than canonical (see bench.py / PERFORMANCE.md);
+    on this adversarial random-heavy mix it must stay within 0.2%."""
+    data = SAMPLES[name]
+    ours = len(native.encode(data, 0))
+    theirs = len(liblz4.compress_block(data, 0))
+    assert ours <= theirs * 1.002 + 2
+
+
+def test_fast_size_beats_canonical_on_bench_corpus():
+    import bench
+
+    data = bench.make_corpus(1 << 20, seed=3)
+    ours = len(native.encode(data, 0))
+    theirs = len(liblz4.compress_block(data, 0))
+    assert ours < theirs * 0.95  # measured ~8% smaller
+
+
+def test_partial_decode_matches_canonical():
+    data = SAMPLES["mixed64k"]
+    comp = native.encode(data, 0)
+    for target in (0, 1, 100, 5000, len(data)):
+        theirs = liblz4.decompress_block_partial(comp, target, len(data))
+        ours = native.decode(comp, target_length=target, partial=True)
+        assert ours == theirs == data[:target]
+
+
+@pytest.mark.parametrize("level", [0, 9])
+def test_dictionary_interop_both_directions(level):
+    dictionary = _mixed(40_000, seed=77)
+    data = _mixed(30_000, seed=78)
+    # ours encode+dict -> canonical decode+dict
+    ours = native.encode(data, level, dictionary=dictionary)
+    assert (
+        liblz4.decompress_block_with_dict(ours, len(data), dictionary) == data
+    )
+    # canonical encode+dict -> our decoders
+    theirs = liblz4.compress_block_with_dict(data, dictionary, level)
+    assert (
+        native.decode(theirs, target_length=len(data), dictionary=dictionary)
+        == data
+    )
+    assert (
+        hostref.decode_block(
+            theirs, target_length=len(data), dictionary=dictionary
+        )
+        == data
+    )
+
+
+@pytest.mark.parametrize("level", [3, 9, 12])
+def test_dictionary_hc_bytes_identical_to_canonical(level):
+    dictionary = _mixed(65_536, seed=79)
+    data = _mixed(50_000, seed=80)
+    ours = native.encode(data, level, dictionary=dictionary)
+    theirs = liblz4.compress_block_with_dict(data, dictionary, level)
+    assert ours == theirs
+
+
+@pytest.mark.parametrize("independent", [False, True])
+@pytest.mark.parametrize("content_checksum", [False, True])
+def test_our_frames_decode_with_canonical(independent, content_checksum):
+    data = _mixed(200_000, seed=13)
+    settings = EncoderSettings(
+        chain_blocks=not independent,
+        content_checksum=content_checksum,
+        block_checksum=independent,  # cover both flags across the matrix
+        block_size=65536,
+    )
+    blob = frame.compress(data, settings=settings)
+    assert liblz4.decompress_frame(blob, len(data)) == data
+
+
+@pytest.mark.parametrize("block_size_id", [4, 5, 6, 7])
+def test_canonical_frames_decode_with_ours(block_size_id):
+    data = _mixed(600_000, seed=14)
+    blob = liblz4.compress_frame(
+        data,
+        block_size_id=block_size_id,
+        content_checksum=True,
+        content_size=True,
+    )
+    assert frame.decompress(blob) == data
+
+
+def test_canonical_linked_hc_frame_decodes_with_ours():
+    data = _mixed(500_000, seed=15)
+    blob = liblz4.compress_frame(
+        data, level=9, independent=False, block_checksum=True
+    )
+    assert frame.decompress(blob) == data
+
+
+def test_canonical_frame_roundtrips_through_frame_file_api(tmp_path):
+    data = _mixed(120_000, seed=16)
+    blob = liblz4.compress_frame(data, content_checksum=True)
+    p = tmp_path / "c.lz4"
+    p.write_bytes(blob)
+    with frame.open(str(p), "rb") as f:
+        assert f.read() == data
+
+
+def test_block_api_roundtrip_vs_canonical_levels():
+    """block-facade encode at every ladder level decodes with canonical."""
+    data = SAMPLES["mixed64k"]
+    for level in range(13):
+        comp = lz4_tpu.encode(data, level=level, backend="host")
+        assert liblz4.decompress_block(comp, len(data)) == data
