@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from ..constants import LZ4Level, compress_bound
 from . import hostref
+from ..constants import _as_bytes
 
 __all__ = [
     "compress_bound",
@@ -64,7 +65,7 @@ def encode(
     """Compress one block.  Returns the compressed bytes, or ``None`` when
     ``target_capacity`` is given and the result does not fit (the reference
     returns a negative length in that case, `LZ4Codec.cs:40-52`)."""
-    data = bytes(memoryview(data).cast("B"))
+    data = _as_bytes(data)
     level = int(level)
     if backend == "tpu":
         out = _tpu_encode(data, level, dictionary)
@@ -91,7 +92,7 @@ def decode(
 
     ``capacity`` bounds the output allocation when ``target_length`` is
     unknown (e.g. legacy-format blocks with a known maximum size)."""
-    data = bytes(memoryview(data).cast("B"))
+    data = _as_bytes(data)
     if backend == "tpu":
         from ..ops import decode_jax
 
@@ -136,7 +137,7 @@ def encode_into(
                 len(memoryview(data).cast("B"))
             ):
                 return native.encode_into(
-                    bytes(memoryview(data).cast("B")), view, int(level),
+                    _as_bytes(data), view, int(level),
                     dictionary, acceleration,
                 )
         except ImportError:
@@ -170,7 +171,7 @@ def decode_into(
 
             if native.available():
                 return native.decode_into(
-                    bytes(memoryview(data).cast("B")), view, dictionary
+                    _as_bytes(data), view, dictionary
                 )
         except ImportError:
             pass
@@ -191,7 +192,7 @@ def partial_decode(
 ) -> bytes:
     """Decompress only the first ``target_length`` bytes of a block
     (reference `LZ4Codec.PartialDecode`, `LZ4Codec.cs:123-134`)."""
-    data = bytes(memoryview(data).cast("B"))
+    data = _as_bytes(data)
     try:
         from .. import native
 

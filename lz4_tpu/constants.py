@@ -90,3 +90,12 @@ def block_size_code(block_size: int) -> int:
         if block_size <= BLOCK_SIZE_CODES[code]:
             return code
     return 7
+
+
+def _as_bytes(data) -> bytes:
+    """bytes view of any 1-D bytes-like, without copying actual ``bytes``
+    (a 64 MB payload copies at ~1.5-3 GB/s on this VM class — a real tax on
+    every one-shot facade call)."""
+    if type(data) is bytes:
+        return data
+    return bytes(memoryview(data).cast("B"))

@@ -16,12 +16,15 @@ from __future__ import annotations
 import io
 import struct
 
+import numpy as np
+
 from ..block import api as block_api
 from ..xxh32 import XXH32, xxh32
 from .descriptor import DecoderSettings, EncoderSettings, FrameDescriptor
 from .header import LZ4FormatError, build_header, parse_header
 from .reader import FrameReader
 from .writer import FrameWriter
+from ..constants import _as_bytes
 
 __all__ = [
     "compress",
@@ -51,7 +54,7 @@ def compress(
     ``backend="tpu"``.  Chained blocks run the sequential dict-carry path
     through FrameWriter.  ``workers=0`` forces single-threaded.
     """
-    data = bytes(memoryview(data).cast("B"))
+    data = _as_bytes(data)
     settings = settings or EncoderSettings()
     if store_size and settings.content_length is None:
         import dataclasses
@@ -132,24 +135,45 @@ def _try_host_parallel_compress(data, settings, workers):
         return None
     from concurrent.futures import ThreadPoolExecutor
 
-    blocks = [data[i : i + bs] for i in range(0, len(data), bs)]
+    if not isinstance(data, bytes):
+        data = bytes(data)
     level = settings.compression_level
     d = settings.to_descriptor()
+    nb = -(-len(data) // bs)
+    # one shared scratch, one compressed slot per block: encode_span writes
+    # it in place with the GIL dropped, so the pool scales to physical cores
+    # (per-block slices/allocations would serialize on the GIL)
+    slot = block_api.compress_bound(bs)
+    # np.empty: no zero-fill (a memset at this VM's ~2 GB/s would rival the
+    # compression time itself)
+    scratch = np.empty(nb * slot, np.uint8)
+    clens = [0] * nb
+
+    def one(i):
+        off = i * bs
+        blen = min(bs, len(data) - off)
+        clens[i] = native.encode_span(
+            data, off, blen, scratch, i * slot, slot, level
+        )
+
     with ThreadPoolExecutor(n_workers) as ex:
         # content checksum overlaps with the compression workers
         csum_f = (
             ex.submit(xxh32, data) if d.content_checksum else None
         )
-        comps = list(ex.map(lambda b: native.encode(b, level), blocks))
+        list(ex.map(one, range(nb)))
         csum = csum_f.result() if csum_f is not None else None
+    sview = memoryview(scratch.data)
     parts = [build_header(d)]
-    for raw, comp in zip(blocks, comps):
-        if len(comp) >= len(raw):
-            parts.append(struct.pack("<I", len(raw) | _UNCOMPRESSED_FLAG))
-            payload = raw
+    for i in range(nb):
+        off = i * bs
+        raw_len = min(bs, len(data) - off)
+        if clens[i] >= raw_len:
+            parts.append(struct.pack("<I", raw_len | _UNCOMPRESSED_FLAG))
+            payload = data[off : off + raw_len]
         else:
-            parts.append(struct.pack("<I", len(comp)))
-            payload = comp
+            parts.append(struct.pack("<I", clens[i]))
+            payload = sview[i * slot : i * slot + clens[i]]
         parts.append(payload)
         if d.block_checksum:
             parts.append(struct.pack("<I", xxh32(payload)))
@@ -182,32 +206,54 @@ def _try_host_parallel_decompress(data, settings, workers):
     bs = d.block_size
 
     nb = len(blocks)
-    out_buf = bytearray(nb * bs)
-    out_view = memoryview(out_buf)
     lens = [0] * nb
+
+    if not isinstance(data, bytes):
+        data = bytes(data)
+
+    # Decode straight into the final bytes object: the last block's length
+    # is learned first (interior blocks of a conforming frame are full bs),
+    # the result is allocated UNINITIALIZED (memset/copy run at ~1.5-3 GB/s
+    # on this class of VM — more than the decode itself), and every worker
+    # writes its slice in place with the GIL dropped.  A frame with
+    # spec-legal short interior blocks falls back to compaction below.
+    import ctypes
+
+    off_l, len_l, stored_l = blocks[-1]
+    if stored_l:
+        last = data[off_l : off_l + len_l]
+    else:
+        tmp = bytearray(bs)
+        n = native.decode_span(data, off_l, len_l, tmp, 0, bs)
+        last = bytes(memoryview(tmp)[:n])
+    total = bs * (nb - 1) + len(last)
+    result = native.alloc_uninit_bytes(total)
+    base = native._addr(result)
+    ctypes.memmove(base + bs * (nb - 1), last, len(last))
+    lens[-1] = len(last)
 
     def one(i):
         off, length, stored = blocks[i]
-        chunk = data[off : off + length]
-        dst = out_view[i * bs : (i + 1) * bs]
         if stored:
-            dst[:length] = chunk
+            ctypes.memmove(base + i * bs, native._addr(data) + off, length)
             lens[i] = length
         else:
-            # zero-copy: the native decoder writes this block's slice of
-            # the shared output buffer directly (no per-block allocation,
-            # memset, or join copy)
-            lens[i] = native.decode_into(chunk, dst)
+            # zero-copy: the native decoder reads the frame buffer and
+            # writes this block's slice of the result object in place, GIL
+            # dropped for the whole call (no per-block slice, allocation,
+            # or memset holding the lock)
+            lens[i] = native.decode_span(data, off, length, base, i * bs, bs)
 
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(n_workers) as ex:
-        list(ex.map(one, range(nb)))
-    if all(lens[i] == bs for i in range(nb - 1)):
-        result = bytes(out_view[: bs * (nb - 1) + lens[-1]])
-    else:  # spec-legal short interior blocks: compact
+        list(ex.map(one, range(nb - 1)))
+    if not all(lens[i] == bs for i in range(nb - 1)):
+        # spec-legal short interior blocks: compact (rare; the partially
+        # written `result` is discarded, never exposed)
         result = b"".join(
-            bytes(out_view[i * bs : i * bs + lens[i]]) for i in range(nb)
+            bytes(memoryview(result)[i * bs : i * bs + lens[i]])
+            for i in range(nb)
         )
     if d.content_checksum:
         (expected,) = struct.unpack_from("<I", data, pos)
@@ -384,7 +430,7 @@ def decompress(
     Independent-block frames without block-level surprises decode through the
     batched block-parallel path; everything else falls back to FrameReader.
     """
-    data = bytes(memoryview(data).cast("B"))
+    data = _as_bytes(data)
     settings = settings or DecoderSettings()
     if backend == "tpu" or mesh is not None:
         fast = _try_parallel_decompress(data, settings, mesh)

@@ -14,6 +14,7 @@ import io
 from ..block import api as block_api
 from ..block.hostref import LZ4Error
 from ..constants import LZ4Level
+from ..constants import _as_bytes
 
 __all__ = ["LegacyStreamWriter", "LegacyStreamReader", "encode", "decode"]
 
@@ -88,7 +89,7 @@ class LegacyStreamWriter:
     def write(self, data) -> int:
         if self._closed:
             raise ValueError("writer is closed")
-        data = bytes(memoryview(data).cast("B"))
+        data = _as_bytes(data)
         self._pending += data
         while len(self._pending) >= self._block_size:
             chunk = bytes(self._pending[: self._block_size])
@@ -203,12 +204,12 @@ def encode(
     """One-shot legacy-stream compression (reference `LZ4Legacy.Encode`)."""
     sink = io.BytesIO()
     w = LegacyStreamWriter(sink, high_compression, block_size, backend)
-    w.write(bytes(memoryview(data).cast("B")))
+    w.write(_as_bytes(data))
     w.close()
     return sink.getvalue()
 
 
 def decode(data, backend: str = "auto") -> bytes:
     """One-shot legacy-stream decompression (reference `LZ4Legacy.Decode`)."""
-    r = LegacyStreamReader(io.BytesIO(bytes(memoryview(data).cast("B"))), backend)
+    r = LegacyStreamReader(io.BytesIO(_as_bytes(data)), backend)
     return r.read()

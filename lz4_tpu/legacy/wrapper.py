@@ -9,6 +9,7 @@ import struct
 from ..block import api as block_api
 from ..block.hostref import LZ4Error
 from ..constants import LZ4Level
+from ..constants import _as_bytes
 
 __all__ = ["wrap", "wrap_hc", "unwrap"]
 
@@ -27,17 +28,17 @@ def _wrap(data: bytes, level: int, backend: str) -> bytes:
 
 def wrap(data, backend: str = "auto") -> bytes:
     """Compress + wrap (reference `LZ4Legacy.Wrap`)."""
-    return _wrap(bytes(memoryview(data).cast("B")), int(LZ4Level.L00_FAST), backend)
+    return _wrap(_as_bytes(data), int(LZ4Level.L00_FAST), backend)
 
 
 def wrap_hc(data, backend: str = "auto") -> bytes:
     """High-compression wrap (reference `LZ4Legacy.WrapHC`)."""
-    return _wrap(bytes(memoryview(data).cast("B")), int(LZ4Level.L09_HC), backend)
+    return _wrap(_as_bytes(data), int(LZ4Level.L09_HC), backend)
 
 
 def unwrap(data, backend: str = "auto") -> bytes:
     """Unwrap + decompress (reference `LZ4Legacy.Unwrap`)."""
-    data = bytes(memoryview(data).cast("B"))
+    data = _as_bytes(data)
     if len(data) < _HEADER:
         raise LZ4Error("wrapped blob too short")
     original, stored = struct.unpack_from("<II", data, 0)

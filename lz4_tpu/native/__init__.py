@@ -59,25 +59,28 @@ def _load():
             lib = ctypes.CDLL(_LIB)
         except OSError:
             return None
+        # src/buf pointers are c_void_p: ctypes converts bytes to their
+        # buffer address zero-copy, and integer addresses pass through —
+        # the span entry points below rely on both
         lib.lz4tpu_decode.restype = ctypes.c_int64
         lib.lz4tpu_decode.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64,
-            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ]
         lib.lz4tpu_encode_fast.restype = ctypes.c_int64
         lib.lz4tpu_encode_fast.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
         ]
         lib.lz4tpu_encode_hc.restype = ctypes.c_int64
         lib.lz4tpu_encode_hc.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
         ]
         lib.lz4tpu_encode_opt.restype = ctypes.c_int64
         lib.lz4tpu_encode_opt.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
         ]
         lib.lz4tpu_xxh32.restype = ctypes.c_uint32
@@ -242,3 +245,91 @@ def decode_into(data, dst, dictionary: bytes = b"") -> int:
 def xxh32(data: bytes, seed: int = 0) -> int:
     lib = _load()
     return int(lib.lz4tpu_xxh32(bytes(data), len(data), seed & 0xFFFFFFFF))
+
+
+def _addr(buf) -> int:
+    """Buffer base address of a bytes object (zero-copy, read-only use).
+
+    The caller must keep `buf` referenced across the C call."""
+    return ctypes.cast(ctypes.c_char_p(buf), ctypes.c_void_p).value
+
+
+def _waddr(buf) -> int:
+    """Buffer base address of a writable bytes-like (bytearray/memoryview)."""
+    return ctypes.addressof((ctypes.c_char * 0).from_buffer(buf))
+
+
+def alloc_uninit_bytes(n: int):
+    """A fresh, UNINITIALIZED ``bytes`` of length n (PyBytes with no memset).
+
+    On this VM memcpy/memset run at ~1.5-3 GB/s — for a multi-GB/s codec the
+    usual allocate-zeroed + fill + copy-to-bytes dance costs more than the
+    decode itself.  The caller owns the only reference and must overwrite
+    every byte before exposing the object.  Falls back to zeroed bytes if
+    the CPython C API is unavailable."""
+    try:
+        f = ctypes.pythonapi.PyBytes_FromStringAndSize
+        f.restype = ctypes.py_object
+        f.argtypes = [ctypes.c_char_p, ctypes.c_ssize_t]
+        return f(None, n)
+    except Exception:
+        return bytes(n)
+
+
+def decode_span(
+    src: bytes, src_off: int, src_len: int,
+    dst, dst_off: int, dst_cap: int,
+) -> int:
+    """Decode src[src_off:src_off+src_len] into dst[dst_off:dst_off+dst_cap]
+    with NO intermediate copies or allocations — the GIL drops for the whole
+    C call, so thread pools scale to physical cores (the `lz4 -T` analog the
+    threaded frame paths use).  ``dst`` is a writable buffer, or an int raw
+    base address (caller guarantees validity).  Returns the decoded length."""
+    from ..block.hostref import LZ4Error
+
+    lib = _load()
+    if src_off < 0 or src_len <= 0 or src_off + src_len > len(src):
+        raise LZ4Error("source span out of range")
+    base = dst if isinstance(dst, int) else _waddr(dst)
+    rc = lib.lz4tpu_decode(
+        _addr(src) + src_off, src_len, b"", 0,
+        base + dst_off, dst_cap, -1,
+    )
+    if rc < 0:
+        raise LZ4Error(f"malformed LZ4 block (native rc={rc})")
+    return rc
+
+
+def encode_span(
+    src: bytes, src_off: int, src_len: int,
+    dst, dst_off: int, dst_cap: int,
+    level: int = 0, acceleration: int = 1, dict_len: int = 0,
+) -> int:
+    """Compress src[src_off:src_off+src_len] into dst[dst_off:...] with no
+    copies (GIL-dropping, thread-scalable).  ``dict_len`` bytes immediately
+    BEFORE src_off serve as the dictionary window — for chained frames over
+    one contiguous buffer the previous 64 KB is already in place, so chained
+    encode is zero-copy too.  Returns the compressed length (may exceed
+    src_len up to compress_bound; size the span accordingly)."""
+    lib = _load()
+    if src_off < 0 or src_len < 0 or src_off + src_len > len(src):
+        raise ValueError("source span out of range")
+    if dict_len > src_off:
+        raise ValueError("dictionary window precedes the buffer")
+    base = _addr(src) + src_off - dict_len
+    out = _waddr(dst) + dst_off
+    if level < 3:
+        rc = lib.lz4tpu_encode_fast(
+            base, dict_len + src_len, dict_len, out, dst_cap, acceleration
+        )
+    elif level < 10:
+        rc = lib.lz4tpu_encode_hc(
+            base, dict_len + src_len, dict_len, out, dst_cap, level
+        )
+    else:
+        rc = lib.lz4tpu_encode_opt(
+            base, dict_len + src_len, dict_len, out, dst_cap, level
+        )
+    if rc < 0:
+        raise RuntimeError(f"native encode failed ({rc})")
+    return rc

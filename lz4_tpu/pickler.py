@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from .block import api as block_api
 from .constants import LZ4Level
+from .constants import _as_bytes
 
 __all__ = ["pickle", "unpickle", "unpickled_size", "PickleError"]
 
@@ -45,7 +46,7 @@ def pickle(
 ) -> bytes:
     """Compress ``data`` into a self-describing blob (reference
     `LZ4Pickler.Pickle`, `LZ4Pickler.pickle.cs:51-106`)."""
-    data = bytes(memoryview(data).cast("B"))
+    data = _as_bytes(data)
     if not data:
         return b""
     comp = block_api.encode(data, level=level, backend=backend)
@@ -76,7 +77,7 @@ def _decode_header(blob: bytes) -> tuple[int, int, int]:
 
 def unpickled_size(blob) -> int:
     """Decoded size without decompressing (reference `UnpickledSize`)."""
-    blob = bytes(memoryview(blob).cast("B"))
+    blob = _as_bytes(blob)
     if not blob:
         return 0
     return _decode_header(blob)[2]
@@ -84,7 +85,7 @@ def unpickled_size(blob) -> int:
 
 def unpickle(blob, backend: str = "auto") -> bytes:
     """Decompress a pickled blob (reference `LZ4Pickler.Unpickle`)."""
-    blob = bytes(memoryview(blob).cast("B"))
+    blob = _as_bytes(blob)
     if not blob:
         return b""
     off, dlen, rlen = _decode_header(blob)
