@@ -222,6 +222,27 @@ def _host_config(total, iters, uniq):
         times.append(time.perf_counter() - t0)
         assert r == data
     out["frame_decode_threaded_GBps"] = round(total / min(times) / 1e9, 4)
+    # BASELINE config #5: chained (dependent) blocks + xxHash32 content
+    # checksum — the default frame shape; encode parallelizes (windows known
+    # up front), decode is one sequential in-place-window pass
+    sc = EncoderSettings(
+        chain_blocks=True, content_checksum=True,
+        content_length=total, block_size=1 << 18,
+    )
+    times = []
+    for data in datas:
+        t0 = time.perf_counter()
+        blob = frame.compress(data, settings=sc)
+        times.append(time.perf_counter() - t0)
+    out["frame_encode_chained_csum_GBps"] = round(total / min(times) / 1e9, 4)
+    blobs = [frame.compress(data, settings=sc) for data in datas]
+    times = []
+    for data, blob in zip(datas, blobs):
+        t0 = time.perf_counter()
+        r = frame.decompress(blob)
+        times.append(time.perf_counter() - t0)
+        assert r == data
+    out["frame_decode_chained_csum_GBps"] = round(total / min(times) / 1e9, 4)
     canon = _canonical_config(datas)
     if canon:
         out["canonical_liblz4"] = canon

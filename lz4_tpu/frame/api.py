@@ -65,6 +65,10 @@ def compress(
         host_parallel = _try_host_parallel_compress(data, settings, workers)
         if host_parallel is not None:
             return host_parallel
+    if settings.chain_blocks and not device_path:
+        host_chained = _try_host_chained_compress(data, settings, workers)
+        if host_chained is not None:
+            return host_chained
     if settings.chain_blocks and device_path and len(data) > settings.block_size:
         fast = _try_chained_device_compress(data, settings)
         if fast is not None:
@@ -181,6 +185,133 @@ def _try_host_parallel_compress(data, settings, workers):
     if csum is not None:
         parts.append(struct.pack("<I", csum))
     return b"".join(parts)
+
+
+def _try_host_chained_compress(data, settings, workers):
+    """Chained-block frame over one contiguous buffer: block k's dictionary
+    is the previous 64 KB of plaintext ALREADY IN PLACE in ``data``, so the
+    block loop runs zero-copy and — because every window is known up front —
+    in parallel (the host analog of `encode_blocks_chained_device`).
+    Byte-identical to the sequential FrameWriter path."""
+    import os
+
+    try:
+        from .. import native
+    except ImportError:
+        return None
+    if not native.available():
+        return None
+    bs = settings.block_size
+    if len(data) <= bs:
+        return None
+    n_workers = workers if workers is not None else min(8, os.cpu_count() or 1)
+    if n_workers <= 1:
+        return None
+    from concurrent.futures import ThreadPoolExecutor
+
+    data = _as_bytes(data)
+    level = settings.compression_level
+    d = settings.to_descriptor()
+    nb = -(-len(data) // bs)
+    slot = block_api.compress_bound(bs)
+    scratch = np.empty(nb * slot, np.uint8)
+    clens = [0] * nb
+
+    def one(i):
+        off = i * bs
+        blen = min(bs, len(data) - off)
+        clens[i] = native.encode_span(
+            data, off, blen, scratch, i * slot, slot, level,
+            dict_len=min(off, 65536),
+        )
+
+    with ThreadPoolExecutor(n_workers) as ex:
+        csum_f = ex.submit(xxh32, data) if d.content_checksum else None
+        list(ex.map(one, range(nb)))
+        csum = csum_f.result() if csum_f is not None else None
+    sview = memoryview(scratch.data)
+    parts = [build_header(d)]
+    for i in range(nb):
+        off = i * bs
+        raw_len = min(bs, len(data) - off)
+        if clens[i] >= raw_len:
+            parts.append(struct.pack("<I", raw_len | _UNCOMPRESSED_FLAG))
+            payload = data[off : off + raw_len]
+        else:
+            parts.append(struct.pack("<I", clens[i]))
+            payload = sview[i * slot : i * slot + clens[i]]
+        parts.append(payload)
+        if d.block_checksum:
+            parts.append(struct.pack("<I", xxh32(payload)))
+    parts.append(b"\x00\x00\x00\x00")
+    if csum is not None:
+        parts.append(struct.pack("<I", csum))
+    return b"".join(parts)
+
+
+def _try_host_chained_decompress(data, settings):
+    """Chained-block frame decoded in one sequential zero-copy pass: each
+    block decodes into its final position of one contiguous buffer, so the
+    64 KB window is simply the bytes before it — no per-block dictionary
+    save/restore (the contiguous analog of `LZ4_decompress_safe_continue`'s
+    prefix64k mode, reference `x64/LL64.dec.cs:523-546`)."""
+    import ctypes
+
+    try:
+        from .. import native
+    except ImportError:
+        return None
+    if not native.available() or settings.dictionary:
+        return None
+    scan = _scan_single_frame(data, allow_chained=True)
+    if scan is None:
+        return None
+    d, blocks, pos = scan
+    if not d.block_chaining or not blocks:
+        return None
+    data = _as_bytes(data)
+    bs = d.block_size
+    nb = len(blocks)
+    known = d.content_length
+    if known is not None:
+        # exact size known: decode straight into the final (uninitialized)
+        # bytes object — zero extra memory passes
+        result = native.alloc_uninit_bytes(known)
+        base = native._addr(result)
+        cap_total = known
+    else:
+        scratch = np.empty(nb * bs, np.uint8)
+        base = native._waddr(scratch)
+        cap_total = nb * bs
+    wrote = 0
+    for off, length, stored in blocks:
+        if stored:
+            if wrote + length > cap_total:
+                raise LZ4FormatError("decoded content exceeds declared size")
+            ctypes.memmove(base + wrote, native._addr(data) + off, length)
+            wrote += length
+        else:
+            dl = min(wrote, 65536)
+            try:
+                wrote += native.decode_span(
+                    data, off, length, base, wrote,
+                    min(bs, cap_total - wrote),
+                    dict_addr=base + wrote - dl, dict_len=dl,
+                )
+            except Exception as e:  # malformed block or lying content size
+                raise LZ4FormatError(f"chained block decode failed: {e}")
+    if known is not None:
+        if wrote != known:
+            raise LZ4FormatError(
+                f"content length mismatch: {wrote} != {known}"
+            )
+    else:
+        result = ctypes.string_at(base, wrote)  # single alloc+copy, no memset
+    if d.content_checksum:
+        (expected,) = struct.unpack_from("<I", data, pos)
+        if xxh32(result) != expected:
+            raise LZ4FormatError("content checksum mismatch")
+    return result
 
 
 def _try_host_parallel_decompress(data, settings, workers):
@@ -441,6 +572,9 @@ def decompress(
             return fast
     elif backend != "tpu":
         fast = _try_host_parallel_decompress(data, settings, workers)
+        if fast is not None:
+            return fast
+        fast = _try_host_chained_decompress(data, settings)
         if fast is not None:
             return fast
     r = FrameReader(

@@ -279,12 +279,16 @@ def alloc_uninit_bytes(n: int):
 def decode_span(
     src: bytes, src_off: int, src_len: int,
     dst, dst_off: int, dst_cap: int,
+    dict_addr: int = 0, dict_len: int = 0,
 ) -> int:
     """Decode src[src_off:src_off+src_len] into dst[dst_off:dst_off+dst_cap]
     with NO intermediate copies or allocations — the GIL drops for the whole
     C call, so thread pools scale to physical cores (the `lz4 -T` analog the
     threaded frame paths use).  ``dst`` is a writable buffer, or an int raw
-    base address (caller guarantees validity).  Returns the decoded length."""
+    base address (caller guarantees validity).  ``dict_addr``/``dict_len``
+    point at the 64 KB window for chained blocks — for a contiguous output
+    buffer that is just ``base + dst_off - dict_len``, so chained decode
+    carries its window with zero copies.  Returns the decoded length."""
     from ..block.hostref import LZ4Error
 
     lib = _load()
@@ -292,7 +296,8 @@ def decode_span(
         raise LZ4Error("source span out of range")
     base = dst if isinstance(dst, int) else _waddr(dst)
     rc = lib.lz4tpu_decode(
-        _addr(src) + src_off, src_len, b"", 0,
+        _addr(src) + src_off, src_len,
+        dict_addr if dict_len else None, dict_len,
         base + dst_off, dst_cap, -1,
     )
     if rc < 0:

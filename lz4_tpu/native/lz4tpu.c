@@ -91,6 +91,11 @@ int64_t lz4tpu_decode(
     if (target < 0) {
         const uint8_t *ifast = iend - 16;
         uint8_t *ofast = oend - 64;
+        /* contiguous 64 KB window (chained frames decoded in place): match
+         * sources may reach dict_len bytes BELOW out — same memory, so the
+         * wide-copy paths handle them like any other match */
+        const uint8_t *low =
+            (dict_len > 0 && dict + dict_len == out) ? out - dict_len : out;
         while (ip < ifast && op < ofast) {
             const uint8_t *ip_seq = ip;
             uint8_t *op_seq = op;
@@ -107,14 +112,14 @@ int64_t lz4tpu_decode(
                 ip += 2;
                 int64_t mlen = (token & 15) + MINMATCH;
                 const uint8_t *mp = op - offset;
-                if (__builtin_expect(offset >= 16 && mp >= out, 1)) {
+                if (__builtin_expect(offset >= 16 && mp >= low, 1)) {
                     memcpy(op, mp, 16);
                     memcpy(op + 16, mp + 16, 2);
                     op += mlen;
                     continue;
                 }
                 if (offset == 0) return ERR_MALFORMED;
-                if (mp < out) goto fast_bail;  /* dict ref: guarded loop */
+                if (mp < low) goto fast_bail;  /* dict ref: guarded loop */
                 if (offset >= 8) {
                     memcpy(op, mp, 8);
                     memcpy(op + 8, mp + 8, 8);
@@ -163,9 +168,8 @@ int64_t lz4tpu_decode(
                 } while (b == 255);
             }
             if (offset == 0) return ERR_MALFORMED;
-            int64_t pos = (op - out) - (int64_t)offset;
-            if (pos < 0 || mlen > (ofast - op) + 32) goto fast_bail;
-            const uint8_t *mp = out + pos;
+            const uint8_t *mp = op - offset;
+            if (mp < low || mlen > (ofast - op) + 32) goto fast_bail;
             if (offset >= 16) {
                 int64_t k = 0;
                 do {
