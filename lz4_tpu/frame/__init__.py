@@ -4,7 +4,13 @@ Analog of the reference's `K4os.Compression.LZ4.Streams` package: frame
 reader/writer, descriptor/settings, one-shot facades and file-like streams.
 """
 
-from .api import LZ4FrameFile, compress, decompress, open  # noqa: F401
+from .api import (  # noqa: F401
+    LZ4FrameFile,
+    compress,
+    decompress,
+    decompress_into,
+    open,
+)
 from .descriptor import (  # noqa: F401
     DecoderSettings,
     EncoderSettings,

@@ -29,6 +29,7 @@ from ..constants import _as_bytes
 __all__ = [
     "compress",
     "decompress",
+    "decompress_into",
     "open",
     "FrameReader",
     "FrameWriter",
@@ -584,6 +585,113 @@ def decompress(
         extra_memory=settings.extra_memory,
     )
     return r.read_all()
+
+
+def decompress_into(
+    data,
+    dst,
+    settings: DecoderSettings | None = None,
+    workers: int | None = None,
+) -> int:
+    """Decompress one LZ4 frame directly into a caller buffer (the analog of
+    the reference's span-target `LZ4Frame.Decode(source, target)`,
+    `LZ4Frame.decode.cs:25-41`): no result allocation, no copy — the block
+    decoders write ``dst`` in place (threaded for independent blocks,
+    sequential in-place-window for chained).  Returns the decoded length;
+    raises if ``dst`` is too small.  Falls back to FrameReader for streams
+    the fast scan cannot place (multi-frame, preset dictionary, legacy)."""
+    import ctypes
+    import os
+
+    from .. import native
+
+    data = _as_bytes(data)
+    settings = settings or DecoderSettings()
+    view = memoryview(dst).cast("B")
+    if view.readonly:
+        raise ValueError("destination buffer is read-only")
+    scan = None
+    if native.available() and not settings.dictionary:
+        scan = _scan_single_frame(data, allow_chained=True)
+    if scan is None:
+        r = FrameReader(
+            io.BytesIO(data),
+            dictionary=settings.dictionary,
+        )
+        out = r.read_all()
+        if len(out) > len(view):
+            raise ValueError(
+                f"destination {len(view)} < decoded size {len(out)}"
+            )
+        view[: len(out)] = out
+        return len(out)
+    d, blocks, pos = scan
+    base = native._waddr(view)
+    bs = d.block_size
+    cap_total = len(view)
+    wrote = 0
+    if d.block_chaining:
+        for off, length, stored in blocks:
+            if stored:
+                if wrote + length > cap_total:
+                    raise ValueError("destination buffer too small")
+                ctypes.memmove(base + wrote, native._addr(data) + off, length)
+                wrote += length
+            else:
+                dl = min(wrote, 65536)
+                wrote += native.decode_span(
+                    data, off, length, base, wrote,
+                    min(bs, cap_total - wrote),
+                    dict_addr=base + wrote - dl, dict_len=dl,
+                )
+    else:
+        nb = len(blocks)
+        lens = [0] * nb
+        n_workers = (
+            workers if workers is not None else min(8, os.cpu_count() or 1)
+        )
+
+        def one(i):
+            off, length, stored = blocks[i]
+            cap = min(bs, cap_total - i * bs)
+            if cap < 0:
+                raise ValueError("destination buffer too small")
+            if stored:
+                if length > cap:
+                    raise ValueError("destination buffer too small")
+                ctypes.memmove(base + i * bs, native._addr(data) + off, length)
+                lens[i] = length
+            else:
+                lens[i] = native.decode_span(
+                    data, off, length, base, i * bs, cap
+                )
+
+        if n_workers > 1 and nb > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(n_workers) as ex:
+                list(ex.map(one, range(nb)))
+        else:
+            for i in range(nb):
+                one(i)
+        if not all(lens[i] == bs for i in range(nb - 1)):
+            # spec-legal short interior blocks: compact left in place
+            w = lens[0]
+            for i in range(1, nb):
+                ctypes.memmove(base + w, base + i * bs, lens[i])
+                w += lens[i]
+            wrote = w
+        else:
+            wrote = bs * (nb - 1) + lens[-1]
+    if d.content_checksum:
+        (expected,) = struct.unpack_from("<I", data, pos)
+        if xxh32(view[:wrote]) != expected:
+            raise LZ4FormatError("content checksum mismatch")
+    if d.content_length is not None and wrote != d.content_length:
+        raise LZ4FormatError(
+            f"content length mismatch: {wrote} != {d.content_length}"
+        )
+    return wrote
 
 
 def _try_parallel_decompress(data: bytes, settings: DecoderSettings, mesh):

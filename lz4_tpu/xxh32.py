@@ -67,7 +67,8 @@ class XXH32:
         return self
 
     def update(self, data) -> "XXH32":
-        data = bytes(memoryview(data).cast("B"))
+        if type(data) is not bytes:
+            data = bytes(memoryview(data).cast("B"))
         self._total += len(data)
         data = self._buf + data
         n_stripes = len(data) // 16
@@ -127,7 +128,8 @@ def _native_stripes(acc: list[int], data: bytes, n_stripes: int) -> bool:
 
 def xxh32(data, seed: int = 0) -> int:
     """One-shot xxHash32 (like the reference's `XXH32.DigestOf`)."""
-    data = bytes(memoryview(data).cast("B"))
+    if type(data) is not bytes:
+        data = bytes(memoryview(data).cast("B"))
     n = len(data)
     if n >= 1024:
         try:

@@ -126,3 +126,36 @@ def test_chained_fast_preset_dictionary_bails_to_reader():
         )
         is None
     )
+
+
+@pytest.mark.parametrize("chained", [False, True])
+@pytest.mark.parametrize("checksum", [False, True])
+def test_decompress_into_span_target(chained, checksum):
+    """frame.decompress_into — span-target one-shot (reference
+    `LZ4Frame.Decode(source, target)` analog)."""
+    data = _payload(400_000, seed=21)
+    s = EncoderSettings(
+        chain_blocks=chained, content_checksum=checksum, block_size=65536
+    )
+    blob = frame.compress(data, settings=s)
+    dst = bytearray(len(data) + 64)
+    n = frame.decompress_into(blob, dst)
+    assert n == len(data) and bytes(dst[:n]) == data
+
+
+def test_decompress_into_too_small_raises():
+    data = _payload(300_000, seed=22)
+    blob = frame.compress(
+        data, settings=EncoderSettings(chain_blocks=True)
+    )
+    with pytest.raises(Exception):
+        frame.decompress_into(blob, bytearray(1000))
+
+
+def test_decompress_into_multiframe_falls_back():
+    data1 = _payload(100_000, seed=23)
+    data2 = _payload(50_000, seed=24)
+    blob = frame.compress(data1) + frame.compress(data2)
+    dst = bytearray(len(data1) + len(data2))
+    n = frame.decompress_into(blob, dst)
+    assert bytes(dst[:n]) == data1 + data2
