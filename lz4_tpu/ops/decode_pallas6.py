@@ -214,11 +214,18 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
         lo0 = OUTW(sw)
 
         def body(s):
+            # 2x unrolled: the second store may overshoot into the partial
+            # word wp+nw — harmless, its true bytes live in acc and the
+            # next head store rewrites it.  The second fetch sw+j+1 <= wp+j
+            # reads at most the word stored one instruction earlier.
             j, lov = s
             hi = OUTW(sw + j)
             w = jnp.where(ph == 0, lov, (lov >> ph) | (hi << phc))
             out_ref[0, 0, wp + j] = _i(w)
-            return j + 1, hi
+            hi2 = OUTW(sw + j + 1)
+            w2 = jnp.where(ph == 0, hi, (hi >> ph) | (hi2 << phc))
+            out_ref[0, 0, wp + j + 1] = _i(w2)
+            return j + 2, hi2
 
         jax.lax.while_loop(lambda s: s[0] < nw, body, (1, lo0))
         f2 = op2 & 3

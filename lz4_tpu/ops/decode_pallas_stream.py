@@ -230,11 +230,17 @@ def _decode_one(i, clen, dict_len, comp_w, dict_w, out_hbm, meta_ref,
         lo0 = OUTW(sw)
 
         def body(s):
+            # 2x unrolled (see decode_pallas6.copy_match_far): the second
+            # store may overshoot into the partial word — its true bytes
+            # live in acc and the next head store rewrites it
             j, lov = s
             hi = OUTW(sw + j)
             w = jnp.where(ph == 0, lov, (lov >> ph) | (hi << phc))
             store_word(wp + j, w)
-            return j + 1, hi
+            hi2 = OUTW(sw + j + 1)
+            w2 = jnp.where(ph == 0, hi, (hi >> ph) | (hi2 << phc))
+            store_word(wp + j + 1, w2)
+            return j + 2, hi2
 
         jax.lax.while_loop(lambda s: s[0] < nw, body, (1, lo0))
         f2 = op2 & 3
