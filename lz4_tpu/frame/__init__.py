@@ -7,6 +7,7 @@ reader/writer, descriptor/settings, one-shot facades and file-like streams.
 from .api import (  # noqa: F401
     LZ4FrameFile,
     compress,
+    compress_into,
     decompress,
     decompress_into,
     open,

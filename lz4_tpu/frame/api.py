@@ -28,6 +28,7 @@ from ..constants import _as_bytes
 
 __all__ = [
     "compress",
+    "compress_into",
     "decompress",
     "decompress_into",
     "open",
@@ -115,6 +116,41 @@ def compress(
     if content_hash is not None:
         parts.append(struct.pack("<I", content_hash.digest()))
     return b"".join(parts)
+
+
+def compress_into(
+    data,
+    dst,
+    settings: EncoderSettings | None = None,
+    workers: int | None = None,
+) -> int:
+    """Compress ``data`` into one LZ4 frame written to a caller buffer (the
+    analog of the reference's span-target `LZ4Frame.Encode(source, target)`,
+    `LZ4Frame.encode.cs:175-210`).  Returns the frame length; raises
+    ValueError if ``dst`` cannot hold the worst-case frame."""
+    settings = settings or EncoderSettings()
+    view = memoryview(dst).cast("B")
+    if view.readonly:
+        raise ValueError("destination buffer is read-only")
+    data = _as_bytes(data)
+    bs = settings.block_size
+    nb = max(1, -(-len(data) // bs))
+    worst = (
+        19  # max header: magic+FLG+BD+content size+dict id+HC
+        + nb * (4 + block_api.compress_bound(bs) + 4)
+        + 8
+    )
+    if len(view) < min(
+        worst, 19 + len(data) + nb * 8 + 8
+    ):  # stored-fallback bound: payloads never exceed the raw block
+        raise ValueError(
+            f"destination {len(view)} too small for worst-case frame"
+        )
+    blob = compress(data, settings=settings, workers=workers)
+    if len(blob) > len(view):
+        raise ValueError("destination buffer too small")
+    view[: len(blob)] = blob
+    return len(blob)
 
 
 def _try_host_parallel_compress(data, settings, workers):

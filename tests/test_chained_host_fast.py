@@ -159,3 +159,19 @@ def test_decompress_into_multiframe_falls_back():
     dst = bytearray(len(data1) + len(data2))
     n = frame.decompress_into(blob, dst)
     assert bytes(dst[:n]) == data1 + data2
+
+
+@pytest.mark.parametrize("chained", [False, True])
+def test_compress_into_span_target(chained):
+    data = _payload(300_000, seed=30)
+    s = EncoderSettings(chain_blocks=chained, content_checksum=True)
+    dst = bytearray(len(data) + len(data) // 100 + 4096)
+    n = frame.compress_into(data, dst, settings=s)
+    assert bytes(dst[:n]) == frame.compress(data, settings=s)
+    assert frame.decompress(bytes(dst[:n])) == data
+
+
+def test_compress_into_too_small_raises():
+    data = _payload(100_000, seed=31)
+    with pytest.raises(ValueError):
+        frame.compress_into(data, bytearray(100))
