@@ -174,6 +174,66 @@ def _device_config(block_size, total, iters, uniq, attempts, opt=None):
     return enc_gbps, dec_gbps, ratio
 
 
+def _device_config_stream(block_size, total, iters, uniq, level=0):
+    """Device path for blocks beyond the 64 KB SMEM staging cap: the
+    ring-streamed kernels (ops/*_pallas_stream), timed end-to-end through
+    the host wrappers (np staging included — the production route).
+    Covers BASELINE config #2 (4 MB independent blocks) via
+    LZ4TPU_BENCH_BLOCK=4194304."""
+    import numpy as np
+
+    from lz4_tpu.ops.decode_pallas_stream import decode_blocks_pallas_stream
+    from lz4_tpu.ops.encode_pallas_stream import encode_blocks_pallas_stream
+    from lz4_tpu.parallel.blocks import comp_capacity, split_blocks
+
+    datas, enc_in = [], []
+    for s in range(iters + 1):
+        data = make_corpus(total, seed=uniq * 100 + s)
+        bufs, lens = split_blocks(data, block_size)
+        enc_in.append((bufs, lens))
+        datas.append(data)
+
+    def run_enc(k):
+        return encode_blocks_pallas_stream(
+            enc_in[k][0], enc_in[k][1], block_size, level
+        )
+
+    out0, clens0, errs0 = run_enc(0)  # compile + warm
+    assert int(np.asarray(errs0).sum()) == 0
+    t0 = time.perf_counter()
+    outs = [run_enc(k) for k in range(1, iters + 1)]
+    enc_t = time.perf_counter() - t0
+    for _, _, errs in outs:
+        assert int(np.asarray(errs).sum()) == 0
+    enc_gbps = total * iters / enc_t / 1e9
+    ratio = float(np.asarray(clens0).sum()) / total
+
+    cap = comp_capacity(block_size)
+    dec_in = []
+    for out, clens, _ in [(out0, clens0, errs0)] + outs:
+        comps = np.zeros((out.shape[0], cap), np.uint8)
+        w = min(cap, out.shape[1])
+        comps[:, :w] = out[:, :w]
+        dec_in.append((comps, np.asarray(clens, np.int32)))
+
+    raw0, lens0, derr0 = decode_blocks_pallas_stream(
+        dec_in[0][0], dec_in[0][1], block_size
+    )
+    assert int(np.asarray(derr0).sum()) == 0
+    recon = b"".join(
+        raw0[b, : int(lens0[b])].tobytes() for b in range(raw0.shape[0])
+    )
+    assert recon == datas[0], "streaming roundtrip mismatch in bench"
+    t0 = time.perf_counter()
+    for k in range(1, len(dec_in)):
+        _, _, derr = decode_blocks_pallas_stream(
+            dec_in[k][0], dec_in[k][1], block_size
+        )
+        assert int(np.asarray(derr).sum()) == 0
+    dec_gbps = total * (len(dec_in) - 1) / (time.perf_counter() - t0) / 1e9
+    return enc_gbps, dec_gbps, ratio
+
+
 def _host_config(total, iters, uniq):
     """Native host engine: encode GB/s at L00/L09/L12 + decode GB/s
     (single core), plus the threaded frame path at L00."""
@@ -395,7 +455,15 @@ def main():
 
         trace_cm = contextlib.nullcontext()
     with trace_cm:
-        e0, d0, r0 = _device_config(block_size, total, iters, uniq, attempts=0)
+        if block_size > 65536:
+            # beyond the SMEM staging cap: ring-streamed kernels
+            e0, d0, r0 = _device_config_stream(
+                block_size, total, iters, uniq
+            )
+        else:
+            e0, d0, r0 = _device_config(
+                block_size, total, iters, uniq, attempts=0
+            )
     configs = {
         "device_L00": {
             "encode_GBps": round(e0, 4),
@@ -403,7 +471,7 @@ def main():
             "ratio": round(r0, 4),
         },
     }
-    if full:
+    if full and block_size <= 65536:
         hc_total = max(block_size, total // 4)  # HC kernel is ~10x slower
         e9, d9, r9 = _device_config(
             block_size, hc_total, max(2, iters - 1), uniq + 1, attempts=256
@@ -413,6 +481,7 @@ def main():
             "decode_GBps": round(d9, 4),
             "ratio": round(r9, 4),
         }
+    if full:
         if os.environ.get("LZ4TPU_BENCH_L12") == "1":
             # device optimal parse: opt-in (its kernel compile can take
             # 10-20 min on a cold cache, too risky for the default run)
