@@ -109,7 +109,11 @@ def encode(
     dictionary = bytes(dictionary[-(DISTANCE_MAX + 1) :])
     buf = dictionary + bytes(data)
     out_cap = compress_bound(len(data))
-    out = ctypes.create_string_buffer(out_cap)
+    # uninitialized scratch (no memset pass), one copy out
+    import numpy as np
+
+    scratch = np.empty(out_cap, np.uint8)
+    out = _waddr(scratch)
     if level < 3:
         rc = lib.lz4tpu_encode_fast(
             buf, len(buf), len(dictionary), out, out_cap, acceleration
@@ -124,7 +128,7 @@ def encode(
         )
     if rc < 0:
         raise RuntimeError(f"native encode failed ({rc})")
-    return out.raw[:rc]
+    return ctypes.string_at(out, rc)
 
 
 def encode_into(
@@ -183,6 +187,21 @@ def decode(
     data = bytes(data)
     if not data:
         raise LZ4Error("empty input")
+    if target_length is not None and not partial:
+        # exact-size decode: straight into the final (uninitialized) bytes
+        # object — no memset, no result copy
+        result = alloc_uninit_bytes(target_length)
+        rc = lib.lz4tpu_decode(
+            data, len(data), bytes(dictionary), len(dictionary),
+            _addr(result) if target_length else None, target_length, -1,
+        )
+        if rc < 0:
+            raise LZ4Error(f"malformed LZ4 block (native rc={rc})")
+        if rc != target_length:
+            raise LZ4Error(
+                f"decoded length {rc} != expected {target_length}"
+            )
+        return result
     if partial and target_length is not None:
         out_cap = target_length
         target = target_length
