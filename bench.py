@@ -282,6 +282,20 @@ def _host_config(total, iters, uniq):
         times.append(time.perf_counter() - t0)
         assert r == data
     out["frame_decode_threaded_GBps"] = round(total / min(times) / 1e9, 4)
+    # threaded frame encode at the HC/OPT levels (block-parallel across
+    # cores — the per-host production number for L09/L12)
+    for level in (9, 12):
+        sl = EncoderSettings(
+            chain_blocks=False, block_size=1 << 18, compression_level=level
+        )
+        times = []
+        for data in datas[: max(1, len(datas) - 1)]:
+            t0 = time.perf_counter()
+            blob = frame.compress(data, settings=sl, workers=8)
+            times.append(time.perf_counter() - t0)
+        out[f"frame_encode_threaded_L{level:02}_GBps"] = round(
+            total / min(times) / 1e9, 4
+        )
     # BASELINE config #5: chained (dependent) blocks + xxHash32 content
     # checksum — the default frame shape; encode parallelizes (windows known
     # up front), decode is one sequential in-place-window pass
