@@ -102,10 +102,19 @@ def main():
             from lz4_tpu.ops.decode_pallas6 import pallas_decode6
 
             def run6(c, l):
-                out, meta, dcapw = pallas_decode6(c, l, bs)
+                out, meta, dcapw = pallas_decode6(c, l, bs, mode="full")
                 return out, meta.reshape(meta.shape[0], 8)
 
             return run6, "packed"
+        if name == "v6x":
+            # production default (mode="full2": fused-run inner loop)
+            from lz4_tpu.ops.decode_pallas6 import pallas_decode6
+
+            def run6x(c, l):
+                out, meta, dcapw = pallas_decode6(c, l, bs)
+                return out, meta.reshape(meta.shape[0], 8)
+
+            return run6x, "packed"
         if name in ("v6p", "v6l"):
             from lz4_tpu.ops.decode_pallas6 import pallas_decode6
 
@@ -225,6 +234,22 @@ def main():
                 )
                 return out, meta
             return run
+        if name == "e5x":
+            from lz4_tpu.ops.encode_pallas5 import pallas_encode5
+
+            def runx(bufs, lens):
+                out, meta = pallas_encode5(bufs, lens, bs, 0,
+                                           pair_probe=True)
+                return out, meta.reshape(meta.shape[0], 8)
+            return runx
+        if name == "e5xf":
+            from lz4_tpu.ops.encode_pallas5 import pallas_encode5
+
+            def runxf(bufs, lens):
+                out, meta = pallas_encode5(bufs, lens, bs, 0,
+                                           profile="find", pair_probe=True)
+                return out, meta.reshape(meta.shape[0], 8)
+            return runxf
         if name == "e5f":
             from lz4_tpu.ops.encode_pallas5 import pallas_encode5
 
@@ -262,7 +287,7 @@ def main():
             print(f"{name} compile+run {time.time()-t0:.1f}s "
                   f"errs={int(mh[:,1].sum())} "
                   f"ratio={float(mh[:,0].sum())/total:.4f}", flush=True)
-            if name.startswith("e5") and name != "e5f":  # roundtrip batch 0
+            if name.startswith("e5") and not name.endswith("f"):  # roundtrip batch 0 (profile variants emit no bytes)
                 words = np.ascontiguousarray(
                     np.asarray(out).reshape(out.shape[0], -1)
                 )

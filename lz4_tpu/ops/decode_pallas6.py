@@ -30,6 +30,12 @@ select and a mask per 4 bytes).  v6 keeps the all-scalar packed-word design
   word with garbage beyond op2, which the next merge rewrites).
 - off < 8 keeps v5's seed + pattern-register replication path verbatim
   (it needs byte-granular appends; it is also the rarest).
+- FUSED RUN (mode="full2", the production default): the fast arm loops
+  over CONSECUTIVE fused sequences — each inner iteration copies one
+  sequence and speculatively parses the next (two padded SMEM loads), so
+  a run of k fast sequences pays ONE outer cond region switch instead of
+  k (measured 77.0 -> 71.8 ms / 4 MiB; mode="full" keeps the one-
+  sequence arm for A/B).
 
 Same wire behavior as v5: meta layout, error codes (1 = malformed,
 2 = trailing garbage), 64 KB preset-dictionary mode, same wrapper API.
@@ -361,7 +367,7 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
                 ip3, bad, is_last,
             )
 
-        if mode == "full":
+        if mode in ("full", "full2"):
             # Speculative offset load (mo_at <= ip + 15, inside padding):
             # lets the common case run parse + literal copy + far match
             # copy as ONE flat cond arm — a single region switch for the
@@ -375,6 +381,38 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
                 a2, o2 = copy_literals(acc, op, lit_at, ll0)
                 a3, o3 = copy_match_far(a2, o2, wo_s, mln + MIN_MATCH)
                 return mo_at + 2, o3, a3, err, done
+
+            def arm_fast_run(_):
+                # full2: stay inside the fast arm across CONSECUTIVE fused
+                # sequences — an inner while whose body copies one fused
+                # sequence and speculatively parses the next (two padded
+                # SMEM loads), so a run of k fast sequences pays ONE outer
+                # cond region switch instead of k.  The loop exits with
+                # ip at the first non-fused sequence, which the next outer
+                # iteration re-parses generically (same predicate as
+                # `fused`, so wire behavior is identical to mode "full").
+                def fbody(st):
+                    ipx, opx, accx, llx, mlnx, moatx, wox, ok = st
+                    a2, o2 = copy_literals(accx, opx, ipx + 1, llx)
+                    a3, o3 = copy_match_far(a2, o2, wox, mlnx + MIN_MATCH)
+                    ip2 = moatx + 2
+                    tokb = _i(W(ip2)) & 0xFF
+                    llb = tokb >> 4
+                    mlnb = tokb & 15
+                    mo2 = ip2 + 1 + llb
+                    wo2 = _i(W(mo2)) & 0xFFFF
+                    ok2 = (
+                        (llb < 15) & (mlnb < 15)
+                        & (mo2 + 2 <= clen) & (o3 + 40 <= ocap)
+                        & (wo2 >= 8) & (wo2 <= o3 + llb - lo)
+                    )
+                    return ip2, o3, a3, llb, mlnb, mo2, wo2, ok2
+
+                ipf, opf, accf, _, _, _, _, _ = jax.lax.while_loop(
+                    lambda st: st[7], fbody,
+                    (ip, op, acc, ll0, mln, mo_at, wo_s, fused),
+                )
+                return ipf, opf, accf, err, done
 
             def arm_slow(_):
                 ll, la, off, ml, ip2, bad, is_last = jax.lax.cond(
@@ -392,7 +430,12 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
                     done | is_last | bad,
                 )
 
-            return jax.lax.cond(fused, arm_fast, arm_slow, None)
+            return jax.lax.cond(
+                fused,
+                arm_fast_run if mode == "full2" else arm_fast,
+                arm_slow,
+                None,
+            )
 
         ll, la, off, ml, ip2, bad, is_last = jax.lax.cond(
             fast, parse_fast, parse_slow, None
@@ -429,7 +472,7 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
 @functools.partial(jax.jit, static_argnames=("out_cap", "with_dict", "mode"))
 def pallas_decode6(comps_i32, comp_lens, out_cap: int, dicts_i32=None,
                    dict_lens=None, with_dict: bool = False,
-                   mode: str = "full"):
+                   mode: str = "full2"):
     """comps_i32: i32[B, CAP] one byte per element, zero padded.
 
     Returns (out_words i32[B, OW] packed LE words with the dict prefix

@@ -330,12 +330,36 @@ def _decode_one(i, clen, dict_len, comp_w, dict_w, out_hbm, meta_ref,
         )
 
         def arm_fast(_):
-            # one residency guarantee for every raw read in the arm
-            ensure_chunk((mo_at + 3) >> _CW_LOG)
-            flush_for((op + ll0 + mln + MIN_MATCH) >> 2)
-            a2, o2 = lit_fast(acc, op, ip + 1, ll0)
-            a3, o3 = match_fast(a2, o2, wo_s, mln + MIN_MATCH)
-            return mo_at + 2, o3, a3, err, done
+            # Fused-RUN loop (see decode_pallas6 mode="full2"): stay inside
+            # this arm across consecutive fused sequences — each iteration
+            # copies one sequence and speculatively parses the next, so a
+            # run of k fast sequences pays ONE outer cond region switch
+            # instead of k.  Residency/flush guarantees move into the body
+            # (one ensure + one flush check per sequence, as before).
+            def fbody(st):
+                ipx, opx, accx, llx, mlnx, moatx, wox, ok = st
+                ensure_chunk((moatx + 3) >> _CW_LOG)
+                flush_for((opx + llx + mlnx + MIN_MATCH) >> 2)
+                a2, o2 = lit_fast(accx, opx, ipx + 1, llx)
+                a3, o3 = match_fast(a2, o2, wox, mlnx + MIN_MATCH)
+                ip2 = moatx + 2
+                tokb = _i(W(ip2)) & 0xFF
+                llb = tokb >> 4
+                mlnb = tokb & 15
+                mo2 = ip2 + 1 + llb
+                wo2 = _i(W(mo2)) & 0xFFFF
+                ok2 = (
+                    (llb < 15) & (mlnb < 15)
+                    & (mo2 + 2 <= clen) & (o3 + 40 <= ocap)
+                    & (wo2 >= 8) & (wo2 <= o3 + llb - lo)
+                )
+                return ip2, o3, a3, llb, mlnb, mo2, wo2, ok2
+
+            ipf, opf, accf, _, _, _, _, _ = jax.lax.while_loop(
+                lambda st: st[7], fbody,
+                (ip, op, acc, ll0, mln, mo_at, wo_s, fused),
+            )
+            return ipf, opf, accf, err, done
 
         def arm_slow(_):
             return seq_slow(state)

@@ -65,7 +65,7 @@ def _i(x):
 def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                  attempts: int, ocap: int, opt_sufficient: int = 0,
                  opt_full: bool = False, src_off=None,
-                 profile: str = "full"):
+                 profile: str = "full", pair_probe: bool = False):
     """The complete FAST/HC/OPT encoder over caller-supplied accessors.
 
     W(p)        -> int32 LE word of source bytes p..p+3 (any byte offset)
@@ -195,17 +195,19 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
 
         acc, op = jax.lax.cond(ll >= 15, ll_ext, lambda a: a, (acc, op))
         acc, op = copy_literals(acc, op, anchor, ll)
-
-        def tail(a):
-            acc, op = a
-            acc, op = append(acc, op, _u(off), 2)
-
-            def ml_ext(a):
-                return append_vle(a[0], a[1], mlv - 15)
-
-            return jax.lax.cond(mlv >= 15, ml_ext, lambda a: a, (acc, op))
-
-        acc, op = jax.lax.cond(ml > 0, tail, lambda a: a, (acc, op))
+        # FLAT tail (measured: Mosaic taxes region nesting, not branch
+        # count — PERFORMANCE.md "cond structure"): the offset append
+        # degenerates to a no-op for final literals (cnt == 0 leaves op
+        # and acc unchanged; the store writes reclaimed garbage above op),
+        # so no cond(ml > 0) region wraps it, and the rare 15+ match VLE
+        # extension is a single flat cond instead of a nested one.
+        acc, op = append(acc, op, _u(off), jnp.where(ml > 0, 2, 0))
+        acc, op = jax.lax.cond(
+            (ml > 0) & (mlv >= 15),
+            lambda a: append_vle(a[0], a[1], mlv - 15),
+            lambda a: a,
+            (acc, op),
+        )
         return acc, op
 
     # ---- match length: word compares + mismatch-byte localization --------
@@ -290,8 +292,52 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                 W(p2),
             )
 
+        def find_body2(s):
+            # Paired probe: two table probes per iteration whose two
+            # dependent-load chains (htab[h1]→W(c1) and W(p2)→htab[h2]→
+            # W(c2)) are INDEPENDENT and overlap on the scalar VLIW.
+            # Byte-identical to the serial probe by construction:
+            #  - probe2 sees probe1's insert via the h2==h1 select;
+            #  - when probe1 hits (or p2 >= mf_limit so the serial loop
+            #    would exit before probing p2), the htab[h2] store writes
+            #    back the value just read (a no-op on table state);
+            #  - search/step bookkeeping reproduces the serial skip
+            #    schedule exactly (miss1 increments before step2).
+            # Speculative reads are clamped into the padded source so the
+            # extra lookahead (at most one skip step beyond the serial
+            # pipeline's) stays in bounds; clamped values are only ever
+            # used on loop-exit paths where the serial `w` is dead too.
+            p1, search, _, w1 = s
+            h1 = hash4(w1)
+            c1 = htab[h1]
+            htab[h1] = p1
+            good1 = (c1 >= 0) & (p1 - c1 > 0) & (p1 - c1 <= 65535) & (
+                W(jnp.maximum(c1, p1 - 65535)) == w1
+            )
+            p2 = p1 + (search >> _SKIP_TRIGGER)
+            w2 = W(jnp.minimum(p2, n))
+            h2 = hash4(w2)
+            c2 = jnp.where(h2 == h1, p1, htab[h2])
+            probe2 = (~good1) & (p2 < mf_limit)
+            htab[h2] = jnp.where(probe2, p2, c2)
+            good2 = probe2 & (c2 >= 0) & (p2 - c2 > 0) & (
+                p2 - c2 <= 65535
+            ) & (W(jnp.maximum(c2, p2 - 65535)) == w2)
+            search2 = search + 1
+            p3 = p2 + (search2 >> _SKIP_TRIGGER)
+            w3 = W(jnp.minimum(p3, n))
+            cont = probe2 & (~good2)
+            return (
+                jnp.where(good1, p1, jnp.where(cont, p3, p2)),
+                jnp.where(good1, search, jnp.where(cont, search + 2,
+                                                   search2)),
+                jnp.where(good1, c1, jnp.where(good2, c2, -1)),
+                jnp.where(good1, w1, jnp.where(cont, w3, w2)),
+            )
+
         p, search, cand, _ = jax.lax.while_loop(
-            find_cond, find_body, (p, search, jnp.int32(-1), W(p))
+            find_cond, find_body2 if pair_probe else find_body,
+            (p, search, jnp.int32(-1), W(p)),
         )
 
         def take(args):
@@ -1089,7 +1135,8 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
 
 def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
                 attempts: int, ocap: int, opt_sufficient: int = 0,
-                opt_full: bool = False, profile: str = "full"):
+                opt_full: bool = False, profile: str = "full",
+                pair_probe: bool = False):
     """Staged whole-block wrapper around `_encode_body`.
 
     src_s:   SMEM i32[1, 1, CAP]  per-byte LE words
@@ -1108,6 +1155,7 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
     op, errv = _encode_body(
         n, acc0, W, store, None, htab, prev, nti, opt_tab,
         attempts, ocap, opt_sufficient, opt_full, profile=profile,
+        pair_probe=pair_probe,
     )
     meta_ref[0, 0, 0] = op
     meta_ref[0, 0, 1] = errv
@@ -1118,11 +1166,11 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("bcap", "attempts", "opt_sufficient", "opt_full",
-                     "profile"),
+                     "profile", "pair_probe"),
 )
 def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
                    opt_sufficient: int = 0, opt_full: bool = False,
-                   profile: str = "full"):
+                   profile: str = "full", pair_probe: bool = False):
     """src_i32: i32[B, CAP] block bytes (CAP % 128 == 0, >= bcap + pad).
 
     Returns (out_words i32[B, 1, OW] packed, meta i32[B, 1, 8])."""
