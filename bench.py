@@ -320,6 +320,19 @@ def _host_config(total, iters, uniq):
     canon = _canonical_config(datas)
     if canon:
         out["canonical_liblz4"] = canon
+        # production frame paths vs the canonical single-core codec on the
+        # SAME VM (the honest apples-to-apples ratio: published reference
+        # numbers come from unknown hardware; this one shares the corpus,
+        # the allocator and the memory bus)
+        if canon.get("decode_GBps"):
+            out["frame_decode_vs_canonical_same_vm"] = round(
+                out["frame_decode_threaded_GBps"] / canon["decode_GBps"], 3
+            )
+        if canon.get("encode_L00_GBps"):
+            out["frame_encode_vs_canonical_same_vm"] = round(
+                out["frame_encode_threaded_GBps"] / canon["encode_L00_GBps"],
+                3,
+            )
     return out
 
 

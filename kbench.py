@@ -11,7 +11,9 @@ experiments), v5 (scalar packed-word), v6 (production; v6p/v6l = parse /
 parse+literal profile modes), vs (ring-streamed, >64KB blocks),
 v7/v7s/v9/v10 + v8/v8p/v8d (dual-block interleave diagnostic matrix —
 see PERFORMANCE.md).  Encode variants: e1 (round-1), e5 (production),
-e5hc (L9), e5f (find-only profile mode).
+e5f (find-only profile mode), e5x/e5xf (paired-probe negative result),
+e5hc/e5hx (L9 serial-walk baseline / flat-miss production walk),
+e5opts/e5opt (L12 serial / flat-miss).
 """
 
 import os
@@ -250,6 +252,25 @@ def main():
                                            profile="find", pair_probe=True)
                 return out, meta.reshape(meta.shape[0], 8)
             return runxf
+        if name in ("e5opt", "e5opts"):
+            # L12 optimal parse; e5opts = serial walk for A/B
+            from lz4_tpu.ops.encode_pallas5 import pallas_encode5
+
+            def runopt(bufs, lens, name=name):
+                out, meta = pallas_encode5(
+                    bufs, lens, bs, 16384, opt_sufficient=4095,
+                    opt_full=True, hc_flat=(name == "e5opt"),
+                )
+                return out, meta.reshape(meta.shape[0], 8)
+            return runopt
+        if name == "e5hx":
+            from lz4_tpu.ops.encode_pallas5 import pallas_encode5
+
+            def runhx(bufs, lens):
+                out, meta = pallas_encode5(bufs, lens, bs, 256,
+                                           hc_flat=True)
+                return out, meta.reshape(meta.shape[0], 8)
+            return runhx
         if name == "e5f":
             from lz4_tpu.ops.encode_pallas5 import pallas_encode5
 
@@ -260,11 +281,13 @@ def main():
                 return out, meta.reshape(meta.shape[0], 8)
             return runf
         if name.startswith("e5"):
+            # e5hc = L9 with the serial (pre-flat-miss) walk for A/B
             from lz4_tpu.ops.encode_pallas5 import pallas_encode5
 
             def run(bufs, lens):
                 out, meta = pallas_encode5(
-                    bufs, lens, bs, 256 if lvl else 0
+                    bufs, lens, bs, 256 if lvl else 0,
+                    hc_flat=not name.endswith("hc"),
                 )
                 return out, meta.reshape(meta.shape[0], 8)
             return run

@@ -65,7 +65,8 @@ def _i(x):
 def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                  attempts: int, ocap: int, opt_sufficient: int = 0,
                  opt_full: bool = False, src_off=None,
-                 profile: str = "full", pair_probe: bool = False):
+                 profile: str = "full", pair_probe: bool = False,
+                 hc_flat: bool = True):
     """The complete FAST/HC/OPT encoder over caller-supplied accessors.
 
     W(p)        -> int32 LE word of source bytes p..p+3 (any byte offset)
@@ -580,6 +581,115 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                     jnp.where(better, ip + back, m_start),
                     jnp.where(better, cand + back, m_pos),
                 ), ml
+
+            if hc_flat and pa_static:
+                # ONE flat cond per attempt (measured 2.7 -> 3.0 MB/s at
+                # L9): the common quick-reject miss (no measurement, no
+                # pattern-analysis entry, no chain-swap scan) advances the
+                # chain inline; the general arm keeps the full machinery.
+                # d0 is the same load `advance`'s plain path would issue
+                # (no prev[] store can intervene) and take_pa0 matches
+                # advance's entry test, so semantics are unchanged.
+                d0 = chain_d(cand + co)
+                take_pa0 = (d0 == 1) & (co == 0)
+
+                def fastmiss(args):
+                    longest, m_start, m_pos, rt, rc, spl, co2 = args
+                    nc = jnp.where(
+                        d0 > cand, jnp.int32(-100000), cand - d0
+                    )
+                    return nc, longest, m_start, m_pos, rt, rc, spl, co2
+
+                def general(args):
+                    longest, m_start, m_pos, rt, rc, spl, co2 = args
+                    (longest, m_start, m_pos), mlen = jax.lax.cond(
+                        ok, measure,
+                        lambda a: (a, jnp.int32(0)),
+                        (longest, m_start, m_pos),
+                    )
+                    if not chain_swap:
+                        nc, longest, m_start, m_pos, rt, rc, spl = advance(
+                            (cand, co2, longest, m_start, m_pos, rt, rc,
+                             spl)
+                        )
+                        return (nc, longest, m_start, m_pos, rt, rc, spl,
+                                co2)
+
+                    # chain-swap (OPT) machinery, verbatim semantics
+                    def swap(args):
+                        cand, co = args
+
+                        def scan_cond(st):
+                            q, step, accel, bj, bo = st
+                            return q < longest - MIN_MATCH + 1
+
+                        def scan_body(st):
+                            q, step, accel, bj, bo = st
+                            d = chain_d(cand + q)
+                            step2 = accel >> 4
+                            better = d > bj
+                            return (
+                                q + step2,
+                                step2,
+                                jnp.where(better, jnp.int32(1 << 4),
+                                          accel + 1),
+                                jnp.where(better, d, bj),
+                                jnp.where(better, q, bo),
+                            )
+
+                        _, _, _, bj, bo = jax.lax.while_loop(
+                            scan_cond, scan_body,
+                            (jnp.int32(0), jnp.int32(1), jnp.int32(1 << 4),
+                             jnp.int32(1), jnp.int32(0)),
+                        )
+                        jumped = bj > 1
+                        nc = jnp.where(
+                            jumped,
+                            jnp.where(bj > cand, jnp.int32(-100000),
+                                      cand - bj),
+                            cand,
+                        )
+                        return (nc, jnp.where(jumped, bo, jnp.int32(0)),
+                                jumped)
+
+                    do_swap = (mlen == longest) & (mlen > 0) & (
+                        cand + longest <= ip
+                    )
+                    cand_s, co_s, jumped = jax.lax.cond(
+                        do_swap, swap,
+                        lambda a: (a[0], a[1], jnp.array(False)),
+                        (cand, co2),
+                    )
+
+                    def cont_jumped(args):
+                        cand_s, co_s, longest, m_start, m_pos, rt, rc, \
+                            spl = args
+                        return (cand_s, longest, m_start, m_pos, rt, rc,
+                                spl, co_s)
+
+                    def cont_advance(args):
+                        cand_s, co_s, longest, m_start, m_pos, rt, rc, \
+                            spl = args
+                        nc, longest, m_start, m_pos, rt, rc, spl = advance(
+                            (cand_s, co_s, longest, m_start, m_pos, rt,
+                             rc, spl)
+                        )
+                        return (nc, longest, m_start, m_pos, rt, rc, spl,
+                                co_s)
+
+                    return jax.lax.cond(
+                        jumped, cont_jumped, cont_advance,
+                        (cand_s, co_s, longest, m_start, m_pos, rt, rc,
+                         spl),
+                    )
+
+                (cand2, longest, m_start, m_pos, rt, rc, spl,
+                 co) = jax.lax.cond(
+                    (~ok) & (~take_pa0), fastmiss, general,
+                    (longest, m_start, m_pos, rt, rc, spl, co),
+                )
+                return (cand2, k + 1, longest, m_start, m_pos, rt, rc,
+                        spl, co)
 
             (longest, m_start, m_pos), mlen = jax.lax.cond(
                 ok, measure,
@@ -1136,7 +1246,7 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
 def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
                 attempts: int, ocap: int, opt_sufficient: int = 0,
                 opt_full: bool = False, profile: str = "full",
-                pair_probe: bool = False):
+                pair_probe: bool = False, hc_flat: bool = True):
     """Staged whole-block wrapper around `_encode_body`.
 
     src_s:   SMEM i32[1, 1, CAP]  per-byte LE words
@@ -1155,7 +1265,7 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
     op, errv = _encode_body(
         n, acc0, W, store, None, htab, prev, nti, opt_tab,
         attempts, ocap, opt_sufficient, opt_full, profile=profile,
-        pair_probe=pair_probe,
+        pair_probe=pair_probe, hc_flat=hc_flat,
     )
     meta_ref[0, 0, 0] = op
     meta_ref[0, 0, 1] = errv
@@ -1166,11 +1276,12 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("bcap", "attempts", "opt_sufficient", "opt_full",
-                     "profile", "pair_probe"),
+                     "profile", "pair_probe", "hc_flat"),
 )
 def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
                    opt_sufficient: int = 0, opt_full: bool = False,
-                   profile: str = "full", pair_probe: bool = False):
+                   profile: str = "full", pair_probe: bool = False,
+                   hc_flat: bool = True):
     """src_i32: i32[B, CAP] block bytes (CAP % 128 == 0, >= bcap + pad).
 
     Returns (out_words i32[B, 1, OW] packed, meta i32[B, 1, 8])."""
@@ -1216,6 +1327,7 @@ def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
             lens_ref[i], acc, src_s, htab, prev, nti, opt_tab, out_ref,
             meta_ref, attempts, align1024(compress_bound(bcap)),
             opt_sufficient, opt_full, profile=profile,
+            pair_probe=pair_probe, hc_flat=hc_flat,
         )
 
     out, meta = pl.pallas_call(
