@@ -222,6 +222,15 @@ def main():
                 return out, meta.reshape(meta.shape[0], 8)
 
             return runs, "packed0"
+        if name == "vsp":
+            # streaming decoder, parse-only profile (no byte emission)
+            from lz4_tpu.ops.decode_pallas_stream import pallas_decode_stream
+
+            def runsp(c, l):
+                out, meta = pallas_decode_stream(c, l, bs, mode="parse")
+                return out, meta.reshape(meta.shape[0], 8)
+
+            return runsp, False
         raise SystemExit(f"unknown variant {name}")
 
     # encode variants time raw->compressed instead (same staged corpus)

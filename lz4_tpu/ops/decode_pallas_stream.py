@@ -51,7 +51,7 @@ def _i(x):
 
 def _decode_one(i, clen, dict_len, comp_w, dict_w, out_hbm, meta_ref,
                 ring_w, ring_o, loaded, sem_w, sem_o, out_cap: int,
-                with_dict: bool):
+                with_dict: bool, mode: str = "full"):
     """Decode block i.
 
     comp_w:  HBM i32[B, NC, 128, 128]   per-byte LE words, chunked
@@ -60,6 +60,11 @@ def _decode_one(i, clen, dict_len, comp_w, dict_w, out_hbm, meta_ref,
     ring_w:  SMEM i32[2, 128, 128]      input ring
     ring_o:  SMEM i32[8, 32, 128]       output ring (dict prefix + window)
     loaded:  SMEM i32[8]                [w0, w1, flushed_segs, ...]
+
+    (A flat 1-D ring layout — scalar access as a single AND — was tried
+    and REJECTED by Mosaic: HBM chunk slices must stay aligned to the
+    (8,128) tiling of the last two dims, so the HBM side must remain
+    chunk-shaped and the DMA shapes must match it.)
     """
     dcap = _DICT_WORDS * 4  # logical byte space starts after the dict region
     lo = dcap - dict_len
@@ -330,28 +335,46 @@ def _decode_one(i, clen, dict_len, comp_w, dict_w, out_hbm, meta_ref,
         )
 
         def arm_fast(_):
-            # Fused-RUN loop (see decode_pallas6 mode="full2"): stay inside
-            # this arm across consecutive fused sequences — each iteration
-            # copies one sequence and speculatively parses the next, so a
-            # run of k fast sequences pays ONE outer cond region switch
-            # instead of k.  Residency/flush guarantees move into the body
-            # (one ensure + one flush check per sequence, as before).
+            # WINDOWED fused-RUN loop.  The profile split (kbench vs/vsp)
+            # showed the streaming parse alone costing ~2x the staged
+            # kernel's parse: every ensure_chunk/flush_for in the hot loop
+            # carries a DMA region whose presence Mosaic taxes far above
+            # the ~8-cyc simple pl.when.  So the run pre-reserves a WINDOW
+            # once on arm entry — input residency through the chunk of
+            # (mo_at + 23), output writability through the already-flushed
+            # frontier — and the inner loop is pure scalar work: raw ring
+            # reads (index masks make any speculative position in-bounds;
+            # garbage values are gated by the window checks in ok2, which
+            # are pure position arithmetic on in-window tokens) and raw
+            # stores.  The run exits when the next sequence would leave
+            # the input window (~16 KB) or the writable output region;
+            # the outer iteration re-reserves and re-enters.
+            ensure_chunk((mo_at + 23) >> _CW_LOG)
+            win_end = (((mo_at + 23) >> _CW_LOG) + 1) << _CW_LOG
+            flush_for((op + ll0 + mln + MIN_MATCH) >> 2)
+            limit_w = (
+                _DICT_WORDS + loaded[2] * _SEG_WORDS + _OR_WORDS - 2
+            )
+
             def fbody(st):
                 ipx, opx, accx, llx, mlnx, moatx, wox, ok = st
-                ensure_chunk((moatx + 3) >> _CW_LOG)
-                flush_for((opx + llx + mlnx + MIN_MATCH) >> 2)
-                a2, o2 = lit_fast(accx, opx, ipx + 1, llx)
-                a3, o3 = match_fast(a2, o2, wox, mlnx + MIN_MATCH)
+                if mode == "parse":  # kbench profile knob: no byte emission
+                    a3, o3 = accx, opx + llx + mlnx + MIN_MATCH
+                else:
+                    a2, o2 = lit_fast(accx, opx, ipx + 1, llx)
+                    a3, o3 = match_fast(a2, o2, wox, mlnx + MIN_MATCH)
                 ip2 = moatx + 2
-                tokb = _i(W(ip2)) & 0xFF
+                tokb = _i(Wr(ip2)) & 0xFF
                 llb = tokb >> 4
                 mlnb = tokb & 15
                 mo2 = ip2 + 1 + llb
-                wo2 = _i(W(mo2)) & 0xFFFF
+                wo2 = _i(Wr(mo2)) & 0xFFFF
                 ok2 = (
                     (llb < 15) & (mlnb < 15)
                     & (mo2 + 2 <= clen) & (o3 + 40 <= ocap)
                     & (wo2 >= 8) & (wo2 <= o3 + llb - lo)
+                    & (mo2 + 3 < win_end)
+                    & (((o3 + 40) >> 2) < limit_w)
                 )
                 return ip2, o3, a3, llb, mlnb, mo2, wo2, ok2
 
@@ -429,7 +452,10 @@ def _decode_one(i, clen, dict_len, comp_w, dict_w, out_hbm, meta_ref,
 
             return jax.lax.cond(ml > 0, do_match, lambda a: a, (acc, op))
 
-        acc, op = jax.lax.cond(bad, lambda a: a, do_copy, (acc, op))
+        if mode == "parse":
+            op = jnp.where(bad, op, op + ll + ml)
+        else:
+            acc, op = jax.lax.cond(bad, lambda a: a, do_copy, (acc, op))
         return (
             ip,
             op,
@@ -471,9 +497,11 @@ def _align(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("out_cap", "with_dict"))
+@functools.partial(jax.jit,
+                   static_argnames=("out_cap", "with_dict", "mode"))
 def pallas_decode_stream(comps_i32, comp_lens, out_cap: int, dicts_i32=None,
-                         dict_lens=None, with_dict: bool = False):
+                         dict_lens=None, with_dict: bool = False,
+                         mode: str = "full"):
     """comps_i32: i32[B, CAP] one byte per element.  Any out_cap."""
     b, cap = comps_i32.shape
     capw = _align(cap, _CW) + _CW  # + slack chunk for tail reads
@@ -523,6 +551,7 @@ def pallas_decode_stream(comps_i32, comp_lens, out_cap: int, dicts_i32=None,
         _decode_one(
             i, lens_ref[i], dlens_ref[i], comp_w, dict_w, out_hbm, meta_ref,
             ring_w, ring_o, loaded, sem_w, sem_o, out_cap, with_dict,
+            mode,
         )
 
     out, meta = pl.pallas_call(
