@@ -261,6 +261,18 @@ def main():
                                            profile="find", pair_probe=True)
                 return out, meta.reshape(meta.shape[0], 8)
             return runxf
+        if name in ("es", "esf"):
+            # streaming encoder (any block size; use with --block >= 256K);
+            # esf = find-only profile
+            from lz4_tpu.ops.encode_pallas_stream import pallas_encode_stream
+
+            def runes(bufs, lens, name=name):
+                out, meta = pallas_encode_stream(
+                    bufs, lens, bs, 0,
+                    profile="find" if name == "esf" else "full",
+                )
+                return out, meta.reshape(meta.shape[0], 8)
+            return runes
         if name in ("e5opt", "e5opts"):
             # L12 optimal parse; e5opts = serial walk for A/B
             from lz4_tpu.ops.encode_pallas5 import pallas_encode5

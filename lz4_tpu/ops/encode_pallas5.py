@@ -66,7 +66,8 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                  attempts: int, ocap: int, opt_sufficient: int = 0,
                  opt_full: bool = False, src_off=None,
                  profile: str = "full", pair_probe: bool = False,
-                 hc_flat: bool = True):
+                 hc_flat: bool = True, Wc=None, ensure_to=None,
+                 win_log=None):
     """The complete FAST/HC/OPT encoder over caller-supplied accessors.
 
     W(p)        -> int32 LE word of source bytes p..p+3 (any byte offset)
@@ -82,8 +83,23 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
 
     One body serves both the staged (whole-block SMEM) and streaming
     (ring + DMA) wrappers, so the two are byte-identical by construction.
+    Wc / ensure_to / win_log (streaming wrapper only): the FAST find
+    loop runs WINDOWED — fast_body pre-ensures one chunk of lookahead,
+    the loop exits at the window edge (the scan loop re-enters with
+    identical state, so the probe/insert sequence and skip schedule are
+    byte-identical), and the software-pipelined probe word is read RAW
+    via `Wc` (its position is proven < win_hi before use; candidate
+    ensures inside the loop touch chunks within 7 of the window, which
+    cannot evict it).  Candidate-verify reads stay on the ensured `W`:
+    a raw read there is unsafe — a long-literal emit reloads old chunks
+    whose slots can evict the trailing window, and a stale verify word
+    could fabricate a match (silent corruption).
+
     Returns (op, errv)."""
     has_dict = src_off is not None
+    windowed = win_log is not None
+    if Wc is None:
+        Wc = W
     if src_off is None:
         src_off = jnp.int32(0)
 
@@ -262,9 +278,20 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
     def fast_body(state):
         p, anchor, acc, op, search, err = state
 
+        if windowed:
+            # pre-ensure one chunk of probe lookahead; the find loop then
+            # runs raw reads and exits at the window edge (the scan loop
+            # re-enters with identical state — probe/insert sequence and
+            # skip schedule are unchanged)
+            ensure_to(p + (1 << win_log))
+            win_hi = ((p >> win_log) + 2) << win_log
+
         def find_cond(s):
             p, search, cand, w = s
-            return (cand < 0) & (p < mf_limit)
+            live = (cand < 0) & (p < mf_limit)
+            if windowed:
+                live = live & (p < win_hi)
+            return live
 
         def find_body(s):
             # NOTE: a 4-way unrolled probe (precomputed miss-steps, pipelined
@@ -290,7 +317,10 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                 p2,
                 search + jnp.where(good, 0, 1),
                 jnp.where(good, c, -1),
-                W(p2),
+                # windowed: raw read — iteration N+1 only consumes this
+                # word after find_cond proved p2 < win_hi (resident); on
+                # exit paths the value is dead
+                Wc(p2) if windowed else W(p2),
             )
 
         def find_body2(s):

@@ -58,7 +58,8 @@ def _i(x):
 def _encode_stream_one(i, n, acc0, src_w, out_hbm, meta_ref, ring_w, ring_o,
                        state, htab, prev, nti, opt_tab, sem_w, sem_o,
                        attempts: int, ocap: int, opt_sufficient: int,
-                       opt_full: bool, src_off=None):
+                       opt_full: bool, src_off=None,
+                       profile: str = "full"):
     """Encode block i through the shared body over ring accessors.
 
     src_w:   HBM i32[B, NC, 128, 128]  per-byte LE words, chunked
@@ -112,9 +113,22 @@ def _encode_stream_one(i, n, acc0, src_w, out_hbm, meta_ref, ring_w, ring_o,
 
         state[8] = jax.lax.while_loop(cond, body, state[8])
 
+    def Wc(p):
+        """Raw ring read for window-proven positions (the find loop's
+        software-pipelined probe word; see _encode_body docstring)."""
+        p = jnp.maximum(p, 0)
+        c = p >> _CW_LOG
+        return ring_w[
+            c & (_NSLOTS - 1), (p >> 7) & (_CW_ROWS - 1), p & 127
+        ]
+
+    def ensure_to(pos):
+        ensure_chunk(pos >> _CW_LOG)
+
     op, errv = _encode_body(
         n, acc0, W, store, flush, htab, prev, nti, opt_tab,
         attempts, ocap, opt_sufficient, opt_full, src_off=src_off,
+        profile=profile, Wc=Wc, ensure_to=ensure_to, win_log=_CW_LOG,
     )
 
     # final flush of all remaining segments (incl. the partial one)
@@ -146,12 +160,12 @@ def _align(v: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("bcap", "attempts", "opt_sufficient", "opt_full",
-                     "has_dict"),
+                     "has_dict", "profile"),
 )
 def pallas_encode_stream(src_i32, lens, bcap: int, attempts: int = 0,
                          accs=None, opt_sufficient: int = 0,
                          opt_full: bool = False, src_offs=None,
-                         has_dict: bool = False):
+                         has_dict: bool = False, profile: str = "full"):
     """src_i32: i32[B, CAP] block bytes, any bcap.
 
     Dictionary mode (has_dict): each row is [dict | src] flat-prefix
@@ -209,6 +223,7 @@ def pallas_encode_stream(src_i32, lens, bcap: int, attempts: int = 0,
             state, htab, prev, nti, opt_tab, sem_w, sem_o,
             attempts, ocap, opt_sufficient, opt_full,
             src_off=offs_ref[i] if has_dict else None,
+            profile=profile,
         )
 
     out, meta = pl.pallas_call(

@@ -68,6 +68,20 @@ def test_fast_identity_slot_eviction():
     _identity_case(data, 272 * 1024, 0)
 
 
+def test_fast_identity_long_literals_window(rng):
+    """150 KB block whose 100 KB noise head forces a long-literal emit:
+    copy_literals reloads old chunks (slot collisions with the trailing
+    window), which is exactly the hazard that keeps candidate-verify
+    reads on the ensured path in the windowed find loop.  Also crosses
+    many probe windows mid-run."""
+    data = (
+        rng.randbytes(100 * 1024)
+        + (b"the quick brown fox jumps over the lazy dog " * 800)[:36000]
+        + rng.randbytes(17616)
+    )
+    _identity_case(data, 160 * 1024, 0)
+
+
 def test_hc_identity_across_chunks(rng):
     """48 KB block at L3: chain searches read back across chunk
     boundaries through the ring."""
