@@ -117,6 +117,15 @@ def main():
                 return out, meta.reshape(meta.shape[0], 8)
 
             return run6x, "packed"
+        if name == "v6xp":
+            # fused-run, parse-only profile (no byte emission)
+            from lz4_tpu.ops.decode_pallas6 import pallas_decode6
+
+            def run6xp(c, l):
+                out, meta, dcapw = pallas_decode6(c, l, bs, mode="parse2")
+                return out, meta.reshape(meta.shape[0], 8)
+
+            return run6xp, False
         if name in ("v6p", "v6l"):
             from lz4_tpu.ops.decode_pallas6 import pallas_decode6
 

@@ -367,7 +367,7 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
                 ip3, bad, is_last,
             )
 
-        if mode in ("full", "full2"):
+        if mode in ("full", "full2", "parse2"):
             # Speculative offset load (mo_at <= ip + 15, inside padding):
             # lets the common case run parse + literal copy + far match
             # copy as ONE flat cond arm — a single region switch for the
@@ -382,7 +382,7 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
                 a3, o3 = copy_match_far(a2, o2, wo_s, mln + MIN_MATCH)
                 return mo_at + 2, o3, a3, err, done
 
-            def arm_fast_run(_):
+            def arm_fast_run(_):  # mode full2 / parse2 (profile: no copies)
                 # full2: stay inside the fast arm across CONSECUTIVE fused
                 # sequences — an inner while whose body copies one fused
                 # sequence and speculatively parses the next (two padded
@@ -393,8 +393,13 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
                 # `fused`, so wire behavior is identical to mode "full").
                 def fbody(st):
                     ipx, opx, accx, llx, mlnx, moatx, wox, ok = st
-                    a2, o2 = copy_literals(accx, opx, ipx + 1, llx)
-                    a3, o3 = copy_match_far(a2, o2, wox, mlnx + MIN_MATCH)
+                    if mode == "parse2":  # kbench profile: no byte emission
+                        a3, o3 = accx, opx + llx + mlnx + MIN_MATCH
+                    else:
+                        a2, o2 = copy_literals(accx, opx, ipx + 1, llx)
+                        a3, o3 = copy_match_far(
+                            a2, o2, wox, mlnx + MIN_MATCH
+                        )
                     ip2 = moatx + 2
                     tokb = _i(W(ip2)) & 0xFF
                     llb = tokb >> 4
@@ -418,13 +423,16 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
                 ll, la, off, ml, ip2, bad, is_last = jax.lax.cond(
                     fast, parse_fast, parse_slow, None
                 )
-                a2, o2 = copy_literals(acc, op, la, ll)
-                a3, o3 = jax.lax.cond(
-                    (ml == 0) | (off >= 8),
-                    lambda a: copy_match_far(a[0], a[1], off, ml),
-                    lambda a: copy_match_near(a[0], a[1], off, ml),
-                    (a2, o2),
-                )
+                if mode == "parse2":
+                    o3, a3 = op + ll + ml, acc
+                else:
+                    a2, o2 = copy_literals(acc, op, la, ll)
+                    a3, o3 = jax.lax.cond(
+                        (ml == 0) | (off >= 8),
+                        lambda a: copy_match_far(a[0], a[1], off, ml),
+                        lambda a: copy_match_near(a[0], a[1], off, ml),
+                        (a2, o2),
+                    )
                 return (
                     ip2, o3, a3, jnp.where(bad, 1, err),
                     done | is_last | bad,
@@ -432,7 +440,7 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
 
             return jax.lax.cond(
                 fused,
-                arm_fast_run if mode == "full2" else arm_fast,
+                arm_fast if mode == "full" else arm_fast_run,
                 arm_slow,
                 None,
             )
