@@ -7,8 +7,10 @@ one process.  Usage:
     python kbench.py v1 v2 v2p v3 [--mb 4] [--block 65536] [--iters 2]
 
 Decode variants: v1 (round-1 vector), v2/v2p v3 v4/v4p (negative-result
-experiments), v5 (scalar packed-word), v6 (production; v6p/v6l = parse /
-parse+literal profile modes), vs (ring-streamed, >64KB blocks),
+experiments), v5 (scalar packed-word), v6 (one-seq fused arm), v6x
+(production fused-run; v6xp = its parse-only profile; v6p/v6l = parse /
+parse+literal profiles of the non-fused path), vs (ring-streamed,
+>64KB blocks; vsp = parse-only),
 v7/v7s/v9/v10 + v8/v8p/v8d (dual-block interleave diagnostic matrix —
 see PERFORMANCE.md).  Encode variants: e1 (round-1), e5 (production),
 e5f (find-only profile mode), e5x/e5xf (paired-probe negative result),

@@ -139,6 +139,102 @@ def m_smem4(n):
     return k
 
 
+def m_store_then_load(n):
+    """store to dynamic SMEM addr, then load a DIFFERENT dynamic addr of
+    the same ref: measures the store->load same-memref serialization that
+    bounds the decode match-copy loop."""
+    def k(seed, out, sc):
+        for j in range(64):
+            sc[j] = j
+
+        def body(s):
+            i, a = s
+            sc[i & 63] = a
+            return i + 1, sc[(i + 32) & 63] + 1
+
+        _, a = jax.lax.while_loop(lambda s: s[0] < n, body, (seed[0, 0], 0))
+        out[:] = jnp.full((1, 128), a, jnp.int32)
+
+    return k
+
+
+def m_store_only(n):
+    def k(seed, out, sc):
+        sc[0] = seed[0, 1]
+
+        def body(s):
+            i, a = s
+            sc[i & 63] = a
+            return i + 1, a + 1
+
+        _, a = jax.lax.while_loop(lambda s: s[0] < n, body, (seed[0, 0], 0))
+        out[:] = jnp.full((1, 128), a, jnp.int32)
+
+    return k
+
+
+def m_load_indep(n):
+    """load from a dynamic address NOT fed by the loaded value (address
+    depends only on i) — the non-dependent-load baseline."""
+    def k(seed, out, sc):
+        for j in range(64):
+            sc[j] = j
+
+        def body(s):
+            i, a = s
+            return i + 1, a + sc[(i + 32) & 63]
+
+        _, a = jax.lax.while_loop(lambda s: s[0] < n, body, (seed[0, 0], 0))
+        out[:] = jnp.full((1, 128), a, jnp.int32)
+
+    return k
+
+
+def m_inner_while(n):
+    """outer loop whose body enters an inner while with a DYNAMIC 1..2
+    trip count: measures the per-entry cost of a nested loop region (the
+    decode fused arm pays two of these per sequence: lit + match)."""
+    def k(seed, out, sc):
+        for j in range(64):
+            sc[j] = j
+
+        def body(s):
+            i, a = s
+
+            def ib(t):
+                j, a = t
+                return j + 1, sc[(a + j) & 63]
+
+            _, a = jax.lax.while_loop(
+                lambda t: t[0] < 1 + (i & 1), ib, (0, a)
+            )
+            return i + 1, a
+
+        _, a = jax.lax.while_loop(lambda s: s[0] < n, body, (seed[0, 0], 0))
+        out[:] = jnp.full((1, 128), a, jnp.int32)
+
+    return k
+
+
+def m_inner_inline(n):
+    """same average work (1.5 dependent loads/iter) without the inner
+    loop region: the subtraction baseline for m_inner_while."""
+    def k(seed, out, sc):
+        for j in range(64):
+            sc[j] = j
+
+        def body(s):
+            i, a = s
+            a = sc[a & 63]
+            a = jnp.where(i & 1 == 1, sc[(a + 1) & 63], a)
+            return i + 1, a
+
+        _, a = jax.lax.while_loop(lambda s: s[0] < n, body, (seed[0, 0], 0))
+        out[:] = jnp.full((1, 128), a, jnp.int32)
+
+    return k
+
+
 def m_vread(n):
     def k(seed, out, vm):
         def body(s):
@@ -301,6 +397,12 @@ BENCHES = {
     "smem_dep_read": (m_smem, SC),
     "smem_dep_read2": (m_smem2, (pltpu.SMEM((16,), jnp.int32),)),
     "smem_dep_read4": (m_smem4, (pltpu.SMEM((32,), jnp.int32),)),
+    "inner_while": (m_inner_while, (pltpu.SMEM((64,), jnp.int32),)),
+    "inner_inline": (m_inner_inline, (pltpu.SMEM((64,), jnp.int32),)),
+    "smem_store_then_load": (m_store_then_load,
+                             (pltpu.SMEM((64,), jnp.int32),)),
+    "smem_store_only": (m_store_only, (pltpu.SMEM((64,), jnp.int32),)),
+    "smem_load_indep": (m_load_indep, (pltpu.SMEM((64,), jnp.int32),)),
     "vmem_dyn_read": (m_vread, VM),
     "vmem_dyn_rmw": (m_vrmw, VM),
     "roll_dynamic": (m_roll, ()),
