@@ -30,6 +30,7 @@ __all__ = [
     "init_from_env",
     "broadcast_dictionary",
     "compress_distributed",
+    "decompress_distributed",
     "local_block_range",
 ]
 
@@ -173,3 +174,82 @@ def compress_distributed(
     if d.content_checksum:
         parts.append(struct.pack("<I", xxh32(data)))
     return b"".join(parts)
+
+
+def decompress_distributed(frame: bytes) -> bytes:
+    """Decompress one independent-block LZ4 frame with the block axis
+    sharded across processes (the decode mirror of
+    ``compress_distributed``).
+
+    The frame bytes are replicated, so every process scans the (cheap)
+    block table locally, decodes only its contiguous block range, and the
+    fixed-capacity decompressed lanes are all-gathered in frame order.
+    Every process returns the identical plaintext; chained frames are
+    rejected (their 64 KB history makes block decode sequential — use the
+    local paths).
+
+    Reference anchor: no distributed runtime exists in the reference
+    (SURVEY.md §2 "Parallelism strategies"); this is the green-field
+    TPU-native scale-out axis required by BASELINE.json.
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    from ..block import api as block_api
+    from ..frame.header import LZ4FormatError
+    from ..frame.api import _scan_single_frame
+    from ..xxh32 import xxh32
+
+    scan = _scan_single_frame(frame)
+    if scan is None:
+        raise LZ4FormatError(
+            "distributed decode needs a single independent-block frame"
+        )
+    d, blocks, tail_pos = scan
+    if not blocks:
+        out = b""
+    else:
+        bs = d.block_size
+        n_blocks = len(blocks)
+        pid = jax.process_index()
+        nproc = jax.process_count()
+        start, stop = local_block_range(n_blocks, pid, nproc)
+        per = -(-n_blocks // nproc)
+
+        lanes = np.zeros((per, bs), np.uint8)
+        lane_lens = np.zeros((per,), np.int32)
+        for i, b in enumerate(range(start, stop)):
+            pos, length, stored = blocks[b]
+            payload = frame[pos : pos + length]
+            if stored:
+                raw = payload
+            else:
+                raw = block_api.decode(payload, capacity=bs)
+            if len(raw) > bs:
+                raise LZ4FormatError("block exceeds frame block size")
+            lanes[i, : len(raw)] = np.frombuffer(raw, np.uint8)
+            lane_lens[i] = len(raw)
+
+        if nproc > 1:
+            all_lens = np.asarray(
+                multihost_utils.process_allgather(lane_lens)
+            ).reshape(nproc * per)
+            all_lanes = np.asarray(
+                multihost_utils.process_allgather(lanes)
+            ).reshape(nproc * per, bs)
+        else:
+            all_lens, all_lanes = lane_lens, lanes
+        out = b"".join(
+            all_lanes[b, : int(all_lens[b])].tobytes()
+            for b in range(n_blocks)
+        )
+
+    if d.content_checksum:
+        import struct
+
+        (expected,) = struct.unpack_from("<I", frame, tail_pos)
+        if xxh32(out) != expected:
+            raise LZ4FormatError("content checksum mismatch")
+    if d.content_length is not None and len(out) != d.content_length:
+        raise LZ4FormatError("content length mismatch")
+    return out

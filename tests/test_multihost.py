@@ -49,6 +49,11 @@ import random
 data = random.Random(77).randbytes(9_000) * 40  # 360 KB, compressible
 blob = multihost.compress_distributed(data, block_size=65536, level=0)
 
+# decode mirror: every process decodes only its block range; the gathered
+# plaintext must round-trip the distributed frame on BOTH processes
+plain = multihost.decompress_distributed(blob)
+assert plain == data, (jax.process_index(), len(plain), len(data))
+
 out_path = os.environ["LZ4TPU_TEST_OUT"] + f".{jax.process_index()}"
 with open(out_path, "wb") as f:
     f.write(blob)
@@ -118,3 +123,39 @@ def _free_port() -> int:
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+def test_decompress_distributed_single_process():
+    """Single-process semantics of the decode mirror: lossless, typed
+    errors on corruption, chained frames rejected."""
+    import random
+
+    import pytest as _pytest
+
+    from lz4_tpu import frame
+    from lz4_tpu.frame.descriptor import EncoderSettings
+    from lz4_tpu.frame.header import LZ4FormatError
+    from lz4_tpu.parallel.multihost import (
+        compress_distributed,
+        decompress_distributed,
+    )
+
+    data = random.Random(5).randbytes(7000) * 30
+    st = EncoderSettings(
+        chain_blocks=False, block_size=65536,
+        content_checksum=True, block_checksum=True,
+    )
+    blob = compress_distributed(data, settings=st)
+    assert decompress_distributed(blob) == data
+    assert frame.decompress(blob) == data  # interoperable
+
+    bad = bytearray(blob)
+    bad[len(bad) // 2] ^= 0x20
+    with _pytest.raises(LZ4FormatError):
+        decompress_distributed(bytes(bad))
+
+    chained = frame.compress(
+        data, settings=EncoderSettings(chain_blocks=True, block_size=65536)
+    )
+    with _pytest.raises(LZ4FormatError):
+        decompress_distributed(chained)
