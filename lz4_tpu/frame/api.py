@@ -127,28 +127,20 @@ def compress_into(
     """Compress ``data`` into one LZ4 frame written to a caller buffer (the
     analog of the reference's span-target `LZ4Frame.Encode(source, target)`,
     `LZ4Frame.encode.cs:175-210`).  Returns the frame length; raises
-    ValueError if ``dst`` cannot hold the worst-case frame."""
+    ValueError if the produced frame does not fit ``dst`` (a destination
+    sized to a previously measured frame length is accepted — reference
+    `Issue96.cs` estimation semantics; the never-failing capacity is
+    19 + blocks * (4 + compress_bound(block_size) + 4) + 8)."""
     settings = settings or EncoderSettings()
     view = memoryview(dst).cast("B")
     if view.readonly:
         raise ValueError("destination buffer is read-only")
     data = _as_bytes(data)
-    bs = settings.block_size
-    nb = max(1, -(-len(data) // bs))
-    worst = (
-        19  # max header: magic+FLG+BD+content size+dict id+HC
-        + nb * (4 + block_api.compress_bound(bs) + 4)
-        + 8
-    )
-    if len(view) < min(
-        worst, 19 + len(data) + nb * 8 + 8
-    ):  # stored-fallback bound: payloads never exceed the raw block
-        raise ValueError(
-            f"destination {len(view)} too small for worst-case frame"
-        )
     blob = compress(data, settings=settings, workers=workers)
     if len(blob) > len(view):
-        raise ValueError("destination buffer too small")
+        raise ValueError(
+            f"destination {len(view)} too small for {len(blob)}-byte frame"
+        )
     view[: len(blob)] = blob
     return len(blob)
 

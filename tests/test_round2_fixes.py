@@ -267,3 +267,26 @@ def test_tar_of_chunks_roundtrip(rng, tmp_path):
     with tarfile.open(fileobj=io.BytesIO(recovered)) as tf:
         for name, payload in members.items():
             assert tf.extractfile(name).read() == payload
+
+
+def test_issue96_frame_size_estimation_roundtrip():
+    """Reference Issue96 analog (Streams.Tests/Issue96.cs): a frame
+    compressed once yields an exact size estimate; compress_into a buffer
+    of exactly that size reproduces the same bytes, and the worst-case
+    bound (19 + blocks * (4 + compress_bound + 4) + 8) always suffices."""
+    from lz4_tpu import compress_bound, frame
+
+    for length in (1337, 0x10000):
+        data = (b"lorem ipsum dolor sit amet " * 3000)[:length]
+        blob = frame.compress(data)
+        expected = len(blob)
+        buf = bytearray(expected)
+        n = frame.compress_into(data, buf)
+        assert n == expected
+        assert bytes(buf[:n]) == blob
+        assert expected <= 19 + (4 + compress_bound(len(data)) + 4) + 8
+        # too-small destination raises, never truncates
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            frame.compress_into(data, bytearray(8))
