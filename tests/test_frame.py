@@ -359,3 +359,23 @@ def test_read1_byte_budget(lorem, rng):
     first = r2.read1(100)
     rest = r2.read(-1)
     assert first + rest == data
+
+
+def test_roundtrip_with_serializer(tmp_path):
+    """Reference RoundtripWithSerializer analog: a serializer writing
+    straight through the frame stream object (here: stdlib pickle over
+    frame.open), reading back through the same file-like surface."""
+    import pickle as py_pickle
+
+    from lz4_tpu import frame
+
+    payload = {
+        "rows": [{"id": i, "name": f"row-{i}", "data": bytes(i % 7)}
+                 for i in range(5000)],
+        "blob": b"x" * 100_000,
+    }
+    path = tmp_path / "obj.lz4"
+    with frame.open(str(path), "wb") as f:
+        py_pickle.dump(payload, f)
+    with frame.open(str(path), "rb") as f:
+        assert py_pickle.load(f) == payload
