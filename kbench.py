@@ -15,7 +15,8 @@ v7/v7s/v9/v10 + v8/v8p/v8d (dual-block interleave diagnostic matrix —
 see PERFORMANCE.md).  Encode variants: e1 (round-1), e5 (production),
 e5f (find-only profile mode), e5x/e5xf (paired-probe negative result),
 e5hc/e5hx (L9 serial-walk baseline / flat-miss production walk),
-e5opts/e5opt (L12 serial / flat-miss).
+e5opts/e5opt (L12 serial / flat-miss), e5hr/e5optr (fused-run walk —
+negative result, see PERFORMANCE.md).
 """
 
 import os
@@ -284,23 +285,27 @@ def main():
                 )
                 return out, meta.reshape(meta.shape[0], 8)
             return runes
-        if name in ("e5opt", "e5opts"):
-            # L12 optimal parse; e5opts = serial walk for A/B
+        if name in ("e5opt", "e5opts", "e5optr"):
+            # L12 optimal parse; e5opts = serial walk, e5opt = flat-miss
+            # walk, e5optr = fused-run walk (A/B ladder)
             from lz4_tpu.ops.encode_pallas5 import pallas_encode5
 
             def runopt(bufs, lens, name=name):
                 out, meta = pallas_encode5(
                     bufs, lens, bs, 16384, opt_sufficient=4095,
-                    opt_full=True, hc_flat=(name == "e5opt"),
+                    opt_full=True, hc_flat=(name != "e5opts"),
+                    hc_run=(name == "e5optr"),
                 )
                 return out, meta.reshape(meta.shape[0], 8)
             return runopt
-        if name == "e5hx":
+        if name in ("e5hx", "e5hr"):
+            # L9 flat-miss walk (e5hx) vs fused-run walk (e5hr)
             from lz4_tpu.ops.encode_pallas5 import pallas_encode5
 
-            def runhx(bufs, lens):
+            def runhx(bufs, lens, name=name):
                 out, meta = pallas_encode5(bufs, lens, bs, 256,
-                                           hc_flat=True)
+                                           hc_flat=True,
+                                           hc_run=(name == "e5hr"))
                 return out, meta.reshape(meta.shape[0], 8)
             return runhx
         if name == "e5f":
@@ -319,7 +324,7 @@ def main():
             def run(bufs, lens):
                 out, meta = pallas_encode5(
                     bufs, lens, bs, 256 if lvl else 0,
-                    hc_flat=not name.endswith("hc"),
+                    hc_flat=not name.endswith("hc"), hc_run=False,
                 )
                 return out, meta.reshape(meta.shape[0], 8)
             return run

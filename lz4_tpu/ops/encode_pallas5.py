@@ -66,8 +66,8 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                  attempts: int, ocap: int, opt_sufficient: int = 0,
                  opt_full: bool = False, src_off=None,
                  profile: str = "full", pair_probe: bool = False,
-                 hc_flat: bool = True, Wc=None, ensure_to=None,
-                 win_log=None):
+                 hc_flat: bool = True, hc_run: bool = False, Wc=None,
+                 ensure_to=None, win_log=None):
     """The complete FAST/HC/OPT encoder over caller-supplied accessors.
 
     W(p)        -> int32 LE word of source bytes p..p+3 (any byte offset)
@@ -574,17 +574,8 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                 (cand, longest, m_start, m_pos, rt, rc, spl),
             )
 
-        def walk_cond(s):
-            cand, k, longest, m_start, m_pos, rt, rc, spl, co = s
-            return (cand >= lowest) & (k < attempts)
-
-        def walk_body(s):
-            cand, k, longest, m_start, m_pos, rt, rc, spl, co = s
-            # quick reject: the bytes that would extend the best must match
-            ok = (
-                (W(ilow + longest - 1) & 0xFFFF)
-                == (W(cand - lookback + longest - 1) & 0xFFFF)
-            ) & (W(cand) == pattern)
+        def measure_at(cand):
+            """Back-extend + forward-measure the match at `cand`."""
 
             def measure(args):
                 longest, m_start, m_pos = args
@@ -612,6 +603,183 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                     jnp.where(better, cand + back, m_pos),
                 ), ml
 
+            return measure
+
+        def general_at(cand, ok_pre):
+            """The full attempt arm at `cand`: would-extend measure,
+            chain-swap scan (OPT), then chain advance.  ``ok_pre`` is the
+            precomputed quick-reject test, or None to compute it inside
+            (the run walk enters this arm under a cond, where `cand` is
+            only known to be in bounds when the arm actually executes)."""
+
+            def general(args):
+                longest, m_start, m_pos, rt, rc, spl, co2 = args
+                ok = ok_pre
+                if ok is None:
+                    ok = (
+                        (W(ilow + longest - 1) & 0xFFFF)
+                        == (W(cand - lookback + longest - 1) & 0xFFFF)
+                    ) & (W(cand) == pattern)
+                (longest, m_start, m_pos), mlen = jax.lax.cond(
+                    ok, measure_at(cand),
+                    lambda a: (a, jnp.int32(0)),
+                    (longest, m_start, m_pos),
+                )
+                if not chain_swap:
+                    nc, longest, m_start, m_pos, rt, rc, spl = advance(
+                        (cand, co2, longest, m_start, m_pos, rt, rc,
+                         spl)
+                    )
+                    return (nc, longest, m_start, m_pos, rt, rc, spl,
+                            co2)
+
+                # chain-swap (OPT) machinery, verbatim semantics
+                def swap(args):
+                    cand_w, co_w = args
+
+                    def scan_cond(st):
+                        q, step, accel, bj, bo = st
+                        return q < longest - MIN_MATCH + 1
+
+                    def scan_body(st):
+                        q, step, accel, bj, bo = st
+                        d = chain_d(cand_w + q)
+                        step2 = accel >> 4
+                        better = d > bj
+                        return (
+                            q + step2,
+                            step2,
+                            jnp.where(better, jnp.int32(1 << 4),
+                                      accel + 1),
+                            jnp.where(better, d, bj),
+                            jnp.where(better, q, bo),
+                        )
+
+                    _, _, _, bj, bo = jax.lax.while_loop(
+                        scan_cond, scan_body,
+                        (jnp.int32(0), jnp.int32(1), jnp.int32(1 << 4),
+                         jnp.int32(1), jnp.int32(0)),
+                    )
+                    jumped = bj > 1
+                    nc = jnp.where(
+                        jumped,
+                        jnp.where(bj > cand_w, jnp.int32(-100000),
+                                  cand_w - bj),
+                        cand_w,
+                    )
+                    # after a jump the walk continues along the chain of
+                    # the in-match position that jumped (chain_off = bo),
+                    # exactly as the host engines keep chain_off after
+                    # `cand -= best_jump`; with no jump it resets to 0
+                    # (swap-block entry reset)
+                    return (nc, jnp.where(jumped, bo, jnp.int32(0)),
+                            jumped)
+
+                do_swap = (mlen == longest) & (mlen > 0) & (
+                    cand + longest <= ip
+                )
+                cand_s, co_s, jumped = jax.lax.cond(
+                    do_swap, swap,
+                    lambda a: (a[0], a[1], jnp.array(False)),
+                    (cand, co2),
+                )
+
+                def cont_jumped(args):
+                    cand_s, co_s, longest, m_start, m_pos, rt, rc, \
+                        spl = args
+                    return (cand_s, longest, m_start, m_pos, rt, rc,
+                            spl, co_s)
+
+                def cont_advance(args):
+                    cand_s, co_s, longest, m_start, m_pos, rt, rc, \
+                        spl = args
+                    nc, longest, m_start, m_pos, rt, rc, spl = advance(
+                        (cand_s, co_s, longest, m_start, m_pos, rt,
+                         rc, spl)
+                    )
+                    return (nc, longest, m_start, m_pos, rt, rc, spl,
+                            co_s)
+
+                return jax.lax.cond(
+                    jumped, cont_jumped, cont_advance,
+                    (cand_s, co_s, longest, m_start, m_pos, rt, rc,
+                     spl),
+                )
+
+            return general
+
+        def walk_cond(s):
+            cand, k, longest, m_start, m_pos, rt, rc, spl, co = s
+            return (cand >= lowest) & (k < attempts)
+
+        def walk_body(s):
+            cand, k, longest, m_start, m_pos, rt, rc, spl, co = s
+
+            if hc_run:
+                # FUSED-RUN walk (NEGATIVE result, kept for the record —
+                # default off): a run of consecutive quick-reject misses
+                # advances the chain inside ONE inner while loop (back-edge
+                # ~6 cyc/miss) instead of paying one flat cond region
+                # (~15-20 cyc) per miss; the general arm (measure, pattern
+                # analysis, chain-swap) runs once per event.  Candidate
+                # visit order and attempt accounting are identical to the
+                # serial walk (gated byte-identical at L3-L12).  Measured
+                # on real TPU: L9 1401.6 -> 1547.7 ms / 4 MiB (-10%), L12
+                # 2049 -> 2099 ms (neutral) — unlike the decoder's fused
+                # run, each miss predicate here needs THREE speculative
+                # loads (would-extend halfword, pattern word, next chain
+                # delta) plus a clamp, which outweighs the saved region
+                # switch.  See PERFORMANCE.md "HC/OPT fused-run walk".
+                lw = W(ilow + longest - 1) & 0xFFFF
+
+                def miss_go(c, dc):
+                    okc = (
+                        lw == (W(c - lookback + longest - 1) & 0xFFFF)
+                    ) & (W(c) == pattern)
+                    if pa_static:
+                        # advance's pattern-analysis entry test — a PA
+                        # entry is an event even on a quick-reject miss
+                        return (~okc) & ~((dc == 1) & (co == 0))
+                    return ~okc
+
+                d0 = chain_d(cand + co)
+
+                def run_body(st):
+                    c, k2, d, _ = st
+                    nc = jnp.where(d > c, jnp.int32(-100000), c - d)
+                    nk = k2 + 1
+                    # clamp so the speculative predicate loads stay inside
+                    # the domain the serial walk reads; `go` is False
+                    # anyway when nc is out of bounds
+                    ncc = jnp.maximum(nc, lowest)
+                    dn = chain_d(ncc + co)
+                    go = (nc >= lowest) & (nk < attempts) & miss_go(
+                        ncc, dn
+                    )
+                    return nc, nk, dn, go
+
+                cand, k, _, _ = jax.lax.while_loop(
+                    lambda st: st[3], run_body,
+                    (cand, k, d0, miss_go(cand, d0)),
+                )
+                inb = (cand >= lowest) & (k < attempts)
+                (cand2, longest, m_start, m_pos, rt, rc,
+                 spl, co) = jax.lax.cond(
+                    inb, general_at(cand, None),
+                    lambda a: (cand,) + a,
+                    (longest, m_start, m_pos, rt, rc, spl, co),
+                )
+                return (cand2, k + 1, longest, m_start, m_pos, rt, rc,
+                        spl, co)
+
+            # quick reject: the bytes that would extend the best must match
+            ok = (
+                (W(ilow + longest - 1) & 0xFFFF)
+                == (W(cand - lookback + longest - 1) & 0xFFFF)
+            ) & (W(cand) == pattern)
+
+            measure = measure_at(cand)
+
             if hc_flat and pa_static:
                 # ONE flat cond per attempt (measured 2.7 -> 3.0 MB/s at
                 # L9): the common quick-reject miss (no measurement, no
@@ -630,92 +798,9 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                     )
                     return nc, longest, m_start, m_pos, rt, rc, spl, co2
 
-                def general(args):
-                    longest, m_start, m_pos, rt, rc, spl, co2 = args
-                    (longest, m_start, m_pos), mlen = jax.lax.cond(
-                        ok, measure,
-                        lambda a: (a, jnp.int32(0)),
-                        (longest, m_start, m_pos),
-                    )
-                    if not chain_swap:
-                        nc, longest, m_start, m_pos, rt, rc, spl = advance(
-                            (cand, co2, longest, m_start, m_pos, rt, rc,
-                             spl)
-                        )
-                        return (nc, longest, m_start, m_pos, rt, rc, spl,
-                                co2)
-
-                    # chain-swap (OPT) machinery, verbatim semantics
-                    def swap(args):
-                        cand, co = args
-
-                        def scan_cond(st):
-                            q, step, accel, bj, bo = st
-                            return q < longest - MIN_MATCH + 1
-
-                        def scan_body(st):
-                            q, step, accel, bj, bo = st
-                            d = chain_d(cand + q)
-                            step2 = accel >> 4
-                            better = d > bj
-                            return (
-                                q + step2,
-                                step2,
-                                jnp.where(better, jnp.int32(1 << 4),
-                                          accel + 1),
-                                jnp.where(better, d, bj),
-                                jnp.where(better, q, bo),
-                            )
-
-                        _, _, _, bj, bo = jax.lax.while_loop(
-                            scan_cond, scan_body,
-                            (jnp.int32(0), jnp.int32(1), jnp.int32(1 << 4),
-                             jnp.int32(1), jnp.int32(0)),
-                        )
-                        jumped = bj > 1
-                        nc = jnp.where(
-                            jumped,
-                            jnp.where(bj > cand, jnp.int32(-100000),
-                                      cand - bj),
-                            cand,
-                        )
-                        return (nc, jnp.where(jumped, bo, jnp.int32(0)),
-                                jumped)
-
-                    do_swap = (mlen == longest) & (mlen > 0) & (
-                        cand + longest <= ip
-                    )
-                    cand_s, co_s, jumped = jax.lax.cond(
-                        do_swap, swap,
-                        lambda a: (a[0], a[1], jnp.array(False)),
-                        (cand, co2),
-                    )
-
-                    def cont_jumped(args):
-                        cand_s, co_s, longest, m_start, m_pos, rt, rc, \
-                            spl = args
-                        return (cand_s, longest, m_start, m_pos, rt, rc,
-                                spl, co_s)
-
-                    def cont_advance(args):
-                        cand_s, co_s, longest, m_start, m_pos, rt, rc, \
-                            spl = args
-                        nc, longest, m_start, m_pos, rt, rc, spl = advance(
-                            (cand_s, co_s, longest, m_start, m_pos, rt,
-                             rc, spl)
-                        )
-                        return (nc, longest, m_start, m_pos, rt, rc, spl,
-                                co_s)
-
-                    return jax.lax.cond(
-                        jumped, cont_jumped, cont_advance,
-                        (cand_s, co_s, longest, m_start, m_pos, rt, rc,
-                         spl),
-                    )
-
                 (cand2, longest, m_start, m_pos, rt, rc, spl,
                  co) = jax.lax.cond(
-                    (~ok) & (~take_pa0), fastmiss, general,
+                    (~ok) & (~take_pa0), fastmiss, general_at(cand, ok),
                     (longest, m_start, m_pos, rt, rc, spl, co),
                 )
                 return (cand2, k + 1, longest, m_start, m_pos, rt, rc,
@@ -1276,7 +1361,8 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
 def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
                 attempts: int, ocap: int, opt_sufficient: int = 0,
                 opt_full: bool = False, profile: str = "full",
-                pair_probe: bool = False, hc_flat: bool = True):
+                pair_probe: bool = False, hc_flat: bool = True,
+                hc_run: bool = False):
     """Staged whole-block wrapper around `_encode_body`.
 
     src_s:   SMEM i32[1, 1, CAP]  per-byte LE words
@@ -1295,7 +1381,7 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
     op, errv = _encode_body(
         n, acc0, W, store, None, htab, prev, nti, opt_tab,
         attempts, ocap, opt_sufficient, opt_full, profile=profile,
-        pair_probe=pair_probe, hc_flat=hc_flat,
+        pair_probe=pair_probe, hc_flat=hc_flat, hc_run=hc_run,
     )
     meta_ref[0, 0, 0] = op
     meta_ref[0, 0, 1] = errv
@@ -1306,12 +1392,12 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("bcap", "attempts", "opt_sufficient", "opt_full",
-                     "profile", "pair_probe", "hc_flat"),
+                     "profile", "pair_probe", "hc_flat", "hc_run"),
 )
 def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
                    opt_sufficient: int = 0, opt_full: bool = False,
                    profile: str = "full", pair_probe: bool = False,
-                   hc_flat: bool = True):
+                   hc_flat: bool = True, hc_run: bool = False):
     """src_i32: i32[B, CAP] block bytes (CAP % 128 == 0, >= bcap + pad).
 
     Returns (out_words i32[B, 1, OW] packed, meta i32[B, 1, 8])."""
@@ -1357,7 +1443,7 @@ def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
             lens_ref[i], acc, src_s, htab, prev, nti, opt_tab, out_ref,
             meta_ref, attempts, align1024(compress_bound(bcap)),
             opt_sufficient, opt_full, profile=profile,
-            pair_probe=pair_probe, hc_flat=hc_flat,
+            pair_probe=pair_probe, hc_flat=hc_flat, hc_run=hc_run,
         )
 
     out, meta = pl.pallas_call(
