@@ -51,25 +51,58 @@ static inline uint16_t read16le(const uint8_t *p) {
 
 /* ---------------------------------------------------------------- decode */
 
-/* Overlap-safe match copy for short distances: double the valid pattern
- * span behind `dst` until wide strides are safe, then stride.  May write up
- * to 7 bytes past dst+len (the caller guarantees margin). */
+/* Overlap-safe match copy for short distances (dist < 8).  Every copy
+ * below is a FIXED size — a variable-size memcpy at these 2..50-byte
+ * lengths compiles to a dispatching library call that dominates the copy
+ * itself.  Distances whose period divides 8 replicate the pattern into a
+ * register with a multiply and store it in 16-byte strides; 3/5/6/7 take
+ * a bytewise 4-byte head, one 4-byte copy from `step4` bytes back, then
+ * 8-byte strides from `step8` bytes back — step4/step8 are the smallest
+ * multiples of the distance >= 4 and >= 8, so each copy reads bytes
+ * already in place (no intra-copy overlap) at the same period phase.
+ * May write up to 15 bytes past dst+len (both call sites sit in the fast
+ * loop, whose 64-byte output margin covers it). */
 static inline void overlap_copy(uint8_t *dst, int64_t dist, int64_t len) {
-    if (dist == 1) {               /* byte run: plain fill */
-        memset(dst, dst[-1], (size_t)len);
+    uint64_t v;
+    switch (dist) {
+    case 1:
+        v = (uint64_t)dst[-1] * 0x0101010101010101ULL;
+        break;
+    case 2: {
+        uint16_t h;
+        memcpy(&h, dst - 2, 2);
+        v = (uint64_t)h * 0x0001000100010001ULL;
+        break;
+    }
+    case 4: {
+        uint32_t w;
+        memcpy(&w, dst - 4, 4);
+        v = (uint64_t)w * 0x0000000100000001ULL;
+        break;
+    }
+    default: {
+        static const int8_t step4[8] = {0, 0, 0, 6, 0, 5, 6, 7};
+        static const int8_t step8[8] = {0, 0, 0, 9, 0, 10, 12, 14};
+        dst[0] = dst[-dist];
+        dst[1] = dst[1 - dist];
+        dst[2] = dst[2 - dist];
+        dst[3] = dst[3 - dist];
+        memcpy(dst + 4, dst + 4 - step4[dist], 4);
+        int64_t s8 = step8[dist];
+        int64_t pos = 8;
+        while (pos < len) {
+            memcpy(dst + pos, dst + pos - s8, 8);
+            pos += 8;
+        }
         return;
     }
-    int64_t have = dist;           /* bytes of valid period behind dst+pos */
+    }
     int64_t pos = 0;
-    while (have < 8 && pos < len) {
-        memcpy(dst + pos, dst + pos - have, (size_t)have);
-        pos += have;
-        have += have;
-    }
-    while (pos < len) {
-        memcpy(dst + pos, dst + pos - have, 8);
-        pos += 8;
-    }
+    do {
+        memcpy(dst + pos, &v, 8);
+        memcpy(dst + pos + 8, &v, 8);
+        pos += 16;
+    } while (pos < len);
 }
 
 int64_t lz4tpu_decode(
@@ -112,21 +145,19 @@ int64_t lz4tpu_decode(
                 ip += 2;
                 int64_t mlen = (token & 15) + MINMATCH;
                 const uint8_t *mp = op - offset;
-                if (__builtin_expect(offset >= 16 && mp >= low, 1)) {
-                    memcpy(op, mp, 16);
+                /* one branch covers every offset >= 8 (the 8+8+2 copy is
+                 * overlap-safe there: each memcpy reads bytes already in
+                 * place before it writes) */
+                if (__builtin_expect(offset >= 8 && mp >= low, 1)) {
+                    memcpy(op, mp, 8);
+                    memcpy(op + 8, mp + 8, 8);
                     memcpy(op + 16, mp + 16, 2);
                     op += mlen;
                     continue;
                 }
                 if (offset == 0) return ERR_MALFORMED;
                 if (mp < low) goto fast_bail;  /* dict ref: guarded loop */
-                if (offset >= 8) {
-                    memcpy(op, mp, 8);
-                    memcpy(op + 8, mp + 8, 8);
-                    memcpy(op + 16, mp + 16, 2);
-                } else {
-                    overlap_copy(op, offset, mlen);
-                }
+                overlap_copy(op, offset, mlen);
                 op += mlen;
                 continue;
             }
@@ -137,16 +168,19 @@ int64_t lz4tpu_decode(
                     b = *ip++;
                     lit += b;
                 } while (b == 255);
-                if (lit > (ifast - ip) || lit > (ofast - op))
+                if (lit > (ifast - ip) - 16 || lit > (ofast - op))
                     goto fast_bail;
-                /* long literal run: 16B strides, overrun covered by margin */
+                /* long literal run: 32B strides.  Output overrun (<= 31B
+                 * past op+lit) is covered by the 64B margin; input reads
+                 * stay < ip+lit+32 <= iend (the extra -16 above). */
                 {
                     uint8_t *d = op;
                     const uint8_t *s = ip;
                     int64_t k = 0;
                     do {
                         memcpy(d + k, s + k, 16);
-                        k += 16;
+                        memcpy(d + k + 16, s + k + 16, 16);
+                        k += 32;
                     } while (k < lit);
                 }
             } else {
@@ -171,11 +205,27 @@ int64_t lz4tpu_decode(
             const uint8_t *mp = op - offset;
             if (mp < low || mlen > (ofast - op) + 32) goto fast_bail;
             if (offset >= 16) {
-                int64_t k = 0;
-                do {
-                    memcpy(op + k, mp + k, 16);
-                    k += 16;
-                } while (k < mlen);
+                /* fixed 18B head (covers the overwhelmingly common short
+                 * match with zero loop overhead), then wide strides for
+                 * the tail; 32B strides need offset >= 32 so their reads
+                 * stay behind the bytes they write */
+                memcpy(op, mp, 16);
+                memcpy(op + 16, mp + 16, 2);
+                if (mlen > 18) {
+                    int64_t k = 18;
+                    if (offset >= 32) {
+                        do {
+                            memcpy(op + k, mp + k, 16);
+                            memcpy(op + k + 16, mp + k + 16, 16);
+                            k += 32;
+                        } while (k < mlen);
+                    } else {
+                        do {
+                            memcpy(op + k, mp + k, 16);
+                            k += 16;
+                        } while (k < mlen);
+                    }
+                }
             } else if (offset >= 8) {
                 int64_t k = 0;
                 do {
@@ -357,20 +407,36 @@ int64_t lz4tpu_encode_fast(
     const uint8_t *anchor = buf + src_off;
     const uint8_t *p = anchor;
 
-    int32_t *table = (int32_t *)malloc(sizeof(int32_t) << FAST_HASH_LOG);
-    if (!table) return ERR_MALFORMED;
-    for (int64_t i = 0; i < (1 << FAST_HASH_LOG); i++) table[i] = -1;
-    /* seed with dictionary positions (sparse stride keeps setup cheap) */
-    for (int64_t i = 0; i + MINMATCH <= src_off; i += 2)
-        table[hash4(read32(base + i))] = (int32_t)i;
+    /* Positions fit u16 for <=64KB buffers (every stored position is
+     * <= buf_len-7, stored as pos+1 with 0 = empty): half the cache
+     * footprint of the i32 table and a memset-able init.  The candidate
+     * schedule is unchanged, so output stays byte-identical. */
+    int use16 = buf_len <= 65540 && src_off <= 65536;
+    /* (src_off > 64 KB never happens from our callers — windows cap
+     * at the format's 65535 distance — but a u16 slot must never
+     * wrap: pos+1 <= 65535 needs src_off-4+1 and buf_len-6 in range) */
+    void *table_mem = malloc((size_t)(use16 ? 2 : 4) << FAST_HASH_LOG);
+    if (!table_mem) return ERR_MALFORMED;
+    uint16_t *t16 = (uint16_t *)table_mem;
+    int32_t *t32 = (int32_t *)table_mem;
+    if (use16) {
+        memset(t16, 0, (size_t)2 << FAST_HASH_LOG);
+        for (int64_t i = 0; i + MINMATCH <= src_off; i += 2)
+            t16[hash4(read32(base + i))] = (uint16_t)(i + 1);
+    } else {
+        memset(t32, 0xFF, (size_t)4 << FAST_HASH_LOG);
+        for (int64_t i = 0; i + MINMATCH <= src_off; i += 2)
+            t32[hash4(read32(base + i))] = (int32_t)i;
+    }
 
     if (n > MFLIMIT) {
         int64_t search = (int64_t)accel << SKIP_TRIGGER;
         while (p < mflimit) {
             uint32_t w = read32(p);
             uint32_t h = hash4(w);
-            int64_t cand = table[h];
-            table[h] = (int32_t)(p - base);
+            int64_t cand = use16 ? (int64_t)t16[h] - 1 : (int64_t)t32[h];
+            if (use16) t16[h] = (uint16_t)(p - base + 1);
+            else t32[h] = (int32_t)(p - base);
             if (cand >= 0 && (p - base) - cand <= MAXDIST
                 && read32(base + cand) == w) {
                 const uint8_t *m = base + cand;
@@ -381,11 +447,14 @@ int64_t lz4tpu_encode_fast(
                 int64_t rc = emit_sequence(
                     &op, oend, anchor, p - anchor,
                     (uint32_t)(p - m), mlen);
-                if (rc < 0) { free(table); return rc; }
+                if (rc < 0) { free(table_mem); return rc; }
                 p += mlen;
                 anchor = p;
                 if (p >= mflimit) break;
-                table[hash4(read32(p - 2))] = (int32_t)(p - 2 - base);
+                if (use16)
+                    t16[hash4(read32(p - 2))] = (uint16_t)(p - 2 - base + 1);
+                else
+                    t32[hash4(read32(p - 2))] = (int32_t)(p - 2 - base);
                 search = (int64_t)accel << SKIP_TRIGGER;
                 continue;
             }
@@ -393,7 +462,7 @@ int64_t lz4tpu_encode_fast(
         }
     }
     int64_t rc = emit_sequence(&op, oend, anchor, src_end - anchor, 0, 0);
-    free(table);
+    free(table_mem);
     if (rc < 0) return rc;
     return op - out;
 }

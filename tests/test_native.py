@@ -85,3 +85,47 @@ def test_xxh32_matches_python(rng):
         for i in range(0, n, 7):
             h.update(data[i : i + 7])
         assert h.digest() == nat, n
+
+
+def _liblz4():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import liblz4
+
+    if liblz4.LIB is None:
+        pytest.skip("system liblz4 not available")
+    return liblz4
+
+
+def test_overlap_copy_every_small_offset():
+    """Pin the fixed-size overlap-copy paths (offsets 1-7 pattern
+    replication, 8-15 dual-8B, 16+ wide strides) across match lengths
+    that cross every stride boundary, on canonical-encoded streams
+    (reference overlap semantics: `x64/LL64.dec.cs:408-425`)."""
+    liblz4 = _liblz4()
+    for off in range(1, 18):
+        period = bytes(range(1, off + 1))
+        for mlen in (4, 7, 8, 11, 12, 15, 16, 17, 18, 19, 31, 33, 67, 131):
+            # unique prefix defeats self-matching inside the period run,
+            # long tail keeps the match away from buffer-end guards
+            raw = (
+                b"\xAA<unique-prefix>" + period * (2 + (mlen + off) // off)
+                + bytes((i * 7) % 251 for i in range(96))
+            )
+            comp = liblz4.compress_block(raw)
+            out = native.decode(comp, target_length=len(raw))
+            assert out == raw, (off, mlen)
+
+
+def test_decode_matches_canonical_on_bench_corpus():
+    """The native decoder and canonical liblz4 must agree byte-for-byte
+    on both encoders' streams over the mixed bench corpus."""
+    liblz4 = _liblz4()
+    from bench import make_corpus
+
+    data = make_corpus(1 << 20, seed=20260818)
+    for stream in (native.encode(data, 0), liblz4.compress_block(data)):
+        assert native.decode(stream, target_length=len(data)) == data
+        assert liblz4.decompress_block(stream, len(data)) == data
