@@ -21,7 +21,8 @@ from .constants import LZ4Level, compress_bound
 from .block.api import (decode, decode_into, encode, encode_into,
                         maximum_output_size, partial_decode)
 from .block.hostref import LZ4Error
-from .pickler import pickle, unpickle, unpickled_size
+from .pickler import pickle, pickle_into, unpickle, unpickle_into
+from .pickler import unpickled_size
 from .xxh32 import XXH32, xxh32
 
 __version__ = "0.2.0"
@@ -37,7 +38,9 @@ __all__ = [
     "decode_into",
     "partial_decode",
     "pickle",
+    "pickle_into",
     "unpickle",
+    "unpickle_into",
     "unpickled_size",
     "XXH32",
     "xxh32",

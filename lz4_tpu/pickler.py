@@ -19,7 +19,10 @@ from .block import api as block_api
 from .constants import LZ4Level
 from .constants import _as_bytes
 
-__all__ = ["pickle", "unpickle", "unpickled_size", "PickleError"]
+__all__ = [
+    "pickle", "pickle_into", "unpickle", "unpickle_into",
+    "unpickled_size", "PickleError",
+]
 
 
 class PickleError(ValueError):
@@ -56,6 +59,27 @@ def pickle(
     width = _size_width(diff)
     header = bytes([(_WIDTH_TO_CODE[width] & 0x3) << 6])
     return header + diff.to_bytes(width, "little") + comp
+
+
+def pickle_into(
+    data,
+    dest,
+    level: int | LZ4Level = LZ4Level.L00_FAST,
+    backend: str = "auto",
+) -> int:
+    """Pickle ``data`` into a caller-provided writable buffer.
+
+    The analog of the reference's target-buffer `LZ4Pickler.Pickle`
+    overloads (`LZ4Pickler.pickle.cs:155` — Span/IBufferWriter targets):
+    returns the number of bytes written, or a NEGATIVE total when ``dest``
+    is too small (the reference's negative-length convention, as used by
+    `block.encode_into`)."""
+    view = memoryview(dest).cast("B")
+    blob = pickle(data, level=level, backend=backend)
+    if len(blob) > len(view):
+        return -len(blob)
+    view[: len(blob)] = blob
+    return len(blob)
 
 
 def _decode_header(blob: bytes) -> tuple[int, int, int]:
@@ -96,3 +120,29 @@ def unpickle(blob, backend: str = "auto") -> bytes:
     if len(out) != rlen:
         raise PickleError(f"unpickled size {len(out)} != expected {rlen}")
     return out
+
+
+def unpickle_into(blob, dest, backend: str = "auto") -> int:
+    """Unpickle into a caller-provided writable buffer.
+
+    The analog of the reference's `Unpickle(source, Span<byte> output)`
+    (`LZ4Pickler.unpickle.cs:100-107`): returns the decoded length; raises
+    `PickleError` when ``dest`` is too small (call `unpickled_size` first
+    to size it, as the reference documents)."""
+    view = memoryview(dest).cast("B")
+    blob = _as_bytes(blob)
+    if not blob:
+        return 0
+    off, dlen, rlen = _decode_header(blob)
+    if rlen > len(view):
+        raise PickleError(
+            f"unpickled size {rlen} exceeds destination {len(view)}"
+        )
+    payload = blob[off:]
+    if rlen == dlen:  # stored
+        view[:rlen] = payload
+        return rlen
+    n = block_api.decode_into(payload, view[:rlen], backend=backend)
+    if n != rlen:
+        raise PickleError(f"unpickled size {n} != expected {rlen}")
+    return n

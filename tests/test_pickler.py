@@ -59,3 +59,33 @@ def test_via_package_namespace(lorem, rng):
 
     data = lorem(5000, rng)
     assert lz4_tpu.unpickle(lz4_tpu.pickle(data)) == data
+
+
+def test_pickle_into_roundtrip(lorem, rng):
+    """Span-target overloads (reference LZ4Pickler.pickle.cs:155,
+    unpickle.cs:100-107): bytes-written return, exact-size targets,
+    negative/raise on too-small."""
+    data = lorem(5000, rng)
+    blob = pickler.pickle(data, backend="host")
+    buf = bytearray(len(blob) + 16)
+    n = pickler.pickle_into(data, buf, backend="host")
+    assert n == len(blob) and bytes(buf[:n]) == blob
+
+    out = bytearray(pickler.unpickled_size(blob))  # exact size
+    m = pickler.unpickle_into(bytes(buf[:n]), out, backend="host")
+    assert m == len(data) and bytes(out[:m]) == data
+
+    # too-small targets: negative total (pickle), PickleError (unpickle)
+    assert pickler.pickle_into(data, bytearray(4), backend="host") == -n
+    with pytest.raises(pickler.PickleError):
+        pickler.unpickle_into(blob, bytearray(len(data) - 1), backend="host")
+
+
+def test_pickle_into_stored_and_empty(rng):
+    raw = rng.randbytes(400)  # incompressible
+    blob = pickler.pickle(raw, backend="host")
+    assert blob[0] == 0  # stored
+    out = bytearray(len(raw) + 8)
+    assert pickler.unpickle_into(blob, out, backend="host") == len(raw)
+    assert bytes(out[: len(raw)]) == raw
+    assert pickler.unpickle_into(b"", out, backend="host") == 0
