@@ -11,6 +11,7 @@ from .api import (  # noqa: F401
     decompress,
     decompress_into,
     open,
+    skippable_frame,
 )
 from .descriptor import (  # noqa: F401
     DecoderSettings,

@@ -32,12 +32,35 @@ __all__ = [
     "decompress",
     "decompress_into",
     "open",
+    "skippable_frame",
     "FrameReader",
     "FrameWriter",
     "LZ4FrameFile",
 ]
 
 _UNCOMPRESSED_FLAG = 0x80000000
+
+
+def skippable_frame(user_data, nibble: int = 0) -> bytes:
+    """Build a *skippable frame* carrying arbitrary user metadata.
+
+    Frame-spec skippable frames (magic ``0x184D2A5n`` + LE u32 size +
+    payload) are ignored by every conforming decoder, including our
+    `FrameReader` and the canonical lz4 CLI — useful for embedding
+    application metadata between frames.  The reference only *reads*
+    them (frame spec v1.6.3; our reader: `frame/header.py:103-108`);
+    writing them is an extension, like the writer's content-size support.
+
+    ``nibble`` selects one of the 16 skippable magics (0..15)."""
+    if not 0 <= nibble <= 0xF:
+        raise ValueError(f"skippable nibble {nibble} not in 0..15")
+    payload = _as_bytes(user_data)
+    from ..constants import SKIPPABLE_MAGIC_MIN
+
+    return (
+        struct.pack("<II", SKIPPABLE_MAGIC_MIN + nibble, len(payload))
+        + payload
+    )
 
 
 def compress(

@@ -158,6 +158,24 @@ def test_skippable_frame():
     assert frame.decompress(blob, backend="host") == data
 
 
+def test_skippable_frame_writer(lorem, rng):
+    """`frame.skippable_frame` output is ignored by our reader at any
+    position/nibble, and by the CANONICAL liblz4 frame decoder."""
+    data = lorem(4000, rng)
+    meta = frame.skippable_frame(b"app-metadata", nibble=7)
+    blob = meta + frame.compress(data, backend="host") + \
+        frame.skippable_frame(b"", nibble=15)
+    assert frame.decompress(blob, backend="host") == data
+
+    import liblz4
+
+    if liblz4.LIB is not None:
+        assert liblz4.decompress_frame(blob) == data
+
+    with pytest.raises(ValueError):
+        frame.skippable_frame(b"x", nibble=16)
+
+
 def test_legacy_frame_decode():
     """lz4 CLI legacy format: magic 0x184C2102 + [u32 csize][block]*."""
     from lz4_tpu.block import api as block_api
