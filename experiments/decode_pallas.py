@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import MIN_MATCH
+from lz4_tpu.constants import MIN_MATCH
 
 _LANES = 128
 

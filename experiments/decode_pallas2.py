@@ -31,8 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import MIN_MATCH
-from .decode_pallas import _words_le
+from lz4_tpu.constants import MIN_MATCH
+from lz4_tpu.ops.common import _words_le
 
 _LANES = 128
 _CHUNK = 2048  # sequences per parse/copy round (4 x 8KB SMEM tables)

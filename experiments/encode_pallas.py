@@ -27,10 +27,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import LAST_LITERALS, MF_LIMIT, MIN_MATCH, compress_bound
-from .common import align1024
+from lz4_tpu.constants import LAST_LITERALS, MF_LIMIT, MIN_MATCH, compress_bound
+from lz4_tpu.ops.common import align1024
 
-from .decode_pallas import _words_le
+from lz4_tpu.ops.common import _words_le
 
 _LANES = 128
 _HLOG = 13  # 8K-entry hash table in SMEM
@@ -445,15 +445,9 @@ def _encode_one(n, acc, src_s, src_v, htab, prev, out_ref, meta_ref, attempts: i
     meta_ref[0, :, :] = jnp.where(lane == 0, op, jnp.where(lane == 1, errv, 0))
 
 
-# Chain-search depth per level (reference clTable nbSearches,
-# `x64/LL64.high.cs:1124-1138`).  L10-L12 are optimal-parse levels with no
-# device implementation yet: callers route them to the native host engine
-# (`parallel.blocks.encode_blocks_device`) instead of pretending a deeper
-# chain walk is an optimal parse.
-LEVEL_ATTEMPTS = {
-    0: 0, 1: 0, 2: 0,
-    3: 4, 4: 8, 5: 16, 6: 32, 7: 64, 8: 128, 9: 256,
-}
+# Chain-search depth per level: single source of truth lives in
+# lz4_tpu.ops.common (shared with the production kernels).
+from lz4_tpu.ops.common import LEVEL_ATTEMPTS  # noqa: E402
 
 
 @functools.partial(jax.jit, static_argnames=("bcap", "attempts"))

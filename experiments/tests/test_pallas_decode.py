@@ -10,7 +10,7 @@ import pytest
 from jax.experimental import pallas as pl
 
 from lz4_tpu.block import hostref
-from lz4_tpu.ops import decode_pallas as DP
+from experiments import decode_pallas as DP
 
 
 @pytest.fixture(autouse=True)

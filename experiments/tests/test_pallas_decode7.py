@@ -15,7 +15,7 @@ from jax.experimental import pallas as pl
 
 from lz4_tpu import native
 from lz4_tpu.block import hostref
-from lz4_tpu.ops import decode_pallas7 as D7
+from experiments import decode_pallas7 as D7
 from lz4_tpu.parallel.blocks import comp_capacity
 
 pytestmark = pytest.mark.skipif(

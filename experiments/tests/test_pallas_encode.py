@@ -11,8 +11,8 @@ import pytest
 from jax.experimental import pallas as pl
 
 from lz4_tpu.block import hostref
-from lz4_tpu.ops import encode_pallas as EP
-from lz4_tpu.ops import decode_pallas as DP
+from experiments import encode_pallas as EP
+from experiments import decode_pallas as DP
 from lz4_tpu.parallel.blocks import comp_capacity
 
 

@@ -71,31 +71,31 @@ def main():
 
     def get_fn(name):
         if name == "v1":
-            from lz4_tpu.ops.decode_pallas import pallas_decode
+            from experiments.decode_pallas import pallas_decode
 
             return lambda c, l: pallas_decode(c, l, bs), True
         if name == "v2":
-            from lz4_tpu.ops.decode_pallas2 import pallas_decode2
+            from experiments.decode_pallas2 import pallas_decode2
 
             return lambda c, l: pallas_decode2(c, l, bs), True
         if name == "v2p":
-            from lz4_tpu.ops.decode_pallas2 import pallas_decode2
+            from experiments.decode_pallas2 import pallas_decode2
 
             return lambda c, l: pallas_decode2(c, l, bs, skip_copy=True), False
         if name == "v3":
-            from lz4_tpu.ops.decode_pallas3 import pallas_decode3
+            from experiments.decode_pallas3 import pallas_decode3
 
             return lambda c, l: pallas_decode3(c, l, bs), True
         if name == "v4":
-            from lz4_tpu.ops.decode_pallas4 import pallas_decode4
+            from experiments.decode_pallas4 import pallas_decode4
 
             return lambda c, l: pallas_decode4(c, l, bs), True
         if name == "v4p":
-            from lz4_tpu.ops.decode_pallas4 import pallas_decode4
+            from experiments.decode_pallas4 import pallas_decode4
 
             return lambda c, l: pallas_decode4(c, l, bs, skip_copy=True), False
         if name == "v5":
-            from lz4_tpu.ops.decode_pallas5 import pallas_decode5
+            from experiments.decode_pallas5 import pallas_decode5
 
             def run5(c, l):
                 out, meta, dcapw = pallas_decode5(c, l, bs)
@@ -140,7 +140,7 @@ def main():
 
             return run6m, False
         if name in ("v7", "v7s"):
-            from lz4_tpu.ops.decode_pallas7 import pallas_decode7
+            from experiments.decode_pallas7 import pallas_decode7
 
             split_cache = {}
             joint = name == "v7"
@@ -167,7 +167,7 @@ def main():
 
             return run7, "pair"
         if name == "v9":
-            from lz4_tpu.ops.decode_pallas7 import pallas_decode9
+            from experiments.decode_pallas7 import pallas_decode9
 
             split9 = {}
 
@@ -191,7 +191,7 @@ def main():
 
             return run9, "pair"
         if name == "v10":
-            from lz4_tpu.ops.decode_pallas7 import pallas_decode10
+            from experiments.decode_pallas7 import pallas_decode10
 
             st10 = {}
 
@@ -214,7 +214,7 @@ def main():
 
             return run10, "packed2"
         if name in ("v8", "v8p", "v8d"):
-            from lz4_tpu.ops.decode_pallas7 import pallas_decode7_single
+            from experiments.decode_pallas7 import pallas_decode7_single
 
             pad = name == "v8p"
             dead = name == "v8d"
@@ -249,7 +249,7 @@ def main():
     def get_enc_fn(name):
         lvl = 9 if name.endswith("hc") else 0
         if name.startswith("e1"):
-            from lz4_tpu.ops.encode_pallas import pallas_encode
+            from experiments.encode_pallas import pallas_encode
 
             def run(bufs, lens):
                 out, meta = pallas_encode(

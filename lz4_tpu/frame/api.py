@@ -55,6 +55,11 @@ def skippable_frame(user_data, nibble: int = 0) -> bytes:
     if not 0 <= nibble <= 0xF:
         raise ValueError(f"skippable nibble {nibble} not in 0..15")
     payload = _as_bytes(user_data)
+    if len(payload) > 0xFFFFFFFF:
+        raise ValueError(
+            f"skippable payload {len(payload)} bytes exceeds the frame-spec "
+            "u32 size field (4294967295)"
+        )
     from ..constants import SKIPPABLE_MAGIC_MIN
 
     return (

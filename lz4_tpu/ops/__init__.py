@@ -12,17 +12,10 @@ the measured cost model that selected them):
   full-word copies, fused fast arm)
 - `decode_pallas_stream` — decoder for 256 KB - 4 MB+ blocks (ring DMA)
 - `xxh32_pallas`    — xxHash32 device kernel
-
-Kept implementations:
-
-- `encode_pallas` / `decode_pallas` — round-1 vector (row+roll) kernels;
-  the decoder still serves the staged dictionary mode
 - `encode_jax` / `decode_jax` — pure-XLA dense kernels (CPU-mesh paths:
   tests, the driver's virtual-device dry-run, shard_map sharding)
-- `decode_pallas5` — previous production decoder (v6's baseline)
-- `decode_pallas2/3/4` — measured negative-result experiments, kept with
-  their numbers (split-phase tables, ring-ANY DMA, speculative parse)
-- `decode_pallas7` — the dual-block interleave experiment family
-  (v7/v8/v9/v10): byte-correct, ~10x slower, exhaustively diagnosed
-  (PERFORMANCE.md); not dispatched
+
+Superseded kernels and measured negative-result experiments live in the
+top-level `experiments/` package (with their tests under
+`experiments/tests/`); their numbers are preserved in PERFORMANCE.md.
 """

@@ -50,6 +50,28 @@ def word_le(b: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _words_le(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-row 4-byte little-endian words: w[b, p] = bytes p..p+3 of row b.
+
+    The staging transform for the scalar packed-word kernels: one SMEM load
+    of w[p] reads an unaligned 4-byte window at any byte phase.
+    """
+    z = jnp.zeros((x.shape[0], 3), x.dtype)
+    x1 = jnp.concatenate([x[:, 1:], z[:, :1]], axis=1)
+    x2 = jnp.concatenate([x[:, 2:], z[:, :2]], axis=1)
+    x3 = jnp.concatenate([x[:, 3:], z], axis=1)
+    return x | (x1 << 8) | (x2 << 16) | (x3 << 24)
+
+
+# LZ4Level -> hash-chain search depth (maxNbAttempts) for the device HC
+# kernels; mirrors the reference clTable (x64/LL64.high.cs:1124-1138) for
+# the lz4hc strategy levels.  L10+ (optimal parse) route via opt_* flags.
+LEVEL_ATTEMPTS = {
+    0: 0, 1: 0, 2: 0,
+    3: 4, 4: 8, 5: 16, 6: 32, 7: 64, 8: 128, 9: 256,
+}
+
+
 def gather(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Clamped gather."""
     return arr[jnp.clip(idx, 0, arr.shape[0] - 1)]

@@ -54,7 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import MIN_MATCH
-from .decode_pallas import _words_le
+from .common import _words_le
 
 _LANES = 128
 _DICT_WORDS = 65536 // 4

@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import MIN_MATCH
-from .decode_pallas import _words_le
+from .common import _words_le
 
 _CW_LOG = 14                   # input chunk: 16K byte-positions
 _CW = 1 << _CW_LOG

@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import LAST_LITERALS, MF_LIMIT, MIN_MATCH, compress_bound
 from .common import align1024
-from .decode_pallas import _words_le
+from .common import _words_le
 
 _LANES = 128
 _HLOG = 15  # matches the host engines (FAST_HASH_LOG / HC_HASH_LOG) so all
@@ -1466,7 +1466,7 @@ def encode_blocks_pallas5(
     Covers the whole level ladder: FAST (L0-L2), HC lookahead (L3-L9), and
     the exact optimal parse (L10-L12)."""
     from ..constants import HC_LEVEL_TABLE
-    from .encode_pallas import LEVEL_ATTEMPTS
+    from .common import LEVEL_ATTEMPTS
 
     src = jnp.asarray(bufs_u8, jnp.int32)
     level = int(level)

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import compress_bound
 from .common import align1024
-from .decode_pallas import _words_le
+from .common import _words_le
 from .encode_pallas5 import _HLOG, _encode_body
 
 _CW_LOG = 14                   # input chunk: 16K byte-positions
@@ -252,7 +252,7 @@ def encode_blocks_pallas_stream(
     the decode kernels take it); output matches the host engines'
     `encode(..., dictionary=...)` byte for byte."""
     from ..constants import HC_LEVEL_TABLE
-    from .encode_pallas import LEVEL_ATTEMPTS
+    from .common import LEVEL_ATTEMPTS
 
     bufs_u8 = np.asarray(bufs_u8)
     lens = np.asarray(lens, np.int32)

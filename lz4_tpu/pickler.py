@@ -69,13 +69,44 @@ def pickle_into(
 ) -> int:
     """Pickle ``data`` into a caller-provided writable buffer.
 
-    The analog of the reference's target-buffer `LZ4Pickler.Pickle`
-    overloads (`LZ4Pickler.pickle.cs:155` — Span/IBufferWriter targets):
-    returns the number of bytes written, or a NEGATIVE total when ``dest``
-    is too small (the reference's negative-length convention, as used by
-    `block.encode_into`)."""
+    Fills the span-target gap next to the reference's `IBufferWriter`
+    overload (`LZ4Pickler.pickle.cs:155`, which grows its target and has
+    no too-small case — the reference has no Span-target Pickle).  The
+    NEGATIVE return on a too-small ``dest`` is this repo's convention,
+    borrowed from `block.encode_into`, not a reference behavior: it
+    returns -(total bytes needed) so the caller can resize and retry.
+
+    When ``dest`` has `compress_bound` room the block is encoded directly
+    into it past a pessimistic header reservation (the reference's
+    `PickleWithBuffer` shape) — no intermediate blob allocation."""
+    from .constants import compress_bound
+
     view = memoryview(dest).cast("B")
-    blob = pickle(data, level=level, backend=backend)
+    raw = _as_bytes(data)
+    if not raw:
+        return 0
+    wmax = _size_width(len(raw))  # diff <= len(raw)
+    reserve = 1 + wmax
+    if len(view) >= reserve + compress_bound(len(raw)):
+        n = block_api.encode_into(
+            raw, view[reserve:], level=level, backend=backend
+        )
+        if n <= 0 or n >= len(raw):  # incompressible -> stored format
+            if 1 + len(raw) > len(view):
+                return -(1 + len(raw))
+            view[0] = 0
+            view[1 : 1 + len(raw)] = raw
+            return 1 + len(raw)
+        diff = len(raw) - n
+        width = _size_width(diff)
+        hdr = bytes([(_WIDTH_TO_CODE[width] & 0x3) << 6]) + diff.to_bytes(
+            width, "little"
+        )
+        if len(hdr) < reserve:  # shift payload left onto the real header
+            view[len(hdr) : len(hdr) + n] = bytes(view[reserve : reserve + n])
+        view[: len(hdr)] = hdr
+        return len(hdr) + n
+    blob = pickle(raw, level=level, backend=backend)
     if len(blob) > len(view):
         return -len(blob)
     view[: len(blob)] = blob
@@ -126,9 +157,11 @@ def unpickle_into(blob, dest, backend: str = "auto") -> int:
     """Unpickle into a caller-provided writable buffer.
 
     The analog of the reference's `Unpickle(source, Span<byte> output)`
-    (`LZ4Pickler.unpickle.cs:100-107`): returns the decoded length; raises
-    `PickleError` when ``dest`` is too small (call `unpickled_size` first
-    to size it, as the reference documents)."""
+    (`LZ4Pickler.unpickle.cs:100-107`), relaxed on size: the reference
+    throws unless the target length EXACTLY equals the decoded size; this
+    accepts any ``dest`` with room (>= decoded size) and returns the
+    decoded length, raising `PickleError` only when ``dest`` is too small
+    (call `unpickled_size` first to size it exactly)."""
     view = memoryview(dest).cast("B")
     blob = _as_bytes(blob)
     if not blob:

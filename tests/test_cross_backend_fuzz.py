@@ -64,64 +64,23 @@ def test_fuzz_cross_backend(seed):
             assert dec(comp, n) == data, (seed, ename, dname)
 
 
-@pytest.mark.parametrize("seed", range(3))
-def test_fuzz_pallas_interpret(seed, monkeypatch):
-    import functools
-
-    import numpy as np
-    from jax.experimental import pallas as pl
-
-    from lz4_tpu.ops import decode_pallas as DP
-    from lz4_tpu.ops import encode_pallas as EP
-    from lz4_tpu.parallel.blocks import comp_capacity
-
-    monkeypatch.setattr(
-        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
-    )
-    DP.pallas_decode.clear_cache()
-    EP.pallas_encode.clear_cache()
-    try:
-        rng = random.Random(100 + seed)
-        N = 4096
-        data = _random_structured(rng, rng.choice([100, 2000, 4000]))
-        bufs = np.zeros((1, N + 1024), np.uint8)
-        bufs[0, : len(data)] = np.frombuffer(data, np.uint8)
-        out, clens, errs = EP.encode_blocks_pallas(
-            bufs, np.asarray([len(data)], np.int32), N
-        )
-        assert errs[0] == 0
-        comp = out[0, : clens[0]].tobytes()
-        assert hostref.decode_block(comp, len(data)) == data
-        cap = comp_capacity(N)
-        comps = np.zeros((1, cap), np.uint8)
-        comps[0, : len(comp)] = np.frombuffer(comp, np.uint8)
-        dec, lens, derr = DP.decode_blocks_pallas(
-            comps, np.asarray([len(comp)], np.int32), N
-        )
-        assert derr[0] == 0
-        assert dec[0, : len(data)].tobytes() == data
-    finally:
-        DP.pallas_decode.clear_cache()
-        EP.pallas_encode.clear_cache()
-
-
 @pytest.mark.parametrize("seed", range(4))
-def test_fuzz_pallas_v5_interpret(seed, monkeypatch):
-    """The production scalar kernels (v5 encode/decode) against the oracle
-    and each other, at FAST and HC levels."""
+def test_fuzz_pallas_production_interpret(seed, monkeypatch):
+    """The production scalar kernels (encode v5 / decode v6) against the
+    oracle and each other, at FAST and HC levels."""
     import functools
 
     import numpy as np
     from jax.experimental import pallas as pl
 
-    from lz4_tpu.ops import decode_pallas5 as D5
+    from lz4_tpu.ops import decode_pallas6 as D6
     from lz4_tpu.ops import encode_pallas5 as E5
     from lz4_tpu.parallel.blocks import comp_capacity
 
     monkeypatch.setattr(
         pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
     )
-    D5.pallas_decode5.clear_cache()
+    D6.pallas_decode6.clear_cache()
     E5.pallas_encode5.clear_cache()
     try:
         rng = random.Random(200 + seed)
@@ -137,30 +96,21 @@ def test_fuzz_pallas_v5_interpret(seed, monkeypatch):
         comp = out[0, : clens[0]].tobytes()
         # oracle cross-check
         assert hostref.decode_block(comp, len(data)) == data
-        # v5 decoder on: v5-encoded, oracle-encoded, native-encoded streams
+        # v6 decoder on: v5-encoded, oracle-encoded, native-encoded streams
         streams = [comp, hostref.encode_hc(data, level=6)]
         if native.available():
             streams.append(native.encode(data, 12))
         cap = comp_capacity(N)
-        from lz4_tpu.ops import decode_pallas6 as D6
-
-        D6.pallas_decode6.clear_cache()
         for ci, c in enumerate(streams):
             comps = np.zeros((1, cap), np.uint8)
             comps[0, : len(c)] = np.frombuffer(c, np.uint8)
-            dec, lens, derr = D5.decode_blocks_pallas5(
-                comps, np.asarray([len(c)], np.int32), N
-            )
-            assert derr[0] == 0, ci
-            assert dec[0, : lens[0]].tobytes() == data, ci
             dec6, lens6, derr6 = D6.decode_blocks_pallas6(
                 comps, np.asarray([len(c)], np.int32), N
             )
-            assert derr6[0] == 0 and lens6[0] == lens[0], ci
+            assert derr6[0] == 0 and lens6[0] == len(data), ci
             assert dec6[0, : lens6[0]].tobytes() == data, ci
-        D6.pallas_decode6.clear_cache()
     finally:
-        D5.pallas_decode5.clear_cache()
+        D6.pallas_decode6.clear_cache()
         E5.pallas_encode5.clear_cache()
 
 

@@ -195,12 +195,9 @@ def test_dictionary_mode(rng):
     assert out[0, : lens[0]].tobytes() == data
 
 
-def test_cross_check_vs_v5_and_oracle_fuzz(rng):
-    """Random blocks at random levels: v6 output must equal the input and
-    v5's byte-for-byte."""
-    from lz4_tpu.ops import decode_pallas5 as D5
-
-    D5.pallas_decode5.clear_cache()
+def test_cross_check_vs_oracle_fuzz(rng):
+    """Random blocks at random levels: v6 output must equal the input (the
+    v5 byte-for-byte cross-check moved to experiments/tests with v5)."""
     cases = []
     for t in range(12):
         kind = t % 4
@@ -224,10 +221,7 @@ def test_cross_check_vs_v5_and_oracle_fuzz(rng):
         comps[i, : len(c)] = np.frombuffer(c, np.uint8)
         clens[i] = len(c)
     out6, lens6, errs6 = D6.decode_blocks_pallas6(comps, clens, N)
-    out5, lens5, errs5 = D5.decode_blocks_pallas5(comps, clens, N)
-    D5.pallas_decode5.clear_cache()
     for i, d in enumerate(cases):
         assert errs6[i] == 0, i
+        assert lens6[i] == len(d), i
         assert out6[i, : lens6[i]].tobytes() == d, i
-        assert lens6[i] == lens5[i] and errs5[i] == errs6[i], i
-        assert out6[i, : lens6[i]].tobytes() == out5[i, : lens5[i]].tobytes()

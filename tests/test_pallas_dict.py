@@ -1,6 +1,6 @@
 """Pallas decoder dictionary mode (interpret): chained blocks whose matches
 reach into a preset 64KB window, mixed dict/no-dict batches, window-floor
-violation detection."""
+violation detection.  Runs the production v6 decoder."""
 
 import functools
 import random
@@ -8,11 +8,10 @@ import random
 import numpy as np
 import pytest
 
-import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from lz4_tpu.block import hostref
-from lz4_tpu.ops import decode_pallas as DP
+from lz4_tpu.ops import decode_pallas6 as D6
 
 
 @pytest.fixture(autouse=True)
@@ -20,9 +19,9 @@ def _interpret(monkeypatch):
     monkeypatch.setattr(
         pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
     )
-    DP.pallas_decode.clear_cache()
+    D6.pallas_decode6.clear_cache()
     yield
-    DP.pallas_decode.clear_cache()
+    D6.pallas_decode6.clear_cache()
 
 
 def test_dict_decode_and_violation(rng):
@@ -37,35 +36,19 @@ def test_dict_decode_and_violation(rng):
     clens[0] = len(c2)
     comps[1, : len(c1)] = np.frombuffer(c1, np.uint8)
     clens[1] = len(c1)
-    dicts = np.zeros((2, 65536), np.int32)
+    dicts = np.zeros((2, 65536), np.uint8)
     dicts[0, 65536 - len(b1) :] = np.frombuffer(b1, np.uint8)
     dlens = np.asarray([len(b1), 0], np.int32)
 
-    out, meta = DP.pallas_decode(
-        jnp.asarray(comps, jnp.int32),
-        jnp.asarray(clens),
-        N,
-        jnp.asarray(dicts),
-        jnp.asarray(dlens),
-        with_dict=True,
-    )
-    out = np.asarray(out)
-    meta = np.asarray(meta)
-    assert meta[0, 1] == 0 and meta[1, 1] == 0
-    assert out[0, : len(b2)].astype(np.uint8).tobytes() == b2
-    assert out[1, : len(b1)].astype(np.uint8).tobytes() == b1
+    out, olens, errs = D6.decode_blocks_pallas6(comps, clens, N, dicts, dlens)
+    assert errs[0] == 0 and errs[1] == 0
+    assert out[0, : len(b2)].tobytes() == b2
+    assert out[1, : len(b1)].tobytes() == b1
 
     # too-short window -> flagged, not garbage
     dlens_bad = np.asarray([100, 0], np.int32)
-    _, meta2 = DP.pallas_decode(
-        jnp.asarray(comps, jnp.int32),
-        jnp.asarray(clens),
-        N,
-        jnp.asarray(dicts),
-        jnp.asarray(dlens_bad),
-        with_dict=True,
-    )
-    assert np.asarray(meta2)[0, 1] != 0
+    _, _, errs2 = D6.decode_blocks_pallas6(comps, clens, N, dicts, dlens_bad)
+    assert errs2[0] != 0
 
 
 def test_chained_frame_device_path(monkeypatch, lorem, rng):

@@ -72,7 +72,7 @@ def test_fast_and_hc_encode_roundtrip(tpu):
 
 def test_staged_decode_roundtrip(tpu):
     from lz4_tpu import native
-    from lz4_tpu.ops.decode_pallas import decode_blocks_pallas
+    from lz4_tpu.ops.decode_pallas6 import decode_blocks_pallas6 as decode_blocks_pallas
 
     rng = random.Random(22)
     bcap = 8192
@@ -178,7 +178,7 @@ def test_streaming_encode_large_blocks(tpu):
 
 def test_dict_decode(tpu):
     from lz4_tpu import native
-    from lz4_tpu.ops.decode_pallas import decode_blocks_pallas
+    from lz4_tpu.ops.decode_pallas6 import decode_blocks_pallas6 as decode_blocks_pallas
     from lz4_tpu.parallel.blocks import comp_capacity
 
     rng = random.Random(24)

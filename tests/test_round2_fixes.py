@@ -86,12 +86,12 @@ def test_acceleration_device_kernels(monkeypatch):
     import numpy as np
     from jax.experimental import pallas as pl
 
-    from lz4_tpu.ops import encode_pallas as ep
+    from lz4_tpu.ops import encode_pallas5 as e5
 
     monkeypatch.setattr(
         pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
     )
-    ep.pallas_encode.clear_cache()
+    e5.pallas_encode5.clear_cache()
     rng = np.random.default_rng(7)
     chunk = rng.integers(0, 255, 512, dtype=np.uint8)
     raw = np.tile(chunk, 8)  # repetitive -> plenty of matches
@@ -100,9 +100,9 @@ def test_acceleration_device_kernels(monkeypatch):
     bufs[0, : raw.size] = raw
     lens = np.asarray([raw.size], np.int32)
 
-    out1, l1, e1 = ep.encode_blocks_pallas(bufs, lens, bcap, 0, acceleration=1)
-    out9, l9, e9 = ep.encode_blocks_pallas(bufs, lens, bcap, 0, acceleration=32)
-    ep.pallas_encode.clear_cache()
+    out1, l1, e1 = e5.encode_blocks_pallas5(bufs, lens, bcap, 0, acceleration=1)
+    out9, l9, e9 = e5.encode_blocks_pallas5(bufs, lens, bcap, 0, acceleration=32)
+    e5.pallas_encode5.clear_cache()
     assert not e1[0] and not e9[0]
     assert l9[0] >= l1[0]  # more skipping -> no better compression
     for out, ln in ((out1, l1), (out9, l9)):
