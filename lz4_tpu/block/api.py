@@ -33,15 +33,22 @@ def maximum_output_size(length: int) -> int:
     return compress_bound(length)
 
 
-def _host_encode(data: bytes, level: int, dictionary: bytes, acceleration: int) -> bytes:
+def _host_encode(
+    data: bytes, level: int, dictionary: bytes, acceleration: int,
+    geometry: str = "canonical",
+) -> bytes:
     try:
         from .. import native
 
         if native.available():
-            return native.encode(data, level, dictionary, acceleration)
+            return native.encode(
+                data, level, dictionary, acceleration, geometry=geometry
+            )
     except ImportError:
         pass
     if level < LZ4Level.L03_HC:
+        if not dictionary and geometry == "canonical":
+            return hostref.encode_fast_canonical(data, acceleration)
         return hostref.encode_fast(data, dictionary, acceleration)
     if level < LZ4Level.L10_OPT:
         return hostref.encode_hc(data, dictionary, level)
@@ -61,10 +68,17 @@ def encode(
     acceleration: int = 1,
     backend: str = "auto",
     target_capacity: int | None = None,
+    geometry: str = "canonical",
 ) -> bytes | None:
     """Compress one block.  Returns the compressed bytes, or ``None`` when
     ``target_capacity`` is given and the result does not fit (the reference
-    returns a negative length in that case, `LZ4Codec.cs:40-52`)."""
+    returns a negative length in that case, `LZ4Codec.cs:40-52`).
+
+    ``geometry`` (FAST levels, no dictionary): "canonical" (default)
+    reproduces upstream lz4's one-shot schedule byte-for-byte — the
+    reference Fast64 output; "dense" is this library's 15-bit-table finder
+    (~1-3% smaller output, ~2x slower).  Chained/dictionary paths always
+    use the dense family."""
     data = _as_bytes(data)
     level = int(level)
     if backend == "tpu":
@@ -75,7 +89,7 @@ def encode(
         # costs minutes on the remote-compile tunnel).  The TPU kernels are
         # used by the batched block-parallel paths (`lz4_tpu.parallel`) and
         # on explicit request.
-        out = _host_encode(data, level, dictionary, acceleration)
+        out = _host_encode(data, level, dictionary, acceleration, geometry)
     if target_capacity is not None and len(out) > target_capacity:
         return None
     return out

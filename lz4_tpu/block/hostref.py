@@ -249,6 +249,92 @@ def encode_fast(
     return bytes(out)
 
 
+def encode_fast_canonical(src: bytes, acceleration: int = 1) -> bytes:
+    """Canonical-schedule FAST (one-shot, no dictionary): byte-identical to
+    upstream `LZ4_compress_default` / the reference's Fast64 engine
+    (`x64/LL64.fast.cs:35-513`, whose Silesia golden sizes it inherits).
+
+    The pure-python twin of `native/lz4tpu.c::lz4tpu_encode_fast_canonical`
+    (schedule notes there): 13-bit u16-geometry table below the 64 KB limit
+    and 12-bit table with a 5-byte hash above, first-byte insert with
+    probing from byte 1, hash computed one probe ahead, step lagging the
+    skip ramp by one, ip-2 refill, and the zero-literal immediate retry."""
+    src = bytes(src)
+    n = len(src)
+    out = bytearray()
+    if n == 0:
+        return b"\x00"
+    acceleration = min(max(1, acceleration), 65537)
+    u16 = n < 65536 + MF_LIMIT - 1
+
+    if u16:
+        def _h(p: int) -> int:
+            return ((_read4(src, p) * 2654435761) & 0xFFFFFFFF) >> 19
+        table = [0] * (1 << 13)
+    else:
+        def _h(p: int) -> int:
+            v = int.from_bytes(src[p : p + 8], "little")
+            return (((v << 24) * 889523592379) & ((1 << 64) - 1)) >> 52
+        table = [0] * (1 << 12)
+
+    if n < MF_LIMIT + 1:
+        _emit(out, src, 0, n, 0, 0)
+        return bytes(out)
+    mf1 = n - MF_LIMIT + 1
+    match_limit = n - LAST_LITERALS
+    anchor = 0
+    table[_h(0)] = 0
+    ip = 1
+    fh = _h(ip)
+    while True:
+        # find: probe ip, hash one ahead, step lags the ramp by one
+        fwd = ip
+        step = 1
+        ramp = acceleration << 6
+        while True:
+            h = fh
+            ip = fwd
+            fwd += step
+            step = ramp >> 6
+            ramp += 1
+            if fwd > mf1:
+                _emit(out, src, anchor, n - anchor, 0, 0)
+                return bytes(out)
+            mi = table[h]
+            fh = _h(fwd)
+            table[h] = ip
+            if not u16 and mi + DISTANCE_MAX < ip:
+                continue
+            if _read4(src, mi) == _read4(src, ip):
+                match = mi
+                break
+        while ip > anchor and match > 0 and src[ip - 1] == src[match - 1]:
+            ip -= 1
+            match -= 1
+        while True:  # zero-literal immediate-retry chain
+            mlen = MIN_MATCH + _match_length(
+                src, match + MIN_MATCH, ip + MIN_MATCH, match_limit
+            )
+            _emit(out, src, anchor, ip - anchor, ip - match, mlen)
+            ip += mlen
+            anchor = ip
+            if ip >= mf1:
+                _emit(out, src, anchor, n - anchor, 0, 0)
+                return bytes(out)
+            table[_h(ip - 2)] = ip - 2
+            h2 = _h(ip)
+            mi2 = table[h2]
+            table[h2] = ip
+            if (u16 or mi2 + DISTANCE_MAX >= ip) and _read4(src, mi2) == _read4(
+                src, ip
+            ):
+                match = mi2  # no back-extension on the retry
+                continue
+            break
+        ip += 1
+        fh = _h(ip)
+
+
 # ---------------------------------------------------------------------------
 # HC (hash-chain) encoder — levels 3..9
 # ---------------------------------------------------------------------------

@@ -64,8 +64,12 @@ class ChainEncoder:
         return self._dict
 
     def encode_block(self, raw: bytes) -> bytes:
+        # dense geometry throughout the chain (including the dict-less
+        # first block) so chained streams are one schedule family and the
+        # batched device chain path stays byte-identical
         comp = block_api.encode(
-            raw, level=self.level, dictionary=self._dict, backend=self._backend
+            raw, level=self.level, dictionary=self._dict,
+            backend=self._backend, geometry="dense",
         )
         self._dict = (self._dict + raw)[-_WINDOW:]
         return comp

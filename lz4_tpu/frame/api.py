@@ -279,7 +279,7 @@ def _try_host_chained_compress(data, settings, workers):
         blen = min(bs, len(data) - off)
         clens[i] = native.encode_span(
             data, off, blen, scratch, i * slot, slot, level,
-            dict_len=min(off, 65536),
+            dict_len=min(off, 65536), geometry="dense",
         )
 
     with ThreadPoolExecutor(n_workers) as ex:

@@ -467,6 +467,147 @@ int64_t lz4tpu_encode_fast(
     return op - out;
 }
 
+/* --------------------------------------- canonical-schedule fast encoder
+ *
+ * Byte-parity FAST path: reproduces upstream lz4 1.9.x's exact candidate
+ * schedule for one-shot no-dictionary compression, so output is byte-
+ * identical to LZ4_compress_default (and therefore to the reference port,
+ * `x64/LL64.fast.cs:35-513`, whose Fast64 Silesia golden sizes it
+ * inherits).  Byte-identity mathematically requires the same decision
+ * sequence: table geometry (13-bit u16 table for < 64 KB + 11 inputs,
+ * 12-bit u32 table + 5-byte hash above), probe/insert order (insert first
+ * byte, probe from byte 1 with the hash computed one probe ahead), the
+ * skip ramp's exact phase (step lags searchMatchNb by one), the ip-2
+ * refill, and the zero-literal immediate retry without back-extension.
+ * The structure below is our own; the schedule is the format's.
+ * (gated byte-identical to canonical liblz4 by tests/test_liblz4_interop.py
+ * and the real-bytes suite).
+ */
+
+#define CANON_HASHLOG_U16 13   /* LZ4_HASHLOG + 1 */
+#define CANON_HASHLOG_U32 12   /* LZ4_HASHLOG */
+#define CANON_64K_LIMIT (65536 + MFLIMIT - 1)
+#define CANON_ACCEL_MAX 65537
+
+static inline uint32_t chash_u16(uint32_t v) {
+    return (v * 2654435761u) >> (32 - CANON_HASHLOG_U16);
+}
+
+static inline uint32_t chash_u32(const uint8_t *p) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+    return (uint32_t)(((v << 24) * 889523592379ULL)
+                      >> (64 - CANON_HASHLOG_U32));
+}
+
+int64_t lz4tpu_encode_fast_canonical(
+    const uint8_t *src, int64_t n,
+    uint8_t *out, int64_t out_cap, int32_t accel)
+{
+    uint8_t *op = out, *oend = out + out_cap;
+    if (n <= 0) {
+        if (out_cap < 1) return ERR_OUTPUT_OVERFLOW;
+        *op++ = 0;
+        return 1;
+    }
+    if (accel < 1) accel = 1;
+    if (accel > CANON_ACCEL_MAX) accel = CANON_ACCEL_MAX;
+
+    const uint8_t *base = src;
+    const uint8_t *iend = src + n;
+    const uint8_t *mflimit1 = iend - MFLIMIT + 1;
+    const uint8_t *matchlimit = iend - LASTLITERALS;
+    const uint8_t *anchor = src;
+    const uint8_t *ip = src;
+    int u16mode = n < CANON_64K_LIMIT;
+
+    /* empty slot == position 0 (upstream's convention: the first-byte
+     * insert makes slot 0 legitimate; false positives at position 0 are
+     * resolved by the 4-byte compare) */
+    uint16_t t16[1 << CANON_HASHLOG_U16];
+    uint32_t t32[1 << CANON_HASHLOG_U32];
+    if (u16mode) memset(t16, 0, sizeof(t16));
+    else memset(t32, 0, sizeof(t32));
+
+#define CH(P) (u16mode ? chash_u16(read32(P)) : chash_u32(P))
+#define CGET(H) (u16mode ? (int64_t)t16[H] : (int64_t)t32[H])
+#define CPUT(H, POS) do { \
+        if (u16mode) t16[H] = (uint16_t)(POS); \
+        else t32[H] = (uint32_t)(POS); \
+    } while (0)
+
+    if (n < MFLIMIT + 1) goto last_literals;  /* LZ4_minLength */
+
+    CPUT(CH(ip), 0);
+    ip++;
+    uint32_t fh = CH(ip);
+
+    for (;;) {
+        const uint8_t *match;
+        /* find: probe ip, hash one probe ahead, step lags the ramp */
+        {
+            const uint8_t *fwd = ip;
+            int64_t step = 1;
+            int64_t ramp = (int64_t)accel << SKIP_TRIGGER;
+            for (;;) {
+                uint32_t h = fh;
+                ip = fwd;
+                int64_t cur = ip - base;
+                fwd += step;
+                step = (ramp++ >> SKIP_TRIGGER);
+                if (fwd > mflimit1) goto last_literals;
+                int64_t mi = CGET(h);
+                match = base + mi;
+                fh = CH(fwd);
+                CPUT(h, cur);
+                if (!u16mode && mi + MAXDIST < cur) continue;
+                if (read32(match) == read32(ip)) break;
+            }
+        }
+        /* extend backwards */
+        while (ip > anchor && match > base && ip[-1] == match[-1]) {
+            ip--;
+            match--;
+        }
+        /* emit; loop covers the zero-literal immediate-retry chain */
+        for (;;) {
+            int64_t mlen = MINMATCH + run_length(
+                match + MINMATCH, ip + MINMATCH, matchlimit);
+            int64_t rc = emit_sequence(
+                &op, oend, anchor, ip - anchor,
+                (uint32_t)(ip - match), mlen);
+            if (rc < 0) return rc;
+            ip += mlen;
+            anchor = ip;
+            if (ip >= mflimit1) goto last_literals;
+            CPUT(CH(ip - 2), ip - 2 - base);
+            uint32_t h2 = CH(ip);
+            int64_t cur2 = ip - base;
+            int64_t mi2 = CGET(h2);
+            const uint8_t *m2 = base + mi2;
+            CPUT(h2, cur2);
+            if ((u16mode || mi2 + MAXDIST >= cur2)
+                && read32(m2) == read32(ip)) {
+                match = m2;  /* zero literals, no back-extension */
+                continue;
+            }
+            break;
+        }
+        ip++;
+        fh = CH(ip);
+    }
+
+last_literals:
+    {
+        int64_t rc = emit_sequence(&op, oend, anchor, iend - anchor, 0, 0);
+        if (rc < 0) return rc;
+    }
+    return op - out;
+#undef CH
+#undef CGET
+#undef CPUT
+}
+
 /* ----------------------------------------------------------- HC encoder
  *
  * Reference-fidelity hash-chain engine: u16-delta chain ring, wider-match

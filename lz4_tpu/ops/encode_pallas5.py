@@ -38,6 +38,7 @@ _LANES = 128
 _HLOG = 15  # matches the host engines (FAST_HASH_LOG / HC_HASH_LOG) so all
             # three implementations stay byte-identical by construction
 _SKIP_TRIGGER = 6
+_CANON_HLOG = 13  # upstream byU16 FAST table (LZ4_HASHLOG + 1)
 
 
 class _Row:
@@ -67,7 +68,8 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                  opt_full: bool = False, src_off=None,
                  profile: str = "full", pair_probe: bool = False,
                  hc_flat: bool = True, hc_run: bool = False, Wc=None,
-                 ensure_to=None, win_log=None):
+                 ensure_to=None, win_log=None,
+                 fast_schedule: str = "canonical"):
     """The complete FAST/HC/OPT encoder over caller-supplied accessors.
 
     W(p)        -> int32 LE word of source bytes p..p+3 (any byte offset)
@@ -266,12 +268,30 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
     opt_o = _Row(opt_tab, 2)
     opt_l = _Row(opt_tab, 3)
 
-    # ---- init hash table -------------------------------------------------
-    def init_body(h, _):
-        htab[h] = -1
-        return 0
+    canonical_fast = (
+        fast_schedule == "canonical"
+        and not attempts
+        and not opt_sufficient
+        and not has_dict
+        and not windowed
+    )
 
-    jax.lax.fori_loop(0, 1 << _HLOG, init_body, 0)
+    # ---- init hash table -------------------------------------------------
+    if canonical_fast:
+        # upstream byU16 convention: empty slot == position 0 (false
+        # positives at position 0 are resolved by the 4-byte compare), so
+        # the table zero-inits — and it is 13-bit, a quarter of the init
+        def init_body(h, _):
+            htab[h] = 0
+            return 0
+
+        jax.lax.fori_loop(0, 1 << _CANON_HLOG, init_body, 0)
+    else:
+        def init_body(h, _):
+            htab[h] = -1
+            return 0
+
+        jax.lax.fori_loop(0, 1 << _HLOG, init_body, 0)
     nti[0] = 0  # next chain position to insert (HC lazy insertion)
 
     # ---- FAST parse ------------------------------------------------------
@@ -1313,6 +1333,128 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
         )
         return ip_s, anchor, acc, op, search, err
 
+    # ---- canonical-schedule FAST scan ------------------------------------
+    if canonical_fast:
+        # Byte-parity FAST: upstream lz4's one-shot byU16 schedule (blocks
+        # here are <= 64 KB), byte-identical to LZ4_compress_default and to
+        # the host engines' canonical paths (native/lz4tpu.c
+        # lz4tpu_encode_fast_canonical documents the schedule; reference
+        # anchor `x64/LL64.fast.cs:35-513`).  Probing starts at byte 1 with
+        # the hash computed one probe ahead; the step lags the skip ramp by
+        # one; after each match: refill at ip-2, then a zero-literal
+        # immediate retry with no back-extension.
+        def hash13(w):
+            prod = (w * jnp.int32(-1640531535)).astype(jnp.uint32)
+            return _i(prod >> jnp.uint32(32 - _CANON_HLOG))
+
+        accel = jnp.clip(acc0, 1, 65537)
+        mf1 = mf_limit + 1  # n - MF_LIMIT + 1, the upstream probe bound
+
+        def find_cond(fs):
+            cand, bail = fs[5], fs[6]
+            return (cand < 0) & (~bail)
+
+        def find_body(fs):
+            _ip, fwd, step, ramp, fh, _cand, _bail = fs
+            h = fh
+            ip2 = fwd
+            fwd2 = fwd + step
+            step2 = ramp >> _SKIP_TRIGGER
+            ramp2 = ramp + 1
+            bail = fwd2 > mf1
+            mi = htab[h]
+            # clamped read: exact when live, dead on the bail path (fwd2
+            # can ramp far past n at high accelerations)
+            fh2 = hash13(W(jnp.minimum(fwd2, n)))
+            htab[h] = jnp.where(bail, mi, ip2)
+            good = (~bail) & (W(mi) == W(ip2))
+            return (
+                ip2, fwd2, step2, ramp2, fh2,
+                jnp.where(good, mi, jnp.int32(-1)), bail,
+            )
+
+        def chain_cond(cs):
+            return cs[6]
+
+        def chain_body(cs):
+            ip, m, _anchor, acc, op, err, _again, _fin = cs
+            ml = MIN_MATCH + match_length(
+                m + MIN_MATCH, ip + MIN_MATCH, match_limit
+            )
+            acc, op = emit_sequence(acc, op, _anchor, ip, ip - m, ml)
+            err = err | (op > ocap_b)
+            np_ = ip + ml
+            fin = np_ >= mf1
+            # refill ip-2, then probe ip — in that order (a colliding hash
+            # must see the refill); both skipped on the finishing exit
+            hpm2 = hash13(W(np_ - 2))
+            vpm2 = htab[hpm2]
+            htab[hpm2] = jnp.where(fin, vpm2, np_ - 2)
+            h2 = hash13(W(np_))
+            mi2 = htab[h2]
+            htab[h2] = jnp.where(fin, mi2, np_)
+            again = (~fin) & (W(mi2) == W(np_)) & (~err)
+            return np_, mi2, np_, acc, op, err, again, fin
+
+        def outer_cond(s):
+            err, done = s[5], s[6]
+            return (~done) & (~err)
+
+        def outer_body(s):
+            ip, fh, anchor, acc, op, err, _done = s
+            ipf, _fwd, _st, _rm, fhf, cand, bail = jax.lax.while_loop(
+                find_cond, find_body,
+                (ip, ip, jnp.int32(1), accel << _SKIP_TRIGGER, fh,
+                 jnp.int32(-1), jnp.bool_(False)),
+            )
+
+            def hit(_):
+                def back_cond(bs):
+                    pp, cc = bs
+                    return (
+                        (pp > anchor) & (cc > 0)
+                        & (byte(pp - 1) == byte(cc - 1))
+                    )
+
+                def back_body(bs):
+                    pp, cc = bs
+                    return pp - 1, cc - 1
+
+                ipb, mb = jax.lax.while_loop(
+                    back_cond, back_body, (ipf, cand)
+                )
+                ip3, _m, anchor3, acc3, op3, err3, _ag, fin3 = (
+                    jax.lax.while_loop(
+                        chain_cond, chain_body,
+                        (ipb, mb, anchor, acc, op, err,
+                         jnp.bool_(True), jnp.bool_(False)),
+                    )
+                )
+                ipn = jnp.minimum(ip3 + 1, n)  # clamp is identity when live
+                return ipn, hash13(W(ipn)), anchor3, acc3, op3, err3, fin3
+
+            def miss(_):
+                # `bail` is True on this branch; returning it (not a python
+                # constant) keeps the cond's yield types uniform under the
+                # Mosaic lowering
+                return ipf, fhf, anchor, acc, op, err, bail
+
+            return jax.lax.cond(bail, miss, hit, None)
+
+        small_block0 = n < MF_LIMIT + 1
+        ip0 = jnp.minimum(jnp.int32(1), n)
+        _ip, _fh, anchor, acc, op, err, _done = jax.lax.while_loop(
+            outer_cond, outer_body,
+            (ip0, hash13(W(ip0)), jnp.int32(0), jnp.uint32(0),
+             jnp.int32(0), jnp.bool_(False), small_block0),
+        )
+        acc, op = emit_sequence(acc, op, anchor, n, 0, 0)
+        if flush is not None:
+            flush(op >> 2)
+        store(op >> 2, acc)
+        errv = jnp.where(err | (op > ocap_b), 1, 0)
+        return op, errv
+
     if opt_sufficient:
         scan_body = opt_body
     elif attempts:
@@ -1362,7 +1504,7 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
                 attempts: int, ocap: int, opt_sufficient: int = 0,
                 opt_full: bool = False, profile: str = "full",
                 pair_probe: bool = False, hc_flat: bool = True,
-                hc_run: bool = False):
+                hc_run: bool = False, fast_schedule: str = "canonical"):
     """Staged whole-block wrapper around `_encode_body`.
 
     src_s:   SMEM i32[1, 1, CAP]  per-byte LE words
@@ -1382,6 +1524,7 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
         n, acc0, W, store, None, htab, prev, nti, opt_tab,
         attempts, ocap, opt_sufficient, opt_full, profile=profile,
         pair_probe=pair_probe, hc_flat=hc_flat, hc_run=hc_run,
+        fast_schedule=fast_schedule,
     )
     meta_ref[0, 0, 0] = op
     meta_ref[0, 0, 1] = errv
@@ -1392,15 +1535,22 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("bcap", "attempts", "opt_sufficient", "opt_full",
-                     "profile", "pair_probe", "hc_flat", "hc_run"),
+                     "profile", "pair_probe", "hc_flat", "hc_run",
+                     "fast_schedule"),
 )
 def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
                    opt_sufficient: int = 0, opt_full: bool = False,
                    profile: str = "full", pair_probe: bool = False,
-                   hc_flat: bool = True, hc_run: bool = False):
+                   hc_flat: bool = True, hc_run: bool = False,
+                   fast_schedule: str = "canonical"):
     """src_i32: i32[B, CAP] block bytes (CAP % 128 == 0, >= bcap + pad).
 
     Returns (out_words i32[B, 1, OW] packed, meta i32[B, 1, 8])."""
+    if bcap >= 65536 + 11:  # upstream LZ4_64Klimit: byU32 above it
+        # the device canonical schedule implements byU16 only (the byU32
+        # 5-byte hash needs a 64-bit multiply); larger blocks use the
+        # dense-schedule family, like the streaming kernel
+        fast_schedule = "dense"
     b, cap = src_i32.shape
     assert cap % _LANES == 0 and cap >= bcap + 2 * _LANES, (cap, bcap)
     if accs is None:
@@ -1444,6 +1594,7 @@ def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
             meta_ref, attempts, align1024(compress_bound(bcap)),
             opt_sufficient, opt_full, profile=profile,
             pair_probe=pair_probe, hc_flat=hc_flat, hc_run=hc_run,
+            fast_schedule=fast_schedule,
         )
 
     out, meta = pl.pallas_call(
@@ -1459,7 +1610,7 @@ def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
 
 def encode_blocks_pallas5(
     bufs_u8: np.ndarray, lens: np.ndarray, bcap: int, level: int = 0,
-    acceleration: int = 1,
+    acceleration: int = 1, fast_schedule: str = "canonical",
 ):
     """Host wrapper: u8[B, CAP] raw blocks -> (u8[B, OCAP], clens, errs).
 
@@ -1483,6 +1634,7 @@ def encode_blocks_pallas5(
         out, meta = pallas_encode5(
             src, jnp.asarray(lens, jnp.int32), bcap, attempts,
             jnp.asarray([acceleration], jnp.int32),
+            fast_schedule=fast_schedule,
         )
     words = np.ascontiguousarray(np.asarray(out).reshape(out.shape[0], -1))
     u8 = words.view(np.uint8).reshape(words.shape[0], -1)

@@ -25,26 +25,60 @@ from conftest import sample_corpus
 
 _LEVELS = (0, 3, 9, 10, 12)
 
+# L0 column regenerated deliberately for round 3: the default FAST schedule
+# became canonical-parity (byte-identical to upstream LZ4_compress_default,
+# verified against liblz4 1.9.4 at generation time); L3-L12 are unchanged.
 _GOLDEN = {
     "one": {0: (2, 0x51BFF920), 3: (2, 0x51BFF920), 9: (2, 0x51BFF920), 10: (2, 0x51BFF920), 12: (2, 0x51BFF920)},
-    "tiny": {0: (27, 0x73D56430), 3: (22, 0x57BC8A49), 9: (22, 0x57BC8A49), 10: (22, 0x57BC8A49), 12: (22, 0x57BC8A49)},
+    "tiny": {0: (22, 0x57BC8A49), 3: (22, 0x57BC8A49), 9: (22, 0x57BC8A49), 10: (22, 0x57BC8A49), 12: (22, 0x57BC8A49)},
     "zeros": {0: (50, 0x1E983DAE), 3: (50, 0x1E983DAE), 9: (50, 0x1E983DAE), 10: (50, 0x1E983DAE), 12: (50, 0x1E983DAE)},
     "runs": {0: (943, 0x6993CE58), 3: (943, 0x6993CE58), 9: (943, 0x6993CE58), 10: (943, 0x6993CE58), 12: (943, 0x93101C80)},
-    "lorem": {0: (12413, 0xE45B5929), 3: (7803, 0xAFA6D646), 9: (6794, 0x41A7DC6A), 10: (6507, 0x9638D628), 12: (6473, 0xD5069063)},
+    "lorem": {0: (12396, 0x2F35E95F), 3: (7803, 0xAFA6D646), 9: (6794, 0x41A7DC6A), 10: (6507, 0x9638D628), 12: (6473, 0xD5069063)},
     "random": {0: (8226, 0x70BF82C3), 3: (8226, 0x70BF82C3), 9: (8226, 0x70BF82C3), 10: (8226, 0x70BF82C3), 12: (8226, 0x70BF82C3)},
     "semi": {0: (822, 0xCFA374EE), 3: (140, 0xEBFAC23F), 9: (140, 0xEBFAC23F), 10: (140, 0xEBFAC23F), 12: (140, 0xEBFAC23F)},
     "periodic2": {0: (51, 0x3F955B70), 3: (51, 0x3F955B70), 9: (51, 0x3F955B70), 10: (51, 0x3F955B70), 12: (51, 0x3F955B70)},
     "periodic7": {0: (58, 0xC24AF515), 3: (58, 0xC24AF515), 9: (58, 0xC24AF515), 10: (58, 0xC24AF515), 12: (58, 0xC24AF515)},
-    "mixed": {0: (1026, 0x82BCF05D), 3: (1026, 0x07D62E3A), 9: (1025, 0xA2AC3B51), 10: (1025, 0xA2AC3B51), 12: (1025, 0xA2AC3B51)},
+    "mixed": {0: (1028, 0x16268B35), 3: (1026, 0x07D62E3A), 9: (1025, 0xA2AC3B51), 10: (1025, 0xA2AC3B51), 12: (1025, 0xA2AC3B51)},
     "boundary12": {0: (13, 0x847AF379), 3: (13, 0x847AF379), 9: (13, 0x847AF379), 10: (13, 0x847AF379), 12: (13, 0x847AF379)},
     "boundary13": {0: (14, 0xAEBE9F32), 3: (14, 0xAEBE9F32), 9: (14, 0xAEBE9F32), 10: (14, 0xAEBE9F32), 12: (14, 0xAEBE9F32)},
     "len17": {0: (13, 0x86DF223B), 3: (13, 0x86DF223B), 9: (13, 0x86DF223B), 10: (13, 0x86DF223B), 12: (13, 0x86DF223B)},
 }
 
+# The dense (15-bit table) FAST schedule stays pinned too: it remains the
+# chained/dictionary family and a selectable geometry.  These are the
+# pre-round-3 L0 values.
+_GOLDEN_DENSE_L0 = {
+    "one": (2, 0x51BFF920),
+    "tiny": (27, 0x73D56430),
+    "zeros": (50, 0x1E983DAE),
+    "runs": (943, 0x6993CE58),
+    "lorem": (12413, 0xE45B5929),
+    "random": (8226, 0x70BF82C3),
+    "semi": (822, 0xCFA374EE),
+    "periodic2": (51, 0x3F955B70),
+    "periodic7": (58, 0xC24AF515),
+    "mixed": (1026, 0x82BCF05D),
+    "boundary12": (13, 0x847AF379),
+    "boundary13": (14, 0xAEBE9F32),
+    "len17": (13, 0x86DF223B),
+}
+
+
+def test_dense_geometry_matches_golden_table(corpus):
+    for name, data in corpus.items():
+        if not data:
+            continue
+        size, digest = _GOLDEN_DENSE_L0[name]
+        host = hostref.encode_fast(data)
+        assert (len(host), xxh32(host)) == (size, digest), name
+        if native.available():
+            assert native.encode(data, 0, geometry="dense") == host, name
+        assert hostref.decode_block(host, len(data)) == data, name
+
 
 def _host_encode(data: bytes, level: int) -> bytes:
     if level < 3:
-        return hostref.encode_fast(data)
+        return hostref.encode_fast_canonical(data)
     if level < 10:
         return hostref.encode_hc(data, level=level)
     return hostref.encode_opt(data, level=level)
@@ -196,28 +230,46 @@ def test_dictionary_mode_golden():
         assert hostref.decode_block(host, len(data), dictionary=win) == data
 
 
-_ACCEL_GOLDEN = {
+# dense-schedule acceleration pins (pre-round-3 values, unchanged)
+_ACCEL_GOLDEN_DENSE = {
     1: (6994, 0x8583D8DD),
     2: (7067, 0x5497AE9D),
     8: (7333, 0x454C66DC),
     32: (9344, 0xDAF274EE),
 }
 
+# canonical-schedule acceleration pins (generated against liblz4 1.9.4's
+# LZ4_compress_fast — all four verified byte-identical at generation time)
+_ACCEL_GOLDEN_CANONICAL = {
+    1: (6994, 0x8583D8DD),
+    2: (7007, 0xDA3E9259),
+    8: (7189, 0xA8F145AE),
+    32: (8457, 0xBAE429C2),
+}
+
 
 def test_acceleration_golden():
     """Acceleration-parameter regression pins: the skip-trigger schedule
     (reference `LZ4_compress_fast` acceleration) must stay stable — size
-    grows monotonically with acceleration on compressible input, and both
-    host engines agree byte-for-byte."""
+    grows monotonically with acceleration on compressible input, and the
+    host engines agree byte-for-byte in both geometries."""
     rng = random.Random(90909)
     words = [rng.randbytes(rng.randint(3, 8)) for _ in range(30)]
     data = b" ".join(rng.choice(words) for _ in range(4000))[:16000]
-    prev_size = 0
-    for acc, (size, digest) in sorted(_ACCEL_GOLDEN.items()):
-        host = hostref.encode_fast(data, acceleration=acc)
-        assert (len(host), xxh32(host)) == (size, digest), acc
-        assert len(host) >= prev_size, acc
-        prev_size = len(host)
-        if native.available():
-            assert native.encode(data, 0, acceleration=acc) == host, acc
-        assert hostref.decode_block(host, len(data)) == data
+    for table, enc, geom in (
+        (_ACCEL_GOLDEN_DENSE,
+         lambda d, a: hostref.encode_fast(d, acceleration=a), "dense"),
+        (_ACCEL_GOLDEN_CANONICAL,
+         lambda d, a: hostref.encode_fast_canonical(d, a), "canonical"),
+    ):
+        prev_size = 0
+        for acc, (size, digest) in sorted(table.items()):
+            host = enc(data, acc)
+            assert (len(host), xxh32(host)) == (size, digest), (geom, acc)
+            assert len(host) >= prev_size, (geom, acc)
+            prev_size = len(host)
+            if native.available():
+                assert native.encode(
+                    data, 0, acceleration=acc, geometry=geom
+                ) == host, (geom, acc)
+            assert hostref.decode_block(host, len(data)) == data

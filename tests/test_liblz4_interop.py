@@ -110,9 +110,38 @@ def test_fast_size_beats_canonical_on_bench_corpus():
     import bench
 
     data = bench.make_corpus(1 << 20, seed=3)
-    ours = len(native.encode(data, 0))
+    # default geometry: canonical schedule -> byte-identical, equal size
+    assert native.encode(data, 0) == liblz4.compress_block(data, 0)
+    # dense geometry: the 15-bit table beats canonical's ratio (~8%)
+    ours = len(native.encode(data, 0, geometry="dense"))
     theirs = len(liblz4.compress_block(data, 0))
     assert ours < theirs * 0.95  # measured ~8% smaller
+
+
+def test_fast_canonical_byte_identity_fuzz():
+    """Default FAST is byte-identical to canonical LZ4_compress_default on
+    structured fuzz across the byU16/byU32 table boundary."""
+    import random
+
+    rng = random.Random(424242)
+    for trial in range(8):
+        n = rng.choice([40, 5000, 65500, 65547, 70000, 200000])
+        parts = []
+        total = 0
+        while total < n:
+            k = rng.randrange(4)
+            if k == 0:
+                piece = bytes([rng.randrange(256)]) * rng.randrange(1, 200)
+            elif k == 1:
+                piece = rng.randbytes(rng.randrange(1, 300))
+            elif k == 2:
+                piece = b"abcdefgh"[: rng.randrange(1, 8)] * rng.randrange(1, 50)
+            else:
+                piece = bytes(rng.randrange(32) for _ in range(rng.randrange(1, 80)))
+            parts.append(piece)
+            total += len(piece)
+        data = b"".join(parts)[:n]
+        assert native.encode(data, 0) == liblz4.compress_block(data, 0), trial
 
 
 def test_partial_decode_matches_canonical():

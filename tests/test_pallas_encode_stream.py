@@ -134,7 +134,12 @@ def test_dictionary_mode_identity(rng):
         assert not np.asarray(errs).any(), level
         for k, (d, s) in enumerate(cases):
             got = out[k, : clens[k]].tobytes()
-            assert got == native.encode(s, level, dictionary=d), (level, k)
+            # streaming kernel = dense family; with a dictionary the host
+            # default is dense too, so only the empty-dict case needs the
+            # explicit geometry
+            assert got == native.encode(
+                s, level, dictionary=d, geometry="dense"
+            ), (level, k)
 
 
 def test_chained_device_frame_identical(monkeypatch):
@@ -185,8 +190,12 @@ def test_big_block_stream_encode_routing(monkeypatch):
     bufs[0] = np.frombuffer(d, np.uint8)
     lens = np.full((1,), bcap, np.int32)
     out, clens = PB.encode_blocks_device(bufs, lens, bcap, 0)
-    assert out[0, : clens[0]].tobytes() == native.encode(d, 0)
-    # default (env unset): host engine handles it — same bytes
+    # the streaming device kernel is the dense-schedule family (canonical
+    # byU32 needs the 5-byte hash's 64-bit multiply; host-only for now)
+    assert out[0, : clens[0]].tobytes() == native.encode(
+        d, 0, geometry="dense"
+    )
+    # default (env unset): host engine handles it — canonical schedule
     monkeypatch.delenv("LZ4TPU_DEVICE_STREAM_ENCODE")
     out2, clens2 = PB.encode_blocks_device(bufs, lens, bcap, 0)
     assert out2[0, : clens2[0]].tobytes() == native.encode(d, 0)

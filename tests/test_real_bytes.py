@@ -47,19 +47,26 @@ def test_fast_aggregate_size_le_canonical_real_bytes(corpus):
     """BASELINE gate on real data: FAST (default accel) total compressed
     size <= canonical LZ4_compress_default over the same 64 KB blocks."""
     ours = 0
+    ours_dense = 0
     canon = 0
     blocks = 0
     for off in range(0, len(corpus), BLOCK):
         block = corpus[off : off + BLOCK]
-        ours += len(native.encode(block, 0))
-        canon += len(liblz4.compress_block(block, 0))
+        a = native.encode(block, 0)
+        c = liblz4.compress_block(block, 0)
+        # default geometry is canonical-parity: identical bytes, not just <=
+        assert a == c, f"canonical parity broke at offset {off}"
+        ours += len(a)
+        ours_dense += len(native.encode(block, 0, geometry="dense"))
+        canon += len(c)
         blocks += 1
     assert blocks >= TOTAL // BLOCK
-    # aggregate, not per-block: different (valid) candidate schedules may
-    # win or lose individual blocks; the gate is the corpus-level ratio
-    assert ours <= canon, (
-        f"FAST on real bytes: ours {ours} > canonical {canon} "
-        f"({ours / len(corpus):.4f} vs {canon / len(corpus):.4f})"
+    assert ours <= canon
+    # dense geometry: strictly denser in aggregate on real bytes
+    # (measured 0.5239 vs 0.5296 at generation time)
+    assert ours_dense < canon, (
+        f"dense FAST on real bytes: {ours_dense} >= canonical {canon} "
+        f"({ours_dense / len(corpus):.4f} vs {canon / len(corpus):.4f})"
     )
 
 

@@ -171,7 +171,8 @@ def test_streaming_encode_large_blocks(tpu):
     for level in (0, 9):
         out, clens, errs = encode_blocks_pallas_stream(bufs, lens, bcap, level)
         assert not errs.any(), level
-        ref = native.encode(d, level)
+        # streaming kernel = dense-schedule family (see ops/__init__.py)
+        ref = native.encode(d, level, geometry="dense")
         for b in (0, 1):
             assert out[b, : clens[b]].tobytes() == ref, (level, b)
 
