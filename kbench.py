@@ -50,7 +50,10 @@ def main():
     from lz4_tpu.parallel.blocks import comp_capacity, split_blocks
 
     print("backend:", jax.default_backend(), flush=True)
-    uniq = int(time.time()) % 1000000
+    # --uniq=N pins the corpus seeds for cross-process A/B on identical
+    # streams (safe: different kernels are different executables, so the
+    # runtime's (executable, inputs) memoization cannot alias them)
+    uniq = int(opts.get("uniq", int(time.time()) % 1000000))
     cap = comp_capacity(bs)
     n_blocks = total // bs
 

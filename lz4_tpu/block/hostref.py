@@ -365,6 +365,12 @@ def _count_back_pattern(buf, p: int, low: int, pattern: int) -> int:
     return start - p
 
 
+# Optional search-cost census (set to a dict to count chain-walk iterations
+# and searches; used by the round-3 device-HC ceiling analysis in
+# PERFORMANCE.md).  None = zero overhead beyond one comparison.
+WALK_STATS = None
+
+
 class _ChainFinder:
     """Hash-chain match finder with the reference's search semantics: u16
     delta-ring chain, wider-match with backward extension, repeated-pattern
@@ -427,9 +433,13 @@ class _ChainFinder:
                 break
             cand -= d
 
+        if WALK_STATS is not None:
+            WALK_STATS["searches"] += 1
         while cand >= lowest and attempts > 0:
             match_len = 0
             attempts -= 1
+            if WALK_STATS is not None:
+                WALK_STATS["iters"] += 1
             # quick reject: bytes that would extend the best must match
             if (
                 buf[ilow + longest - 1 : ilow + longest + 1]

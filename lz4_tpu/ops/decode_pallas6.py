@@ -233,9 +233,22 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
             out_ref[0, 0, wp + j + 1] = _i(w2)
             return j + 2, hi2
 
-        jax.lax.while_loop(lambda s: s[0] < nw, body, (1, lo0))
+        _, lov_fin = jax.lax.while_loop(
+            lambda s: s[0] < nw, body, (1, lo0)
+        )
+        # CARRIED TAIL: the partial word's unaligned source spans source
+        # words sw+nw-1 (lo) and sw+nw (hi).  The loop exits with
+        # lov_fin = OUTW(sw + j_exit - 1), and j_exit = nw for odd nw
+        # (lov_fin is the LO word; nw == 1 included via lo0) or nw + 1 for
+        # even nw (lov_fin is the HI word) — so ONE load fetches the other
+        # word instead of read_out_u's two.
         f2 = op2 & 3
-        acc2 = read_out_u(op2 - f2 - off) & mask8(f2)
+        odd = nw & 1
+        other = OUTW(sw + nw - 1 + odd)
+        lo_w = jnp.where(odd == 1, lov_fin, other)
+        hi_w = jnp.where(odd == 1, other, lov_fin)
+        tail = jnp.where(ph == 0, lo_w, (lo_w >> ph) | (hi_w << phc))
+        acc2 = tail & mask8(f2)
         return jnp.where(ml == 0, acc_in, acc2), op2
 
     def copy_match_near(acc, op, off, ml):
