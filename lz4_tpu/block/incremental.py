@@ -37,13 +37,18 @@ class BlockEncoder:
 
     chaining = False
 
-    def __init__(self, level: int = 0, block_size: int = 65536, backend: str = "auto"):
+    def __init__(self, level: int = 0, block_size: int = 65536,
+                 backend: str = "auto", geometry: str = "canonical"):
         self.level = int(level)
         self.block_size = block_size
         self._backend = backend
+        self._geometry = geometry
 
     def encode_block(self, raw: bytes) -> bytes:
-        return block_api.encode(raw, level=self.level, backend=self._backend)
+        return block_api.encode(
+            raw, level=self.level, backend=self._backend,
+            geometry=self._geometry,
+        )
 
 
 class ChainEncoder:
@@ -143,10 +148,12 @@ def create_encoder(
     level: int | LZ4Level = 0,
     block_size: int = 65536,
     backend: str = "auto",
+    geometry: str = "canonical",
 ):
     """Factory (reference `LZ4Encoder.Create`, `Encoders/LZ4Encoder.cs:14-19`)."""
-    cls = ChainEncoder if chaining else BlockEncoder
-    return cls(int(level), block_size, backend)
+    if chaining:
+        return ChainEncoder(int(level), block_size, backend)
+    return BlockEncoder(int(level), block_size, backend, geometry)
 
 
 def create_decoder(

@@ -127,6 +127,7 @@ def compress(
         block_size=settings.block_size,
         level=settings.compression_level,
         mesh=mesh,
+        geometry=getattr(settings, "geometry", "canonical"),
     )
     n = len(data)
     for i, comp in enumerate(blocks):
@@ -210,11 +211,14 @@ def _try_host_parallel_compress(data, settings, workers):
     scratch = np.empty(nb * slot, np.uint8)
     clens = [0] * nb
 
+    geometry = getattr(settings, "geometry", "canonical")
+
     def one(i):
         off = i * bs
         blen = min(bs, len(data) - off)
         clens[i] = native.encode_span(
-            data, off, blen, scratch, i * slot, slot, level
+            data, off, blen, scratch, i * slot, slot, level,
+            geometry=geometry,
         )
 
     with ThreadPoolExecutor(n_workers) as ex:

@@ -48,6 +48,12 @@ class EncoderSettings:
     dictionary_id: int | None = None
     compression_level: int = int(LZ4Level.L00_FAST)
     extra_memory: int = 0
+    # FAST-level match-finder schedule for INDEPENDENT blocks:
+    # "canonical" = upstream lz4's exact schedule (byte-parity with the
+    # lz4 CLI's frames), "dense" = this library's 15-bit finder (~1-3%
+    # smaller, slower).  Chained frames always use the dense family (the
+    # schedule that the device chain kernels implement).
+    geometry: str = "canonical"
 
     def to_descriptor(self) -> FrameDescriptor:
         return FrameDescriptor(

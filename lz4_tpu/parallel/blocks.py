@@ -134,7 +134,7 @@ def _use_pallas(block_size: int = 65536) -> bool:
 
 
 def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
-                         acceleration: int = 1):
+                         acceleration: int = 1, geometry: str = "canonical"):
     """Encode a batch on the device with the best available kernel.
 
     Returns (out u8[B, OCAP], out_lens i32[B]) as numpy.  The v5 kernel
@@ -162,7 +162,7 @@ def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
         # scalar device pipeline for big-block encode; route honestly and
         # leave LZ4TPU_DEVICE_STREAM_ENCODE=1 for device-resident pipelines
         # that want to avoid the host round-trip
-        host = _host_encode_batch(bufs_np, lens_np, bcap, level)
+        host = _host_encode_batch(bufs_np, lens_np, bcap, level, geometry)
         if host is not None:
             return host
         from ..ops.encode_pallas_stream import encode_blocks_pallas_stream
@@ -180,7 +180,7 @@ def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
 
         out, out_lens, errs = encode_blocks_pallas5(
             np.asarray(bufs_np), np.asarray(lens_np), bcap, int(level),
-            acceleration,
+            acceleration, fast_schedule=geometry,
         )
         if errs.any():
             raise RuntimeError("pallas encoder overflow")
@@ -188,7 +188,8 @@ def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
     return encode_chunked(bufs_np, lens_np, bcap, level_to_depth(level))
 
 
-def _host_encode_batch(bufs_np, lens_np, bcap: int, level: int):
+def _host_encode_batch(bufs_np, lens_np, bcap: int, level: int,
+                       geometry: str = "canonical"):
     """Batch encode through the native host engine (thread pool; ctypes
     releases the GIL).  Returns None when the native codec is unavailable."""
     try:
@@ -208,7 +209,9 @@ def _host_encode_batch(bufs_np, lens_np, bcap: int, level: int):
     out_lens = np.zeros((nb,), np.int32)
 
     def one(b):
-        comp = native.encode(bufs[b, : int(lens[b])].tobytes(), level)
+        comp = native.encode(
+            bufs[b, : int(lens[b])].tobytes(), level, geometry=geometry
+        )
         out[b, : len(comp)] = np.frombuffer(comp, np.uint8)
         out_lens[b] = len(comp)
 
@@ -468,6 +471,7 @@ def encode_blocks(
     block_size: int = 1 << 20,
     level: int = 0,
     mesh: Mesh | None = None,
+    geometry: str = "canonical",
 ) -> list[bytes]:
     """One-shot: split ``data`` into independent blocks, encode them
     block-parallel (across ``mesh`` if given), return compressed blocks in
@@ -483,7 +487,9 @@ def encode_blocks(
         outs, out_lens = fn(bufs, lens_d)
     else:
         bufs, lens = split_blocks(data, block_size)
-        outs, out_lens = encode_blocks_device(bufs, lens, block_size, level)
+        outs, out_lens = encode_blocks_device(
+            bufs, lens, block_size, level, geometry=geometry
+        )
     outs = np.asarray(outs)
     out_lens = np.asarray(out_lens)
     nb_real = max(1, -(-len(data) // block_size)) if data else 0
