@@ -133,6 +133,7 @@ def encode_into(
     dictionary: bytes = b"",
     acceleration: int = 1,
     backend: str = "auto",
+    geometry: str = "canonical",
 ) -> int:
     """Compress one block into a caller-provided writable buffer.
 
@@ -152,13 +153,13 @@ def encode_into(
             ):
                 return native.encode_into(
                     _as_bytes(data), view, int(level),
-                    dictionary, acceleration,
+                    dictionary, acceleration, geometry=geometry,
                 )
         except ImportError:
             pass
     comp = encode(
         data, level=level, dictionary=dictionary, acceleration=acceleration,
-        backend=backend,
+        backend=backend, geometry=geometry,
     )
     if len(comp) > len(view):
         return -len(comp)

@@ -274,6 +274,7 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
         and not opt_sufficient
         and not has_dict
         and not windowed
+        and profile == "full"  # kbench profile knobs instrument the dense machinery
     )
 
     # ---- init hash table -------------------------------------------------
