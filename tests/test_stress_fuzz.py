@@ -30,6 +30,8 @@ def _oracle_encode(data, lv, d):
         return hostref.encode_opt(data, d, lv)
     if lv >= 3:
         return hostref.encode_hc(data, d, lv)
+    if not d:  # default FAST schedule is canonical (round 3)
+        return hostref.encode_fast_canonical(data)
     return hostref.encode_fast(data, d)
 
 
@@ -72,7 +74,9 @@ def test_deep_cross_engine_fuzz(seed):
         lv = rng.choice(levels)
         comp = native.encode(data, lv, d)
         assert comp == _oracle_encode(data, lv, d), (trial, lv, n, len(d))
-        if lv >= 3 and not use_dict and data:
+        if not use_dict and data:
+            # byte-identity with canonical upstream now holds at EVERY
+            # level for one-shot no-dict blocks (round 3: FAST too)
             assert liblz4.compress_block(data, lv) == comp, (trial, lv)
         if data:
             assert native.decode(comp, len(data), d) == data, (trial, lv)
