@@ -28,6 +28,17 @@ __all__ = [
 ]
 
 
+_GEOMETRIES = ("canonical", "dense")
+
+
+def _check_geometry(geometry: str) -> str:
+    if geometry not in _GEOMETRIES:
+        raise ValueError(
+            f"unknown FAST geometry {geometry!r}; expected one of {_GEOMETRIES}"
+        )
+    return geometry
+
+
 def maximum_output_size(length: int) -> int:
     """Reference `LZ4Codec.MaximumOutputSize` (`LZ4Codec.cs:30-31`)."""
     return compress_bound(length)
@@ -81,7 +92,10 @@ def encode(
     use the dense family."""
     data = _as_bytes(data)
     level = int(level)
+    _check_geometry(geometry)
     if backend == "tpu":
+        # the XLA dense-vector kernel (CPU-mesh fallback) has its own valid
+        # schedule; geometry selects between the host/Pallas engines only
         out = _tpu_encode(data, level, dictionary)
     else:
         # "auto" prefers the native host codec for one-shot blocks: a single
@@ -142,6 +156,7 @@ def encode_into(
     NEGATIVE value when the buffer is too small (mirroring the reference's
     negative-length convention)."""
     view = memoryview(dest).cast("B")
+    _check_geometry(geometry)
     if backend != "tpu":
         # zero-copy fast path: with compress_bound room the native encoder
         # writes the caller's buffer directly

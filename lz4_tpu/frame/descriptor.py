@@ -52,8 +52,18 @@ class EncoderSettings:
     # "canonical" = upstream lz4's exact schedule (byte-parity with the
     # lz4 CLI's frames), "dense" = this library's 15-bit finder (~1-3%
     # smaller, slower).  Chained frames always use the dense family (the
-    # schedule that the device chain kernels implement).
+    # schedule that the device chain kernels implement), and the XLA
+    # dense-vector fallback kernels (CPU meshes / `mesh=` sharding) have
+    # their own valid schedule — geometry selects between the host C /
+    # staged-Pallas engines.
     geometry: str = "canonical"
+
+    def __post_init__(self):
+        if self.geometry not in ("canonical", "dense"):
+            raise ValueError(
+                f"unknown FAST geometry {self.geometry!r}; "
+                "expected 'canonical' or 'dense'"
+            )
 
     def to_descriptor(self) -> FrameDescriptor:
         return FrameDescriptor(

@@ -92,8 +92,8 @@ def pickle_into(
             raw, view[reserve:], level=level, backend=backend
         )
         if n <= 0 or n >= len(raw):  # incompressible -> stored format
-            if 1 + len(raw) > len(view):
-                return -(1 + len(raw))
+            # always fits: this branch required compress_bound room, and
+            # compress_bound(n) >= n + 16 > 1 + n
             view[0] = 0
             view[1 : 1 + len(raw)] = raw
             return 1 + len(raw)
