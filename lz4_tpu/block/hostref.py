@@ -335,6 +335,95 @@ def encode_fast_canonical(src: bytes, acceleration: int = 1) -> bytes:
         fh = _h(ip)
 
 
+class ChainedCanonicalEncoder:
+    """Canonical linked-block (continue-schedule) FAST encoder over ONE
+    contiguous buffer: byte-identical to feeding consecutive slices of the
+    buffer through upstream `LZ4_compress_fast_continue` (the lz4 frame
+    API's linked-block mode).  Pure-python twin of
+    `native/lz4tpu.c::lz4tpu_encode_fast_continue` (schedule notes there:
+    persistent byU32 table with absolute positions, 5-byte hash, per-block
+    first-byte insert, catch-up floored at the 64 KB prefix window)."""
+
+    def __init__(self, buf: bytes):
+        self.buf = bytes(buf)
+        self.table = [0] * (1 << 12)
+
+    def _h(self, p: int) -> int:
+        v = int.from_bytes(self.buf[p : p + 8], "little")
+        return (((v << 24) * 889523592379) & ((1 << 64) - 1)) >> 52
+
+    def encode_block(
+        self, block_off: int, block_len: int, acceleration: int = 1
+    ) -> bytes:
+        src = self.buf
+        out = bytearray()
+        if block_len <= 0:
+            return b"\x00"
+        acceleration = min(max(1, acceleration), 65537)
+        iend = block_off + block_len
+        mf1 = iend - MF_LIMIT + 1
+        match_limit = iend - LAST_LITERALS
+        anchor = block_off
+        low_limit = block_off - min(block_off, 65536)
+        table = self.table
+        _h = self._h
+        if block_len < MF_LIMIT + 1:
+            _emit(out, src, anchor, iend - anchor, 0, 0)
+            return bytes(out)
+        table[_h(block_off)] = block_off
+        ip = block_off + 1
+        fh = _h(ip)
+        while True:
+            fwd = ip
+            step = 1
+            ramp = acceleration << 6
+            while True:
+                h = fh
+                ip = fwd
+                fwd += step
+                step = ramp >> 6
+                ramp += 1
+                if fwd > mf1:
+                    _emit(out, src, anchor, iend - anchor, 0, 0)
+                    return bytes(out)
+                mi = table[h]
+                fh = _h(fwd)
+                table[h] = ip
+                if mi + DISTANCE_MAX < ip:
+                    continue
+                if _read4(src, mi) == _read4(src, ip):
+                    match = mi
+                    break
+            while (
+                ip > anchor and match > low_limit
+                and src[ip - 1] == src[match - 1]
+            ):
+                ip -= 1
+                match -= 1
+            while True:
+                mlen = MIN_MATCH + _match_length(
+                    src, match + MIN_MATCH, ip + MIN_MATCH, match_limit
+                )
+                _emit(out, src, anchor, ip - anchor, ip - match, mlen)
+                ip += mlen
+                anchor = ip
+                if ip >= mf1:
+                    _emit(out, src, anchor, iend - anchor, 0, 0)
+                    return bytes(out)
+                table[_h(ip - 2)] = ip - 2
+                h2 = _h(ip)
+                mi2 = table[h2]
+                table[h2] = ip
+                if mi2 + DISTANCE_MAX >= ip and _read4(src, mi2) == _read4(
+                    src, ip
+                ):
+                    match = mi2
+                    continue
+                break
+            ip += 1
+            fh = _h(ip)
+
+
 # ---------------------------------------------------------------------------
 # HC (hash-chain) encoder — levels 3..9
 # ---------------------------------------------------------------------------

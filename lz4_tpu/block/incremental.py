@@ -148,12 +148,26 @@ def create_encoder(
     level: int | LZ4Level = 0,
     block_size: int = 65536,
     backend: str = "auto",
-    geometry: str = "canonical",
+    geometry: str = "auto",
 ):
-    """Factory (reference `LZ4Encoder.Create`, `Encoders/LZ4Encoder.cs:14-19`)."""
+    """Factory (reference `LZ4Encoder.Create`, `Encoders/LZ4Encoder.cs:14-19`).
+
+    geometry="auto" maps to the canonical schedule for independent blocks
+    and the dense family for chains; an explicit "canonical" on a CHAIN is
+    rejected here — the continue-schedule stream state needs the whole
+    buffer up front, which only the one-shot `frame.compress` path has."""
     if chaining:
+        if geometry == "canonical":
+            raise ValueError(
+                "canonical chained (continue-schedule) frames need the "
+                "one-shot frame.compress path; the streaming writer "
+                "supports geometry='auto'/'dense' chains"
+            )
         return ChainEncoder(int(level), block_size, backend)
-    return BlockEncoder(int(level), block_size, backend, geometry)
+    return BlockEncoder(
+        int(level), block_size, backend,
+        "dense" if geometry == "dense" else "canonical",
+    )
 
 
 def create_decoder(

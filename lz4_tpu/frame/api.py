@@ -41,6 +41,13 @@ __all__ = [
 _UNCOMPRESSED_FLAG = 0x80000000
 
 
+def _independent_geometry(settings) -> str:
+    """Effective FAST geometry for independent-block paths ("auto" maps to
+    canonical; see EncoderSettings.geometry)."""
+    g = getattr(settings, "geometry", "auto")
+    return "dense" if g == "dense" else "canonical"
+
+
 def skippable_frame(user_data, nibble: int = 0) -> bytes:
     """Build a *skippable frame* carrying arbitrary user metadata.
 
@@ -95,6 +102,13 @@ def compress(
         host_parallel = _try_host_parallel_compress(data, settings, workers)
         if host_parallel is not None:
             return host_parallel
+    if settings.chain_blocks and getattr(settings, "geometry", "auto") == "canonical":
+        # canonical continue-schedule: byte-parity with upstream
+        # LZ4_compress_fast_continue over linked blocks (sequential stream
+        # state — needs the whole buffer, so one-shot only)
+        blob = _host_chained_canonical_compress(data, settings)
+        if blob is not None:
+            return blob
     if settings.chain_blocks and not device_path:
         host_chained = _try_host_chained_compress(data, settings, workers)
         if host_chained is not None:
@@ -127,7 +141,7 @@ def compress(
         block_size=settings.block_size,
         level=settings.compression_level,
         mesh=mesh,
-        geometry=getattr(settings, "geometry", "canonical"),
+        geometry=_independent_geometry(settings),
     )
     n = len(data)
     for i, comp in enumerate(blocks):
@@ -211,7 +225,7 @@ def _try_host_parallel_compress(data, settings, workers):
     scratch = np.empty(nb * slot, np.uint8)
     clens = [0] * nb
 
-    geometry = getattr(settings, "geometry", "canonical")
+    geometry = _independent_geometry(settings)
 
     def one(i):
         off = i * bs
@@ -245,6 +259,63 @@ def _try_host_parallel_compress(data, settings, workers):
     parts.append(b"\x00\x00\x00\x00")
     if csum is not None:
         parts.append(struct.pack("<I", csum))
+    return b"".join(parts)
+
+
+def _host_chained_canonical_compress(data, settings):
+    """Chained frame whose blocks are byte-identical to feeding the buffer
+    through upstream `LZ4_compress_fast_continue` (the lz4 frame API's
+    linked-block schedule): one sequential pass carrying the persistent
+    byU32 table (`native/lz4tpu.c lz4tpu_encode_fast_continue`; pure-python
+    twin `hostref.ChainedCanonicalEncoder`).  FAST levels only — HC/OPT
+    chained frames keep the per-block window engines."""
+    level = settings.compression_level
+    if level >= 3:
+        return None
+    data = _as_bytes(data)
+    if not data:
+        return None  # empty frame: FrameWriter emits header + EndMark
+    if not isinstance(data, bytes):
+        data = bytes(data)
+    bs = settings.block_size
+    d = settings.to_descriptor()
+    nb = max(1, -(-len(data) // bs)) if data else 1
+
+    payloads: list[bytes] = []
+    use_native = False
+    try:
+        from .. import native
+
+        use_native = native.available()
+    except ImportError:
+        pass
+    if use_native:
+        payloads = native.chained_canonical_blocks(data, bs)
+    else:
+        from ..block.hostref import ChainedCanonicalEncoder
+
+        enc = ChainedCanonicalEncoder(data)
+        for off in range(0, max(len(data), 1), bs):
+            payloads.append(
+                enc.encode_block(off, min(bs, len(data) - off))
+            )
+    parts = [build_header(d)]
+    for i in range(nb):
+        off = i * bs
+        raw_len = min(bs, len(data) - off)
+        comp = payloads[i] if i < len(payloads) else b"\x00"
+        if len(comp) >= raw_len and raw_len > 0:
+            parts.append(struct.pack("<I", raw_len | _UNCOMPRESSED_FLAG))
+            payload = data[off : off + raw_len]
+        else:
+            parts.append(struct.pack("<I", len(comp)))
+            payload = comp
+        parts.append(payload)
+        if d.block_checksum:
+            parts.append(struct.pack("<I", xxh32(payload)))
+    parts.append(b"\x00\x00\x00\x00")
+    if d.content_checksum:
+        parts.append(struct.pack("<I", xxh32(data)))
     return b"".join(parts)
 
 

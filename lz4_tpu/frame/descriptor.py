@@ -48,21 +48,27 @@ class EncoderSettings:
     dictionary_id: int | None = None
     compression_level: int = int(LZ4Level.L00_FAST)
     extra_memory: int = 0
-    # FAST-level match-finder schedule for INDEPENDENT blocks:
-    # "canonical" = upstream lz4's exact schedule (byte-parity with the
-    # lz4 CLI's frames), "dense" = this library's 15-bit finder (~1-3%
-    # smaller, slower).  Chained frames always use the dense family (the
-    # schedule that the device chain kernels implement), and the XLA
-    # dense-vector fallback kernels (CPU meshes / `mesh=` sharding) have
-    # their own valid schedule — geometry selects between the host C /
-    # staged-Pallas engines.
-    geometry: str = "canonical"
+    # FAST-level match-finder schedule family:
+    # - "auto" (default): independent blocks use the canonical schedule
+    #   (byte-parity with upstream one-shot compression); chained frames
+    #   use the dense family (parallel window encode, and the schedule the
+    #   device chain kernels implement).
+    # - "canonical": independent blocks as above; CHAINED frames use the
+    #   canonical continue-schedule (byte-parity with upstream
+    #   LZ4_compress_fast_continue / the lz4 frame API's linked blocks) —
+    #   one-shot `frame.compress` only (the sequential stream state needs
+    #   the whole buffer; the streaming FrameWriter raises).
+    # - "dense": this library's 15-bit finder everywhere (~1-3% smaller,
+    #   slower).
+    # The XLA dense-vector fallback kernels (CPU meshes / `mesh=`
+    # sharding) have their own valid schedule regardless.
+    geometry: str = "auto"
 
     def __post_init__(self):
-        if self.geometry not in ("canonical", "dense"):
+        if self.geometry not in ("auto", "canonical", "dense"):
             raise ValueError(
                 f"unknown FAST geometry {self.geometry!r}; "
-                "expected 'canonical' or 'dense'"
+                "expected 'auto', 'canonical' or 'dense'"
             )
 
     def to_descriptor(self) -> FrameDescriptor:

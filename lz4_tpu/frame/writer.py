@@ -47,7 +47,7 @@ class FrameWriter:
             self._settings.compression_level,
             self._block_size,
             backend,
-            geometry=getattr(self._settings, "geometry", "canonical"),
+            geometry=getattr(self._settings, "geometry", "auto"),
         )
         if dictionary:
             if not self._descriptor.block_chaining:

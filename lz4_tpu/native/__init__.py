@@ -78,6 +78,12 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
         ]
+        lib.lz4tpu_encode_fast_continue.restype = ctypes.c_int64
+        lib.lz4tpu_encode_fast_continue.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
         lib.lz4tpu_encode_hc.restype = ctypes.c_int64
         lib.lz4tpu_encode_hc.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -191,6 +197,35 @@ def encode_into(
     if rc < 0:
         raise RuntimeError(f"native encode failed ({rc})")
     return rc
+
+
+def chained_canonical_blocks(
+    data: bytes, block_size: int, acceleration: int = 1
+) -> list[bytes]:
+    """Linked-block compression of a contiguous buffer, byte-identical to
+    upstream LZ4_compress_fast_continue (one persistent stream): the
+    canonical chained-frame schedule.  Returns per-block payloads."""
+    import numpy as np
+
+    from ..constants import compress_bound
+
+    lib = _load()
+    data = bytes(data)
+    table = np.zeros(1 << 12, np.uint32)  # CANON_HASHLOG_U32 entries
+    taddr = table.ctypes.data
+    cap = compress_bound(block_size)
+    scratch = np.empty(cap, np.uint8)
+    out_addr = _waddr(scratch)
+    payloads = []
+    for off in range(0, len(data), block_size):
+        blen = min(block_size, len(data) - off)
+        rc = lib.lz4tpu_encode_fast_continue(
+            data, off, blen, out_addr, cap, acceleration, taddr
+        )
+        if rc < 0:
+            raise RuntimeError(f"native chained encode failed ({rc})")
+        payloads.append(ctypes.string_at(out_addr, rc))
+    return payloads
 
 
 def decode(

@@ -608,6 +608,114 @@ last_literals:
 #undef CPUT
 }
 
+/* ----------------------- canonical-schedule chained (continue) encoder
+ *
+ * Byte-parity with upstream LZ4_compress_fast_continue for the linked-
+ * block frame layout: blocks are consecutive slices of ONE contiguous
+ * buffer, so the stream state reduces to the persistent byU32 hash table
+ * (absolute positions; caller zeroes it before the first block).  The
+ * upstream bookkeeping collapses in this mode: currentOffset == block_off
+ * (contiguous from zero), the prefix dictSize accumulates to
+ * min(block_off, 64 KB) which makes the dictSmall rejection vacuous, and
+ * positions never approach the 2 GB renormalization threshold at frame
+ * block sizes.  Schedule per block is LZ4_compress_generic(byU32,
+ * withPrefix64k): 5-byte hash, first-byte insert then probe from byte 1,
+ * distance-capped candidates, back-extension limited to the 64 KB window
+ * floor.  (Reference port anchor: `x64/LL64.fast.cs:582-667`
+ * LZ4_compress_fast_continue; gated byte-identical to canonical liblz4
+ * by tests/test_liblz4_interop.py.)
+ */
+
+int64_t lz4tpu_encode_fast_continue(
+    const uint8_t *buf, int64_t block_off, int64_t block_len,
+    uint8_t *out, int64_t out_cap, int32_t accel,
+    uint32_t *table /* 1 << CANON_HASHLOG_U32 entries */)
+{
+    uint8_t *op = out, *oend = out + out_cap;
+    if (block_len <= 0) {
+        if (out_cap < 1) return ERR_OUTPUT_OVERFLOW;
+        *op++ = 0;
+        return 1;
+    }
+    if (accel < 1) accel = 1;
+    if (accel > CANON_ACCEL_MAX) accel = CANON_ACCEL_MAX;
+
+    const uint8_t *base = buf;
+    const uint8_t *src = buf + block_off;
+    const uint8_t *iend = src + block_len;
+    const uint8_t *mflimit1 = iend - MFLIMIT + 1;
+    const uint8_t *matchlimit = iend - LASTLITERALS;
+    const uint8_t *anchor = src;
+    const uint8_t *ip = src;
+    /* prefix window floor: dictSize accumulates to min(block_off, 64 KB) */
+    int64_t dict_size = block_off < 65536 ? block_off : 65536;
+    const uint8_t *low_limit = src - dict_size;
+
+    if (block_len < MFLIMIT + 1) goto last_literals;
+
+    table[chash_u32(ip)] = (uint32_t)(ip - base);
+    ip++;
+    uint32_t fh = chash_u32(ip);
+
+    for (;;) {
+        const uint8_t *match;
+        {
+            const uint8_t *fwd = ip;
+            int64_t step = 1;
+            int64_t ramp = (int64_t)accel << SKIP_TRIGGER;
+            for (;;) {
+                uint32_t h = fh;
+                ip = fwd;
+                int64_t cur = ip - base;
+                fwd += step;
+                step = (ramp++ >> SKIP_TRIGGER);
+                if (fwd > mflimit1) goto last_literals;
+                int64_t mi = (int64_t)table[h];
+                match = base + mi;
+                fh = chash_u32(fwd);
+                table[h] = (uint32_t)cur;
+                if (mi + MAXDIST < cur) continue;
+                if (read32(match) == read32(ip)) break;
+            }
+        }
+        while (ip > anchor && match > low_limit && ip[-1] == match[-1]) {
+            ip--;
+            match--;
+        }
+        for (;;) {
+            int64_t mlen = MINMATCH + run_length(
+                match + MINMATCH, ip + MINMATCH, matchlimit);
+            int64_t rc = emit_sequence(
+                &op, oend, anchor, ip - anchor,
+                (uint32_t)(ip - match), mlen);
+            if (rc < 0) return rc;
+            ip += mlen;
+            anchor = ip;
+            if (ip >= mflimit1) goto last_literals;
+            table[chash_u32(ip - 2)] = (uint32_t)(ip - 2 - base);
+            uint32_t h2 = chash_u32(ip);
+            int64_t cur2 = ip - base;
+            int64_t mi2 = (int64_t)table[h2];
+            const uint8_t *m2 = base + mi2;
+            table[h2] = (uint32_t)cur2;
+            if (mi2 + MAXDIST >= cur2 && read32(m2) == read32(ip)) {
+                match = m2;
+                continue;
+            }
+            break;
+        }
+        ip++;
+        fh = chash_u32(ip);
+    }
+
+last_literals:
+    {
+        int64_t rc = emit_sequence(&op, oend, anchor, iend - anchor, 0, 0);
+        if (rc < 0) return rc;
+    }
+    return op - out;
+}
+
 /* ----------------------------------------------------------- HC encoder
  *
  * Reference-fidelity hash-chain engine: u16-delta chain ring, wider-match

@@ -178,6 +178,33 @@ def decompress_block_with_dict(
     return out.raw[:n]
 
 
+def compress_blocks_continue(
+    data: bytes, block_size: int, accel: int = 1
+) -> list[bytes]:
+    """Chained (linked-block) compression of a contiguous buffer through
+    one canonical LZ4_compress_fast_continue stream: block k's window is
+    the in-place prefix, exactly the frame writer's linked-block layout.
+    Returns the per-block compressed payloads."""
+    lib = _load()
+    st = lib.LZ4_createStream()
+    assert st
+    try:
+        out = []
+        cap = lib.LZ4_compressBound(block_size)
+        buf = ctypes.create_string_buffer(cap)
+        base = ctypes.cast(ctypes.c_char_p(data), ctypes.c_void_p).value
+        for off in range(0, len(data), block_size):
+            blen = min(block_size, len(data) - off)
+            n = lib.LZ4_compress_fast_continue(
+                st, ctypes.c_char_p(base + off), buf, blen, cap, accel
+            )
+            assert n > 0, (off, n)
+            out.append(buf.raw[:n])
+        return out
+    finally:
+        lib.LZ4_freeStream(st)
+
+
 def compress_frame(
     data: bytes,
     *,

@@ -234,3 +234,76 @@ def test_block_api_roundtrip_vs_canonical_levels():
     for level in range(13):
         comp = lz4_tpu.encode(data, level=level, backend="host")
         assert liblz4.decompress_block(comp, len(data)) == data
+
+
+def test_chained_continue_byte_identity_fuzz():
+    """The canonical continue-schedule engine (both the C engine and its
+    pure-python twin) is byte-identical to upstream
+    LZ4_compress_fast_continue over linked blocks of one contiguous
+    buffer, across block sizes and accelerations."""
+    import random
+
+    from lz4_tpu.block.hostref import ChainedCanonicalEncoder
+
+    rng = random.Random(77)
+    for trial in range(6):
+        n = rng.choice([40, 9000, 90000, 250000])
+        bs = rng.choice([10, 4096, 16384, 65536])
+        accel = rng.choice([1, 1, 3])
+        data = _mixed(n, seed=7000 + trial)
+        ref = liblz4.compress_blocks_continue(data, bs, accel)
+        got = native.chained_canonical_blocks(data, bs, accel)
+        assert got == ref, (trial, n, bs, accel, "native")
+        if trial % 2 == 0:  # the python twin is slow; sample it
+            enc = ChainedCanonicalEncoder(data)
+            py = [
+                enc.encode_block(off, min(bs, n - off), accel)
+                for off in range(0, n, bs)
+            ]
+            assert py == ref, (trial, n, bs, accel, "python")
+
+
+def test_chained_canonical_frame_matches_continue_stream():
+    """frame.compress(chained, geometry="canonical") emits blocks
+    byte-identical to LZ4_compress_fast_continue (stored blocks excepted —
+    exactly when compressed >= raw — with stream-state continuity across
+    them), and the frame decodes on our reader and canonical liblz4."""
+    import io
+    import struct
+
+    import bench
+    from lz4_tpu import frame
+    from lz4_tpu.frame import header as H
+    from lz4_tpu.frame.descriptor import EncoderSettings
+
+    data = bench.make_corpus(1 << 20, seed=55)
+    s = EncoderSettings(
+        chain_blocks=True, block_size=65536, geometry="canonical",
+        content_checksum=True,
+    )
+    blob = frame.compress(data, settings=s)
+    assert frame.decompress(blob) == data
+    assert liblz4.decompress_frame(blob, len(data)) == data
+    ref = liblz4.compress_blocks_continue(data, 65536)
+    bio = io.BytesIO(blob)
+    H.parse_header(bio.read)
+    pos = bio.tell()
+    matched = 0
+    for i, r in enumerate(ref):
+        ln = struct.unpack("<I", blob[pos : pos + 4])[0]
+        pos += 4
+        size = ln & 0x7FFFFFFF
+        payload = blob[pos : pos + size]
+        pos += size
+        if ln & 0x80000000:
+            assert len(r) >= size, i  # stored iff compressed >= raw
+        else:
+            assert payload == r, i
+            matched += 1
+    assert matched >= len(ref) // 2
+
+    # the streaming writer cannot provide the sequential stream state
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        frame.FrameWriter(io.BytesIO(), s)
