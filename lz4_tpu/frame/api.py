@@ -97,6 +97,18 @@ def compress(
         import dataclasses
 
         settings = dataclasses.replace(settings, content_length=len(data))
+    if not settings.chain_blocks and len(data) <= settings.block_size:
+        # one-shot with known content size: shrink the block-size ID to the
+        # smallest standard size that fits (upstream LZ4F_optimalBSID —
+        # keeps whole frames byte-identical to LZ4F_compressFrame and
+        # gives decoders a tighter allocation hint)
+        import dataclasses
+
+        bs_opt = 65536
+        while bs_opt < len(data):
+            bs_opt <<= 2
+        if bs_opt < settings.block_size:
+            settings = dataclasses.replace(settings, block_size=bs_opt)
     device_path = backend == "tpu" or mesh is not None
     if not settings.chain_blocks and not device_path:
         host_parallel = _try_host_parallel_compress(data, settings, workers)
@@ -273,11 +285,25 @@ def _host_chained_canonical_compress(data, settings):
     if level >= 3:
         return None
     data = _as_bytes(data)
-    if not data:
-        return None  # empty frame: FrameWriter emits header + EndMark
     if not isinstance(data, bytes):
         data = bytes(data)
     bs = settings.block_size
+    if len(data) <= bs:
+        # LZ4F_compressFrame's single-block rules, mirrored so whole frames
+        # stay byte-identical to the upstream frame API: data fitting one
+        # block is emitted as an INDEPENDENT frame (linkage is meaningless)
+        # with one-shot compression, and the block-size ID shrinks to the
+        # smallest size that still fits (LZ4F_optimalBSID)
+        import dataclasses
+
+        bs_opt = 65536
+        while bs_opt < len(data):
+            bs_opt <<= 2
+        s1 = dataclasses.replace(
+            settings, chain_blocks=False, geometry="canonical",
+            block_size=min(bs_opt, bs),
+        )
+        return compress(data, settings=s1, workers=0, backend="host")
     d = settings.to_descriptor()
     nb = max(1, -(-len(data) // bs)) if data else 1
 

@@ -307,3 +307,40 @@ def test_chained_canonical_frame_matches_continue_stream():
 
     with _pytest.raises(ValueError):
         frame.FrameWriter(io.BytesIO(), s)
+
+
+def test_whole_frame_byte_identity_with_lz4f():
+    """frame.compress output is byte-identical to LZ4F_compressFrame — the
+    canonical lz4 frame API — in BOTH block modes: independent frames at
+    the default geometry, and linked frames via geometry="canonical".
+    Covers LZ4F's single-block rules (independent flip + optimal
+    block-size-ID shrink) and checksum flag combinations."""
+    import random
+
+    import bench
+    from lz4_tpu import frame
+    from lz4_tpu.frame.descriptor import EncoderSettings
+
+    rng = random.Random(9)
+    for chained in (False, True):
+        for trial in range(8):
+            n = rng.choice([0, 100, 40000, 65537, 300000, 1 << 20])
+            bsid, bs = rng.choice([(4, 65536), (5, 262144), (6, 1 << 20)])
+            cs = rng.random() < 0.6
+            bx = rng.random() < 0.3
+            data = (
+                bench.make_corpus(n, seed=500 + trial)
+                if n >= 1024 else rng.randbytes(n)
+            )
+            ref = liblz4.compress_frame(
+                data, block_size_id=bsid, independent=not chained,
+                content_checksum=cs, block_checksum=bx,
+            )
+            ours = frame.compress(data, settings=EncoderSettings(
+                chain_blocks=chained, block_size=bs, content_checksum=cs,
+                block_checksum=bx,
+                geometry="canonical" if chained else "auto",
+            ))
+            assert ours == ref, (chained, trial, n, bs, cs, bx)
+            if data:
+                assert frame.decompress(ours) == data
