@@ -97,6 +97,21 @@ def compress(
         import dataclasses
 
         settings = dataclasses.replace(settings, content_length=len(data))
+    if (
+        settings.chain_blocks
+        and len(data) <= settings.block_size
+        and (
+            settings.compression_level >= 3
+            or getattr(settings, "geometry", "auto") == "canonical"
+        )
+    ):
+        # LZ4F_compressFrame's single-block rule on the byte-parity
+        # surfaces (canonical FAST chains, every HC/OPT chain): content
+        # fitting one block is emitted as an INDEPENDENT frame — linkage
+        # is meaningless for one block and the payload is identical
+        import dataclasses
+
+        settings = dataclasses.replace(settings, chain_blocks=False)
     if not settings.chain_blocks and len(data) <= settings.block_size:
         # one-shot with known content size: shrink the block-size ID to the
         # smallest standard size that fits (upstream LZ4F_optimalBSID —
@@ -289,21 +304,9 @@ def _host_chained_canonical_compress(data, settings):
         data = bytes(data)
     bs = settings.block_size
     if len(data) <= bs:
-        # LZ4F_compressFrame's single-block rules, mirrored so whole frames
-        # stay byte-identical to the upstream frame API: data fitting one
-        # block is emitted as an INDEPENDENT frame (linkage is meaningless)
-        # with one-shot compression, and the block-size ID shrinks to the
-        # smallest size that still fits (LZ4F_optimalBSID)
-        import dataclasses
-
-        bs_opt = 65536
-        while bs_opt < len(data):
-            bs_opt <<= 2
-        s1 = dataclasses.replace(
-            settings, chain_blocks=False, geometry="canonical",
-            block_size=min(bs_opt, bs),
-        )
-        return compress(data, settings=s1, workers=0, backend="host")
+        # unreachable from compress() (the single-block LZ4F rule already
+        # flipped such frames to independent mode); defend anyway
+        return None
     d = settings.to_descriptor()
     nb = max(1, -(-len(data) // bs)) if data else 1
 

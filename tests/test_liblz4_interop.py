@@ -311,10 +311,13 @@ def test_chained_canonical_frame_matches_continue_stream():
 
 def test_whole_frame_byte_identity_with_lz4f():
     """frame.compress output is byte-identical to LZ4F_compressFrame — the
-    canonical lz4 frame API — in BOTH block modes: independent frames at
-    the default geometry, and linked frames via geometry="canonical".
-    Covers LZ4F's single-block rules (independent flip + optimal
-    block-size-ID shrink) and checksum flag combinations."""
+    canonical lz4 frame API — across the level ladder (L0/L3/L9/L12) and
+    BOTH block modes: independent frames at the default geometry, linked
+    FAST frames via geometry="canonical", linked HC/OPT frames at any
+    geometry (the per-block window rebuild coincides with
+    LZ4_compress_HC_continue's stream state).  Covers LZ4F's single-block
+    rules (independent flip + optimal block-size-ID shrink) and checksum
+    flag combinations."""
     import random
 
     import bench
@@ -322,25 +325,30 @@ def test_whole_frame_byte_identity_with_lz4f():
     from lz4_tpu.frame.descriptor import EncoderSettings
 
     rng = random.Random(9)
-    for chained in (False, True):
-        for trial in range(8):
-            n = rng.choice([0, 100, 40000, 65537, 300000, 1 << 20])
-            bsid, bs = rng.choice([(4, 65536), (5, 262144), (6, 1 << 20)])
-            cs = rng.random() < 0.6
-            bx = rng.random() < 0.3
-            data = (
-                bench.make_corpus(n, seed=500 + trial)
-                if n >= 1024 else rng.randbytes(n)
-            )
-            ref = liblz4.compress_frame(
-                data, block_size_id=bsid, independent=not chained,
-                content_checksum=cs, block_checksum=bx,
-            )
-            ours = frame.compress(data, settings=EncoderSettings(
-                chain_blocks=chained, block_size=bs, content_checksum=cs,
-                block_checksum=bx,
-                geometry="canonical" if chained else "auto",
-            ))
-            assert ours == ref, (chained, trial, n, bs, cs, bx)
-            if data:
-                assert frame.decompress(ours) == data
+    for level in (0, 3, 9, 12):
+        for chained in (False, True):
+            for trial in range(4 if level else 8):
+                n = rng.choice([0, 100, 40000, 65537, 300000, 1 << 20])
+                if level >= 9 and n > 300000:
+                    n = 300000  # keep HC/OPT runtime sane
+                bsid, bs = rng.choice([(4, 65536), (5, 262144), (6, 1 << 20)])
+                cs = rng.random() < 0.6
+                bx = rng.random() < 0.3
+                data = (
+                    bench.make_corpus(n, seed=500 + trial)
+                    if n >= 1024 else rng.randbytes(n)
+                )
+                ref = liblz4.compress_frame(
+                    data, level=level, block_size_id=bsid,
+                    independent=not chained,
+                    content_checksum=cs, block_checksum=bx,
+                )
+                ours = frame.compress(data, settings=EncoderSettings(
+                    chain_blocks=chained, block_size=bs,
+                    compression_level=level,
+                    content_checksum=cs, block_checksum=bx,
+                    geometry="canonical" if (chained and level < 3) else "auto",
+                ))
+                assert ours == ref, (level, chained, trial, n, bs, cs, bx)
+                if data:
+                    assert frame.decompress(ours) == data
