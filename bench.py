@@ -423,6 +423,20 @@ def _host_config(total, iters, uniq):
         times.append(time.perf_counter() - t0)
         assert r == data
     out["frame_decode_chained_csum_GBps"] = round(total / min(times) / 1e9, 4)
+    # the LZ4F byte-parity chained path (canonical continue schedule,
+    # sequential): frames byte-identical to LZ4F_compressFrame
+    scc = EncoderSettings(
+        chain_blocks=True, content_checksum=True,
+        content_length=total, block_size=1 << 18, geometry="canonical",
+    )
+    times = []
+    for data in datas:
+        t0 = time.perf_counter()
+        blob = frame.compress(data, settings=scc)
+        times.append(time.perf_counter() - t0)
+    out["frame_encode_chained_canonical_GBps"] = round(
+        total / min(times) / 1e9, 4
+    )
     canon = _canonical_config(datas)
     if canon:
         out["canonical_liblz4"] = canon
