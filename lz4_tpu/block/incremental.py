@@ -157,11 +157,12 @@ def create_encoder(
     rejected here — the continue-schedule stream state needs the whole
     buffer up front, which only the one-shot `frame.compress` path has."""
     if chaining:
-        if geometry == "canonical":
+        if geometry == "canonical" and int(level) < 3:
             raise ValueError(
-                "canonical chained (continue-schedule) frames need the "
-                "one-shot frame.compress path; the streaming writer "
-                "supports geometry='auto'/'dense' chains"
+                "canonical chained (continue-schedule) FAST frames need "
+                "the one-shot frame.compress path; the streaming writer "
+                "supports geometry='auto'/'dense' chains (HC/OPT chains "
+                "are canonical-identical on every path)"
             )
         return ChainEncoder(int(level), block_size, backend)
     return BlockEncoder(

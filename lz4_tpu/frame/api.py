@@ -41,6 +41,32 @@ __all__ = [
 _UNCOMPRESSED_FLAG = 0x80000000
 
 
+def _assemble_frame(d, data, bs, payloads, csum=None) -> bytes:
+    """Assemble one frame: header, per-block stored-vs-compressed framing
+    (a block is STORED when its compressed payload is not smaller — the
+    upstream rule), optional block checksums, EndMark, optional content
+    checksum.  `payloads` are per-block compressed candidates (bytes or
+    memoryview slices), in frame order."""
+    parts = [build_header(d)]
+    n = len(data)
+    for i, comp in enumerate(payloads):
+        off = i * bs
+        raw_len = min(bs, n - off)
+        if len(comp) >= raw_len:
+            parts.append(struct.pack("<I", raw_len | _UNCOMPRESSED_FLAG))
+            payload = data[off : off + raw_len]
+        else:
+            parts.append(struct.pack("<I", len(comp)))
+            payload = comp
+        parts.append(payload)
+        if d.block_checksum:
+            parts.append(struct.pack("<I", xxh32(payload)))
+    parts.append(b"\x00\x00\x00\x00")
+    if csum is not None:
+        parts.append(struct.pack("<I", csum))
+    return b"".join(parts)
+
+
 def _independent_geometry(settings) -> str:
     """Effective FAST geometry for independent-block paths ("auto" maps to
     canonical; see EncoderSettings.geometry)."""
@@ -124,15 +150,35 @@ def compress(
             bs_opt <<= 2
         if bs_opt < settings.block_size:
             settings = dataclasses.replace(settings, block_size=bs_opt)
+    if (
+        settings.chain_blocks
+        and settings.compression_level >= 3
+        and getattr(settings, "geometry", "auto") == "canonical"
+    ):
+        # HC/OPT chains satisfy the canonical request on every path: the
+        # per-block 64 KB window rebuild is byte-identical to upstream
+        # LZ4_compress_HC_continue (oracle-gated), so normalize the knob
+        # and let the normal chained routing (parallel host, device,
+        # streaming writer) handle it
+        import dataclasses
+
+        settings = dataclasses.replace(settings, geometry="auto")
     device_path = backend == "tpu" or mesh is not None
     if not settings.chain_blocks and not device_path:
         host_parallel = _try_host_parallel_compress(data, settings, workers)
         if host_parallel is not None:
             return host_parallel
     if settings.chain_blocks and getattr(settings, "geometry", "auto") == "canonical":
-        # canonical continue-schedule: byte-parity with upstream
-        # LZ4_compress_fast_continue over linked blocks (sequential stream
-        # state — needs the whole buffer, so one-shot only)
+        # canonical continue-schedule (FAST): byte-parity with upstream
+        # LZ4_compress_fast_continue over linked blocks — a sequential
+        # host pass over the whole buffer, incompatible with an explicit
+        # device request
+        if device_path:
+            raise ValueError(
+                "canonical chained (continue-schedule) frames are a "
+                "sequential host path; use geometry='auto'/'dense' with "
+                "backend='tpu'/mesh, or drop the device request"
+            )
         blob = _host_chained_canonical_compress(data, settings)
         if blob is not None:
             return blob
@@ -159,10 +205,6 @@ def compress(
     from ..parallel.blocks import encode_blocks
 
     d = settings.to_descriptor()
-    parts = [build_header(d)]
-    content_hash = XXH32() if d.content_checksum else None
-    if content_hash is not None:
-        content_hash.update(data)
     blocks = encode_blocks(
         data,
         block_size=settings.block_size,
@@ -170,22 +212,8 @@ def compress(
         mesh=mesh,
         geometry=_independent_geometry(settings),
     )
-    n = len(data)
-    for i, comp in enumerate(blocks):
-        raw_len = min(settings.block_size, n - i * settings.block_size)
-        if len(comp) >= raw_len:
-            payload = data[i * settings.block_size : i * settings.block_size + raw_len]
-            parts.append(struct.pack("<I", raw_len | _UNCOMPRESSED_FLAG))
-        else:
-            payload = comp
-            parts.append(struct.pack("<I", len(comp)))
-        parts.append(payload)
-        if d.block_checksum:
-            parts.append(struct.pack("<I", xxh32(payload)))
-    parts.append(b"\x00\x00\x00\x00")
-    if content_hash is not None:
-        parts.append(struct.pack("<I", content_hash.digest()))
-    return b"".join(parts)
+    csum = xxh32(data) if d.content_checksum else None
+    return _assemble_frame(d, data, settings.block_size, blocks, csum)
 
 
 def compress_into(
@@ -270,23 +298,11 @@ def _try_host_parallel_compress(data, settings, workers):
         list(ex.map(one, range(nb)))
         csum = csum_f.result() if csum_f is not None else None
     sview = memoryview(scratch.data)
-    parts = [build_header(d)]
-    for i in range(nb):
-        off = i * bs
-        raw_len = min(bs, len(data) - off)
-        if clens[i] >= raw_len:
-            parts.append(struct.pack("<I", raw_len | _UNCOMPRESSED_FLAG))
-            payload = data[off : off + raw_len]
-        else:
-            parts.append(struct.pack("<I", clens[i]))
-            payload = sview[i * slot : i * slot + clens[i]]
-        parts.append(payload)
-        if d.block_checksum:
-            parts.append(struct.pack("<I", xxh32(payload)))
-    parts.append(b"\x00\x00\x00\x00")
-    if csum is not None:
-        parts.append(struct.pack("<I", csum))
-    return b"".join(parts)
+    return _assemble_frame(
+        d, data, bs,
+        [sview[i * slot : i * slot + clens[i]] for i in range(nb)],
+        csum,
+    )
 
 
 def _host_chained_canonical_compress(data, settings):
@@ -328,24 +344,8 @@ def _host_chained_canonical_compress(data, settings):
             payloads.append(
                 enc.encode_block(off, min(bs, len(data) - off))
             )
-    parts = [build_header(d)]
-    for i in range(nb):
-        off = i * bs
-        raw_len = min(bs, len(data) - off)
-        comp = payloads[i] if i < len(payloads) else b"\x00"
-        if len(comp) >= raw_len and raw_len > 0:
-            parts.append(struct.pack("<I", raw_len | _UNCOMPRESSED_FLAG))
-            payload = data[off : off + raw_len]
-        else:
-            parts.append(struct.pack("<I", len(comp)))
-            payload = comp
-        parts.append(payload)
-        if d.block_checksum:
-            parts.append(struct.pack("<I", xxh32(payload)))
-    parts.append(b"\x00\x00\x00\x00")
-    if d.content_checksum:
-        parts.append(struct.pack("<I", xxh32(data)))
-    return b"".join(parts)
+    csum = xxh32(data) if d.content_checksum else None
+    return _assemble_frame(d, data, bs, payloads, csum)
 
 
 def _try_host_chained_compress(data, settings, workers):
@@ -391,23 +391,11 @@ def _try_host_chained_compress(data, settings, workers):
         list(ex.map(one, range(nb)))
         csum = csum_f.result() if csum_f is not None else None
     sview = memoryview(scratch.data)
-    parts = [build_header(d)]
-    for i in range(nb):
-        off = i * bs
-        raw_len = min(bs, len(data) - off)
-        if clens[i] >= raw_len:
-            parts.append(struct.pack("<I", raw_len | _UNCOMPRESSED_FLAG))
-            payload = data[off : off + raw_len]
-        else:
-            parts.append(struct.pack("<I", clens[i]))
-            payload = sview[i * slot : i * slot + clens[i]]
-        parts.append(payload)
-        if d.block_checksum:
-            parts.append(struct.pack("<I", xxh32(payload)))
-    parts.append(b"\x00\x00\x00\x00")
-    if csum is not None:
-        parts.append(struct.pack("<I", csum))
-    return b"".join(parts)
+    return _assemble_frame(
+        d, data, bs,
+        [sview[i * slot : i * slot + clens[i]] for i in range(nb)],
+        csum,
+    )
 
 
 def _try_host_chained_decompress(data, settings):
@@ -622,10 +610,6 @@ def _try_chained_device_compress(data: bytes, settings: EncoderSettings):
         return None
     d = settings.to_descriptor()
     bs = settings.block_size
-    parts = [build_header(d)]
-    content_hash = XXH32() if d.content_checksum else None
-    if content_hash is not None:
-        content_hash.update(data)
     try:
         comps = encode_blocks_chained_device(
             data, bs, level=settings.compression_level
@@ -634,22 +618,8 @@ def _try_chained_device_compress(data: bytes, settings: EncoderSettings):
         # kernel overflow / device trouble: the sequential host FrameWriter
         # produces the identical frame — fall back instead of failing
         return None
-    n = len(data)
-    for i, comp in enumerate(comps):
-        raw_len = min(bs, n - i * bs)
-        if len(comp) >= raw_len:
-            payload = data[i * bs : i * bs + raw_len]
-            parts.append(struct.pack("<I", raw_len | _UNCOMPRESSED_FLAG))
-        else:
-            payload = comp
-            parts.append(struct.pack("<I", len(comp)))
-        parts.append(payload)
-        if d.block_checksum:
-            parts.append(struct.pack("<I", xxh32(payload)))
-    parts.append(b"\x00\x00\x00\x00")
-    if content_hash is not None:
-        parts.append(struct.pack("<I", content_hash.digest()))
-    return b"".join(parts)
+    csum = xxh32(data) if d.content_checksum else None
+    return _assemble_frame(d, data, bs, comps, csum)
 
 
 def _try_chained_device_decompress(data: bytes, settings: DecoderSettings):

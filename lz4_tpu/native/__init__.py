@@ -211,6 +211,13 @@ def chained_canonical_blocks(
 
     lib = _load()
     data = bytes(data)
+    if len(data) > (1 << 31) - (64 << 20):
+        # upstream renormalizes its stream state near 2 GiB; this engine
+        # stores absolute u32 positions without renorm, so bound the
+        # one-shot frame size explicitly rather than silently diverge
+        raise ValueError(
+            "canonical chained encoding supports up to ~2 GiB per frame"
+        )
     table = np.zeros(1 << 12, np.uint32)  # CANON_HASHLOG_U32 entries
     taddr = table.ctypes.data
     cap = compress_bound(block_size)

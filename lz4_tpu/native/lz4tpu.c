@@ -616,9 +616,10 @@ last_literals:
  * (absolute positions; caller zeroes it before the first block).  The
  * upstream bookkeeping collapses in this mode: currentOffset == block_off
  * (contiguous from zero), the prefix dictSize accumulates to
- * min(block_off, 64 KB) which makes the dictSmall rejection vacuous, and
- * positions never approach the 2 GB renormalization threshold at frame
- * block sizes.  Schedule per block is LZ4_compress_generic(byU32,
+ * min(block_off, 64 KB) which makes the dictSmall rejection vacuous.
+ * Positions are absolute u32 buffer offsets with NO renormalization, so
+ * callers bound one-shot frames below ~2 GiB (enforced in the python
+ * wrapper; upstream renorms at the same threshold).  Schedule per block is LZ4_compress_generic(byU32,
  * withPrefix64k): 5-byte hash, first-byte insert then probe from byte 1,
  * distance-capped candidates, back-extension limited to the 64 KB window
  * floor.  (Reference port anchor: `x64/LL64.fast.cs:582-667`
