@@ -421,3 +421,23 @@ def test_frame_geometry_knob(lorem, rng):
     # threaded and sequential writers agree per geometry
     assert frame.compress(data, settings=sc, backend="host", workers=0) == bc
     assert frame.compress(data, settings=sd, backend="host", workers=0) == bd
+
+
+def test_canonical_chain_guards(lorem, rng):
+    """Explicit device requests cannot silently bypass the sequential
+    canonical chained path, and HC canonical chains route through the
+    normal engines (which already match HC_continue byte-for-byte)."""
+    import pytest as _pytest
+
+    from lz4_tpu.frame.descriptor import EncoderSettings
+
+    data = lorem(300_000, rng)
+    s = EncoderSettings(chain_blocks=True, geometry="canonical")
+    with _pytest.raises(ValueError):
+        frame.compress(data, settings=s, backend="tpu")
+    # HC levels: no error on any routing, including the streaming writer
+    s9 = EncoderSettings(
+        chain_blocks=True, geometry="canonical", compression_level=9
+    )
+    blob = frame.compress(data, settings=s9, workers=0)
+    assert frame.decompress(blob) == data
