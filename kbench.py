@@ -14,6 +14,7 @@ parse+literal profiles of the non-fused path), vs (ring-streamed,
 v7/v7s/v9/v10 + v8/v8p/v8d (dual-block interleave diagnostic matrix —
 see PERFORMANCE.md).  Encode variants: e1 (round-1), e5 (production),
 e5f (find-only profile mode), e5x/e5xf (paired-probe negative result),
+e5cf (canonical find-only profile),
 e5hc/e5hx (L9 serial-walk baseline / flat-miss production walk),
 e5opts/e5opt (L12 serial / flat-miss), e5hr/e5optr (fused-run walk —
 negative result, see PERFORMANCE.md).
@@ -320,6 +321,14 @@ def main():
                 )
                 return out, meta.reshape(meta.shape[0], 8)
             return runf
+        if name == "e5cf":
+            # canonical FAST, find-only profile (no byte emission)
+            from lz4_tpu.ops.encode_pallas5 import pallas_encode5
+
+            def runcf(bufs, lens):
+                out, meta = pallas_encode5(bufs, lens, bs, 0, profile="cfind")
+                return out, meta.reshape(meta.shape[0], 8)
+            return runcf
         if name.startswith("e5"):
             # e5hc = L9 with the serial (pre-flat-miss) walk for A/B
             from lz4_tpu.ops.encode_pallas5 import pallas_encode5

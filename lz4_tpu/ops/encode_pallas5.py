@@ -274,7 +274,10 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
         and not opt_sufficient
         and not has_dict
         and not windowed
-        and profile == "full"  # kbench profile knobs instrument the dense machinery
+        # "full" = production; "cfind" = canonical find-only profile (no
+        # byte emission; kbench e5cf); other knobs instrument the dense
+        # machinery
+        and profile in ("full", "cfind")
     )
 
     # ---- init hash table -------------------------------------------------
@@ -1382,7 +1385,10 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
             ml = MIN_MATCH + match_length(
                 m + MIN_MATCH, ip + MIN_MATCH, match_limit
             )
-            acc, op = emit_sequence(acc, op, _anchor, ip, ip - m, ml)
+            if profile == "cfind":  # find-only: parse cost, no emission
+                op = op + (ip - _anchor) + 3 + (ml >> 4)
+            else:
+                acc, op = emit_sequence(acc, op, _anchor, ip, ip - m, ml)
             err = err | (op > ocap_b)
             np_ = ip + ml
             fin = np_ >= mf1
@@ -1449,7 +1455,10 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
             (ip0, hash13(W(ip0)), jnp.int32(0), jnp.uint32(0),
              jnp.int32(0), jnp.bool_(False), small_block0),
         )
-        acc, op = emit_sequence(acc, op, anchor, n, 0, 0)
+        if profile == "cfind":
+            op = op + (n - anchor) + 1
+        else:
+            acc, op = emit_sequence(acc, op, anchor, n, 0, 0)
         if flush is not None:
             flush(op >> 2)
         store(op >> 2, acc)
