@@ -37,6 +37,7 @@ def main():
         if a.startswith("--") and "=" in a
     }
     bs = int(opts.get("block", 65536))
+    enclevel = int(opts.get("enclevel", 0))  # staging encoder level
     total = int(opts.get("mb", 4)) * (1 << 20)
     iters = int(opts.get("iters", 2))
     variants = args or ["v1", "v2"]
@@ -65,7 +66,7 @@ def main():
         comps = np.zeros((bufs.shape[0], cap), np.uint8)
         clens = np.zeros((bufs.shape[0],), np.int32)
         for b in range(bufs.shape[0]):
-            c = native.encode(bufs[b, : lens[b]].tobytes(), 0)
+            c = native.encode(bufs[b, : lens[b]].tobytes(), enclevel)
             comps[b, : len(c)] = np.frombuffer(c, np.uint8)
             clens[b] = len(c)
         dec_batches.append((jnp.asarray(comps, jnp.int32), jnp.asarray(clens)))
@@ -115,6 +116,15 @@ def main():
                 return out, meta.reshape(meta.shape[0], 8)
 
             return run6, "packed"
+        if name == "v6v":
+            # fused-run + single-extension-byte match VLE in the fast arm
+            from lz4_tpu.ops.decode_pallas6 import pallas_decode6
+
+            def run6v(c, l):
+                out, meta, dcapw = pallas_decode6(c, l, bs, mode="full2v")
+                return out, meta.reshape(meta.shape[0], 8)
+
+            return run6v, "packed"
         if name == "v6x":
             # production default (mode="full2": fused-run inner loop)
             from lz4_tpu.ops.decode_pallas6 import pallas_decode6

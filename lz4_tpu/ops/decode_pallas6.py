@@ -380,6 +380,75 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
                 ip3, bad, is_last,
             )
 
+        if mode == "full2v":
+            # fused-run variant that also covers SINGLE-extension-byte
+            # match VLE (ml 19..272): HC/OPT streams put 30-50% of their
+            # sequences in that range, each previously paying the slow
+            # arm's nested-cond machinery.  The extension byte rides in the
+            # same speculative offset word (W(mo_at) >> 16), so the arm
+            # costs only a few selects more than "full2".  Byte behavior
+            # identical (predicates only move sequences between arms).
+            wo_full = _u(W(mo_at))
+            wo_s = _i(wo_full & 0xFFFF)
+            isv0 = mln == 15
+            ext0 = _i((wo_full >> 16) & 0xFF)
+            ml0 = jnp.where(isv0, MIN_MATCH + 15 + ext0, mln + MIN_MATCH)
+            adv0 = mo_at + 2 + _i(isv0)
+            need0 = jnp.where(isv0, 304, 40)
+            fused = (
+                (ll0 < 15) & ((~isv0) | (ext0 < 255))
+                & (adv0 <= clen) & (op + need0 <= ocap)
+                & (wo_s >= 8) & (wo_s <= op + ll0 - lo)
+            )
+
+            def arm_fast_run_v(_):
+                def fbody(st):
+                    ipx, opx, accx, llx, mlv, advx, wox, ok = st
+                    a2, o2 = copy_literals(accx, opx, ipx + 1, llx)
+                    a3, o3 = copy_match_far(a2, o2, wox, mlv)
+                    ip2 = advx
+                    tokb = _i(W(ip2)) & 0xFF
+                    llb = tokb >> 4
+                    mlnb = tokb & 15
+                    mo2 = ip2 + 1 + llb
+                    w2 = _u(W(mo2))
+                    wo2 = _i(w2 & 0xFFFF)
+                    isv = mlnb == 15
+                    ext = _i((w2 >> 16) & 0xFF)
+                    mlv2 = jnp.where(isv, MIN_MATCH + 15 + ext, mlnb + MIN_MATCH)
+                    adv2 = mo2 + 2 + _i(isv)
+                    need = jnp.where(isv, 304, 40)
+                    ok2 = (
+                        (llb < 15) & ((~isv) | (ext < 255))
+                        & (adv2 <= clen) & (o3 + need <= ocap)
+                        & (wo2 >= 8) & (wo2 <= o3 + llb - lo)
+                    )
+                    return ip2, o3, a3, llb, mlv2, adv2, wo2, ok2
+
+                ipf, opf, accf, _, _, _, _, _ = jax.lax.while_loop(
+                    lambda st: st[7], fbody,
+                    (ip, op, acc, ll0, ml0, adv0, wo_s, fused),
+                )
+                return ipf, opf, accf, err, done
+
+            def arm_slow_v(_):
+                ll, la, off, ml, ip2, bad, is_last = jax.lax.cond(
+                    fast, parse_fast, parse_slow, None
+                )
+                a2, o2 = copy_literals(acc, op, la, ll)
+                a3, o3 = jax.lax.cond(
+                    (ml == 0) | (off >= 8),
+                    lambda a: copy_match_far(a[0], a[1], off, ml),
+                    lambda a: copy_match_near(a[0], a[1], off, ml),
+                    (a2, o2),
+                )
+                return (
+                    ip2, o3, a3, jnp.where(bad, 1, err),
+                    done | is_last | bad,
+                )
+
+            return jax.lax.cond(fused, arm_fast_run_v, arm_slow_v, None)
+
         if mode in ("full", "full2", "parse2"):
             # Speculative offset load (mo_at <= ip + 15, inside padding):
             # lets the common case run parse + literal copy + far match
