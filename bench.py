@@ -150,6 +150,14 @@ def _device_config(block_size, total, iters, uniq, attempts, opt=None):
         )
     jax.block_until_ready([b[0] for b in dec_batches])
 
+    # production mode pick (full2 for FAST-shaped streams, full2v for
+    # HC/OPT-shaped ones — see parallel.blocks._pick_decode_mode); fixed
+    # across warm + timed calls so no compile lands in the timed region
+    from lz4_tpu.parallel.blocks import _pick_decode_mode
+
+    dmode = _pick_decode_mode(np.asarray(enc_outs[0][1]), block_size)
+    pallas_decode5 = functools.partial(pallas_decode5, mode=dmode)
+
     dec, meta, dcapw = pallas_decode5(*dec_batches[0], block_size)
     meta_h = np.asarray(meta).reshape(-1, 8)
     assert int(meta_h[:, 1].sum()) == 0, "decode error in bench"

@@ -10,7 +10,10 @@ the measured cost model that selected them):
   chained-frame batch path
 - `decode_pallas6`  — decoder, blocks <= 64 KB (branch-merged parse,
   full-word copies, fused fast arm; mode="full2v" extends the fast arm
-  to 1-byte match VLE — +8% on HC-heavy streams, see PERFORMANCE.md)
+  to 1-byte match VLE — +8% on HC-heavy streams, see PERFORMANCE.md).
+  `parallel.blocks.decode_blocks_device` auto-picks full2v for
+  HC/OPT-shaped batches by compressed ratio (< 0.40), pinnable via
+  LZ4TPU_DECODE_MODE
 - `decode_pallas_stream` — decoder for 256 KB - 4 MB+ blocks (ring DMA)
 - `xxh32_pallas`    — xxHash32 device kernel
 - `encode_jax` / `decode_jax` — pure-XLA dense kernels (CPU-mesh paths:

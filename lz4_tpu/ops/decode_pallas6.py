@@ -642,8 +642,13 @@ def decode_blocks_pallas6(
     out_cap: int,
     dicts_u8: np.ndarray | None = None,
     dict_lens: np.ndarray | None = None,
+    mode: str = "full2",
 ):
-    """Host wrapper mirroring `decode_pallas5.decode_blocks_pallas5`."""
+    """Host wrapper mirroring `decode_pallas5.decode_blocks_pallas5`.
+
+    `mode`: "full2" (fused-run fast arm, the L00 headline) or "full2v"
+    (fast arm also covers single-extension-byte match VLE — +8% on
+    HC/OPT-shaped streams, -2.5% on L00; see PERFORMANCE.md)."""
     comps_i32 = jnp.asarray(comps_u8, jnp.int32)
     if dicts_u8 is not None:
         out, meta, dcapw = pallas_decode6(
@@ -653,10 +658,11 @@ def decode_blocks_pallas6(
             jnp.asarray(dicts_u8, jnp.int32),
             jnp.asarray(dict_lens, jnp.int32),
             with_dict=True,
+            mode=mode,
         )
     else:
         out, meta, dcapw = pallas_decode6(
-            comps_i32, jnp.asarray(comp_lens, jnp.int32), out_cap
+            comps_i32, jnp.asarray(comp_lens, jnp.int32), out_cap, mode=mode
         )
     words = np.ascontiguousarray(np.asarray(out).reshape(out.shape[0], -1))
     u8 = words.view(np.uint8).reshape(words.shape[0], -1)

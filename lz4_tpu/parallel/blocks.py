@@ -258,6 +258,26 @@ def encode_blocks_chained_device(data: bytes, block_size: int,
     return [out[k, : int(clens[k])].tobytes() for k in range(nb)]
 
 
+def _pick_decode_mode(clens_np, out_cap: int) -> str:
+    """Workload-aware fast-arm choice for the staged v6 decoder.
+
+    mode="full2v" extends the fused fast arm to single-extension-byte
+    match VLE — measured +8% on HC/OPT-shaped streams and -2.5% on
+    L00-shaped ones (PERFORMANCE.md round-3 session 3).  The free host
+    signal separating the two is the compressed ratio: canonical FAST
+    lands ~0.45 on mixed data while HC/OPT land ~0.31, so denser-than-0.40
+    batches route to full2v.  `LZ4TPU_DECODE_MODE=full2|full2v` pins it.
+    """
+    import os
+
+    env = os.environ.get("LZ4TPU_DECODE_MODE", "")
+    if env in ("full2", "full2v"):
+        return env
+    clens = np.asarray(clens_np)
+    ratio = float(clens.sum()) / float(max(1, clens.shape[0] * out_cap))
+    return "full2v" if ratio < 0.40 else "full2"
+
+
 def decode_blocks_device(comps_np, clens_np, out_cap: int):
     """Decode a batch on the device with the best available kernel.
 
@@ -270,7 +290,8 @@ def decode_blocks_device(comps_np, clens_np, out_cap: int):
         from ..ops.decode_pallas6 import decode_blocks_pallas6
 
         return decode_blocks_pallas6(
-            np.asarray(comps_np), np.asarray(clens_np), out_cap
+            np.asarray(comps_np), np.asarray(clens_np), out_cap,
+            mode=_pick_decode_mode(clens_np, out_cap),
         )
     if _on_tpu():
         # 256KB-4MB blocks: same scalar pipeline over SMEM rings with

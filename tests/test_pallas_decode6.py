@@ -137,6 +137,68 @@ def test_hc_and_opt_streams(rng):
         assert errs[0] == 0 and out[0, : lens[0]].tobytes() == data, lvl
 
 
+def test_full2v_mode_byte_identical(rng):
+    """mode="full2v" (fast arm covers 1-extension-byte match VLE) must be
+    byte-identical to the default across FAST and HC/OPT streams, VLE
+    boundaries, and periodic matches."""
+    cases = [
+        rng.randbytes(300) + b"A" * 500 + rng.randbytes(270),
+        b"E" * 19 + rng.randbytes(1),          # ml == 19 boundary
+        b"F" * 274 + rng.randbytes(3),         # ml == 270/271 VLE boundary
+        (b" ".join([b"lorem", b"ipsum", b"dolor"] * 300))[:4000],
+        rng.randbytes(2000),
+        (bytes([65 + (k % 5) for k in range(5)]) * 800)[:3900],
+    ]
+    for lvl in (0, 9, 12):
+        cap = comp_capacity(N)
+        comps = np.zeros((len(cases), cap), np.uint8)
+        clens = np.zeros((len(cases),), np.int32)
+        for i, d in enumerate(cases):
+            c = _encode(d, lvl)
+            comps[i, : len(c)] = np.frombuffer(c, np.uint8)
+            clens[i] = len(c)
+        o_a, l_a, e_a = D6.decode_blocks_pallas6(comps, clens, N)
+        o_b, l_b, e_b = D6.decode_blocks_pallas6(
+            comps, clens, N, mode="full2v"
+        )
+        assert np.array_equal(e_a, e_b) and np.array_equal(l_a, l_b), lvl
+        assert np.array_equal(o_a, o_b), lvl
+
+
+def test_full2v_malformed_inputs_flagged():
+    """Corrupted blocks must error identically through the full2v arm."""
+    cap = comp_capacity(N)
+    bad = np.zeros((2, cap), np.uint8)
+    bad[0, 0] = 0x4F  # ml VLE through the fast arm, offset 0
+    bad[0, 1:5] = ord("q")
+    bad[1, 0] = 0x1F  # match VLE runs off the end
+    bad[1, 1] = ord("z")
+    bad[1, 2] = 0x01
+    bad[1, 3] = 0x00
+    bad[1, 4] = 255
+    lens = np.asarray([7, 3], np.int32)
+    _, _, errs_a = D6.decode_blocks_pallas6(bad, lens, N)
+    _, _, errs_b = D6.decode_blocks_pallas6(bad, lens, N, mode="full2v")
+    assert all(e != 0 for e in errs_b), errs_b.tolist()
+    assert np.array_equal(errs_a, errs_b)
+
+
+def test_decode_mode_autopick(monkeypatch):
+    """Ratio heuristic: dense (HC-shaped) batches pick full2v, normal
+    FAST-shaped batches keep full2; the env override pins either."""
+    from lz4_tpu.parallel.blocks import _pick_decode_mode
+
+    monkeypatch.delenv("LZ4TPU_DECODE_MODE", raising=False)
+    dense = np.full((8,), int(0.31 * 65536), np.int32)
+    fast = np.full((8,), int(0.45 * 65536), np.int32)
+    assert _pick_decode_mode(dense, 65536) == "full2v"
+    assert _pick_decode_mode(fast, 65536) == "full2"
+    monkeypatch.setenv("LZ4TPU_DECODE_MODE", "full2")
+    assert _pick_decode_mode(dense, 65536) == "full2"
+    monkeypatch.setenv("LZ4TPU_DECODE_MODE", "full2v")
+    assert _pick_decode_mode(fast, 65536) == "full2v"
+
+
 def test_malformed_inputs_flagged():
     cap = comp_capacity(N)
     bad = np.zeros((3, cap), np.uint8)
