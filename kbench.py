@@ -17,7 +17,8 @@ e5f (find-only profile mode), e5x/e5xf (paired-probe negative result),
 e5cf (canonical find-only profile),
 e5hc/e5hx (L9 serial-walk baseline / flat-miss production walk),
 e5opts/e5opt (L12 serial / flat-miss), e5hr/e5optr (fused-run walk —
-negative result, see PERFORMANCE.md).
+negative result, see PERFORMANCE.md), e5ef (fused token+literal emit —
+negative result).
 """
 
 import os
@@ -339,6 +340,17 @@ def main():
                 out, meta = pallas_encode5(bufs, lens, bs, 0, profile="cfind")
                 return out, meta.reshape(meta.shape[0], 8)
             return runcf
+        if name == "e5ef":
+            # token+first-literal-group fused append (measured negative:
+            # ~1% slower than the plain emitter; kept for the record)
+            from lz4_tpu.ops.encode_pallas5 import pallas_encode5
+
+            def runef(bufs, lens):
+                out, meta = pallas_encode5(
+                    bufs, lens, bs, 256 if lvl else 0, emit_fuse=True
+                )
+                return out, meta.reshape(meta.shape[0], 8)
+            return runef
         if name.startswith("e5"):
             # e5hc = L9 with the serial (pre-flat-miss) walk for A/B
             from lz4_tpu.ops.encode_pallas5 import pallas_encode5

@@ -69,7 +69,8 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                  profile: str = "full", pair_probe: bool = False,
                  hc_flat: bool = True, hc_run: bool = False, Wc=None,
                  ensure_to=None, win_log=None,
-                 fast_schedule: str = "canonical"):
+                 fast_schedule: str = "canonical",
+                 emit_fuse: bool = False):
     """The complete FAST/HC/OPT encoder over caller-supplied accessors.
 
     W(p)        -> int32 LE word of source bytes p..p+3 (any byte offset)
@@ -189,14 +190,14 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
         v, acc, op = jax.lax.while_loop(cond, body2, (v, acc, op))
         return acc, op
 
-    def copy_literals(acc, op, lit_at, ll):
+    def copy_literals(acc, op, lit_at, ll, k0=0):
         def body(s):
             k, acc, op = s
             acc, op = append(acc, op, Wu(lit_at + k), jnp.minimum(4, ll - k))
             return k + 4, acc, op
 
         _, acc, op = jax.lax.while_loop(
-            lambda s: s[0] < ll, body, (0, acc, op)
+            lambda s: s[0] < ll, body, (jnp.int32(0) + k0, acc, op)
         )
         return acc, op
 
@@ -207,13 +208,28 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
         mlv = jnp.maximum(ml - MIN_MATCH, 0)
         t_ml = jnp.where(ml > 0, jnp.minimum(mlv, 15), 0)
         token = _u((t_ll << 4) | t_ml)
-        acc, op = append(acc, op, token, 1)
+        if emit_fuse:
+            # Fuse the token append with the first literal group: when no
+            # ll-VLE separates token and literals (ll < 15), up to 3
+            # literal bytes ride in the token's append word — one append
+            # + one loop trip fewer for the ll in 1..3 majority.  Pure
+            # selects, no new cond region (the measured tax is region
+            # structure, not branch count — PERFORMANCE.md §cond).  The
+            # Wu(anchor) read is one the literal loop would issue anyway
+            # for ll > 0, and an in-bounds overshoot read for ll == 0.
+            fuse = ll < 15
+            lit0 = jnp.where(fuse, jnp.minimum(3, ll), 0)
+            head = jnp.where(fuse, token | (Wu(anchor) << 8), token)
+            acc, op = append(acc, op, head, 1 + lit0)
+        else:
+            acc, op = append(acc, op, token, 1)
+            lit0 = jnp.int32(0)
 
         def ll_ext(a):
             return append_vle(a[0], a[1], ll - 15)
 
         acc, op = jax.lax.cond(ll >= 15, ll_ext, lambda a: a, (acc, op))
-        acc, op = copy_literals(acc, op, anchor, ll)
+        acc, op = copy_literals(acc, op, anchor, ll, lit0)
         # FLAT tail (measured: Mosaic taxes region nesting, not branch
         # count — PERFORMANCE.md "cond structure"): the offset append
         # degenerates to a no-op for final literals (cnt == 0 leaves op
@@ -1514,7 +1530,8 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
                 attempts: int, ocap: int, opt_sufficient: int = 0,
                 opt_full: bool = False, profile: str = "full",
                 pair_probe: bool = False, hc_flat: bool = True,
-                hc_run: bool = False, fast_schedule: str = "canonical"):
+                hc_run: bool = False, fast_schedule: str = "canonical",
+                emit_fuse: bool = False):
     """Staged whole-block wrapper around `_encode_body`.
 
     src_s:   SMEM i32[1, 1, CAP]  per-byte LE words
@@ -1534,7 +1551,7 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
         n, acc0, W, store, None, htab, prev, nti, opt_tab,
         attempts, ocap, opt_sufficient, opt_full, profile=profile,
         pair_probe=pair_probe, hc_flat=hc_flat, hc_run=hc_run,
-        fast_schedule=fast_schedule,
+        fast_schedule=fast_schedule, emit_fuse=emit_fuse,
     )
     meta_ref[0, 0, 0] = op
     meta_ref[0, 0, 1] = errv
@@ -1546,13 +1563,14 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
     jax.jit,
     static_argnames=("bcap", "attempts", "opt_sufficient", "opt_full",
                      "profile", "pair_probe", "hc_flat", "hc_run",
-                     "fast_schedule"),
+                     "fast_schedule", "emit_fuse"),
 )
 def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
                    opt_sufficient: int = 0, opt_full: bool = False,
                    profile: str = "full", pair_probe: bool = False,
                    hc_flat: bool = True, hc_run: bool = False,
-                   fast_schedule: str = "canonical"):
+                   fast_schedule: str = "canonical",
+                   emit_fuse: bool = False):
     """src_i32: i32[B, CAP] block bytes (CAP % 128 == 0, >= bcap + pad).
 
     Returns (out_words i32[B, 1, OW] packed, meta i32[B, 1, 8])."""
@@ -1604,7 +1622,7 @@ def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
             meta_ref, attempts, align1024(compress_bound(bcap)),
             opt_sufficient, opt_full, profile=profile,
             pair_probe=pair_probe, hc_flat=hc_flat, hc_run=hc_run,
-            fast_schedule=fast_schedule,
+            fast_schedule=fast_schedule, emit_fuse=emit_fuse,
         )
 
     out, meta = pl.pallas_call(
