@@ -341,9 +341,12 @@ static inline int64_t emit_sequence(
         while (v >= 255) { *op++ = 255; v -= 255; }
         *op++ = (uint8_t)v;
     }
-    {
-        /* 16B strides over the aligned span, exact tail: never reads past
-         * lit+lit_len nor writes past op+lit_len */
+    if (mlen && op + ((lit_len + 7) & ~(int64_t)7) <= oend) {
+        /* wildcopy: 8B strides, output overshoot < 8 (bounds-checked),
+         * source overshoot < 8 stays inside the buffer because
+         * lit + lit_len == ip <= mflimit for in-loop sequences */
+        for (int64_t k = 0; k < lit_len; k += 8) memcpy(op + k, lit + k, 8);
+    } else {
         int64_t k = 0, wide = lit_len & ~(int64_t)15;
         for (; k < wide; k += 16) memcpy(op + k, lit + k, 16);
         memcpy(op + k, lit + k, (size_t)(lit_len - k));
@@ -529,73 +532,77 @@ int64_t lz4tpu_encode_fast_canonical(
     if (u16mode) memset(t16, 0, sizeof(t16));
     else memset(t32, 0, sizeof(t32));
 
-#define CH(P) (u16mode ? chash_u16(read32(P)) : chash_u32(P))
-#define CGET(H) (u16mode ? (int64_t)t16[H] : (int64_t)t32[H])
-#define CPUT(H, POS) do { \
-        if (u16mode) t16[H] = (uint16_t)(POS); \
+#define CH(P, U16) ((U16) ? chash_u16(read32(P)) : chash_u32(P))
+#define CGET(H, U16) ((U16) ? (int64_t)t16[H] : (int64_t)t32[H])
+#define CPUT(H, POS, U16) do { \
+        if (U16) t16[H] = (uint16_t)(POS); \
         else t32[H] = (uint32_t)(POS); \
     } while (0)
 
     if (n < MFLIMIT + 1) goto last_literals;  /* LZ4_minLength */
 
-    CPUT(CH(ip), 0);
-    ip++;
-    uint32_t fh = CH(ip);
+/* the whole scan instantiated twice with U16 a compile-time constant, so
+ * the table-mode ternaries vanish from the hot loop */
+#define CANON_SCAN(U16) do { \
+    CPUT(CH(ip, U16), 0, U16); \
+    ip++; \
+    uint32_t fh = CH(ip, U16); \
+    for (;;) { \
+        const uint8_t *match; \
+        { \
+            const uint8_t *fwd = ip; \
+            int64_t step = 1; \
+            int64_t ramp = (int64_t)accel << SKIP_TRIGGER; \
+            for (;;) { \
+                uint32_t h = fh; \
+                ip = fwd; \
+                int64_t cur = ip - base; \
+                fwd += step; \
+                step = (ramp++ >> SKIP_TRIGGER); \
+                if (__builtin_expect(fwd > mflimit1, 0)) goto last_literals; \
+                int64_t mi = CGET(h, U16); \
+                match = base + mi; \
+                fh = CH(fwd, U16); \
+                CPUT(h, cur, U16); \
+                if (!(U16) && mi + MAXDIST < cur) continue; \
+                if (read32(match) == read32(ip)) break; \
+            } \
+        } \
+        while (ip > anchor && match > base && ip[-1] == match[-1]) { \
+            ip--; \
+            match--; \
+        } \
+        for (;;) { \
+            int64_t mlen = MINMATCH + run_length( \
+                match + MINMATCH, ip + MINMATCH, matchlimit); \
+            int64_t rc = emit_sequence( \
+                &op, oend, anchor, ip - anchor, \
+                (uint32_t)(ip - match), mlen); \
+            if (__builtin_expect(rc < 0, 0)) return rc; \
+            ip += mlen; \
+            anchor = ip; \
+            if (ip >= mflimit1) goto last_literals; \
+            CPUT(CH(ip - 2, U16), ip - 2 - base, U16); \
+            uint32_t h2 = CH(ip, U16); \
+            int64_t cur2 = ip - base; \
+            int64_t mi2 = CGET(h2, U16); \
+            const uint8_t *m2 = base + mi2; \
+            CPUT(h2, cur2, U16); \
+            if (((U16) || mi2 + MAXDIST >= cur2) \
+                && read32(m2) == read32(ip)) { \
+                match = m2; \
+                continue; \
+            } \
+            break; \
+        } \
+        ip++; \
+        fh = CH(ip, U16); \
+    } \
+} while (0)
 
-    for (;;) {
-        const uint8_t *match;
-        /* find: probe ip, hash one probe ahead, step lags the ramp */
-        {
-            const uint8_t *fwd = ip;
-            int64_t step = 1;
-            int64_t ramp = (int64_t)accel << SKIP_TRIGGER;
-            for (;;) {
-                uint32_t h = fh;
-                ip = fwd;
-                int64_t cur = ip - base;
-                fwd += step;
-                step = (ramp++ >> SKIP_TRIGGER);
-                if (fwd > mflimit1) goto last_literals;
-                int64_t mi = CGET(h);
-                match = base + mi;
-                fh = CH(fwd);
-                CPUT(h, cur);
-                if (!u16mode && mi + MAXDIST < cur) continue;
-                if (read32(match) == read32(ip)) break;
-            }
-        }
-        /* extend backwards */
-        while (ip > anchor && match > base && ip[-1] == match[-1]) {
-            ip--;
-            match--;
-        }
-        /* emit; loop covers the zero-literal immediate-retry chain */
-        for (;;) {
-            int64_t mlen = MINMATCH + run_length(
-                match + MINMATCH, ip + MINMATCH, matchlimit);
-            int64_t rc = emit_sequence(
-                &op, oend, anchor, ip - anchor,
-                (uint32_t)(ip - match), mlen);
-            if (rc < 0) return rc;
-            ip += mlen;
-            anchor = ip;
-            if (ip >= mflimit1) goto last_literals;
-            CPUT(CH(ip - 2), ip - 2 - base);
-            uint32_t h2 = CH(ip);
-            int64_t cur2 = ip - base;
-            int64_t mi2 = CGET(h2);
-            const uint8_t *m2 = base + mi2;
-            CPUT(h2, cur2);
-            if ((u16mode || mi2 + MAXDIST >= cur2)
-                && read32(m2) == read32(ip)) {
-                match = m2;  /* zero literals, no back-extension */
-                continue;
-            }
-            break;
-        }
-        ip++;
-        fh = CH(ip);
-    }
+    if (u16mode) CANON_SCAN(1);
+    else CANON_SCAN(0);
+#undef CANON_SCAN
 
 last_literals:
     {
@@ -605,7 +612,7 @@ last_literals:
     return op - out;
 #undef CH
 #undef CGET
-#undef CPUT
+#undef CPUT  /* (parameterized variants) */
 }
 
 /* ----------------------- canonical-schedule chained (continue) encoder
