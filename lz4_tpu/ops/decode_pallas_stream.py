@@ -57,8 +57,9 @@ def _decode_one(i, clen, dict_len, comp_w, dict_w, out_hbm, meta_ref,
     comp_w:  HBM i32[B, NC, 128, 128]   per-byte LE words, chunked
     dict_w:  HBM i32[B, DSEGS, 32, 128] packed dictionary words (chained)
     out_hbm: HBM i32[B, NSEG, 32, 128]  packed output words, segmented
-    ring_w:  SMEM i32[2, 128, 128]      input ring
-    ring_o:  SMEM i32[8, 32, 128]       output ring (dict prefix + window)
+    ring_w:  SMEM i32[256, 128]         input ring (2 x 128-row chunk slots)
+    ring_o:  SMEM i32[256, 128]         output ring (8 x 32-row segments,
+                                        dict prefix + window)
     loaded:  SMEM i32[8]                [w0, w1, flushed_segs, ...]
 
     (A flat 1-D ring layout — scalar access as a single AND — was tried
@@ -79,7 +80,9 @@ def _decode_one(i, clen, dict_len, comp_w, dict_w, out_hbm, meta_ref,
         def _():
             def seg(sg, _):
                 dma = pltpu.make_async_copy(
-                    dict_w.at[i, sg], ring_o.at[sg], sem_o
+                    dict_w.at[i, sg],
+                    ring_o.at[pl.ds(sg * _SEG_ROWS, _SEG_ROWS)],
+                    sem_o,
                 )
                 dma.start()
                 dma.wait()
@@ -94,7 +97,9 @@ def _decode_one(i, clen, dict_len, comp_w, dict_w, out_hbm, meta_ref,
         @pl.when(loaded[slot] != c)
         def _():
             dma = pltpu.make_async_copy(
-                comp_w.at[i, c], ring_w.at[slot], sem_w.at[slot]
+                comp_w.at[i, c],
+                ring_w.at[pl.ds(slot * _CW_ROWS, _CW_ROWS)],
+                sem_w.at[slot],
             )
             dma.start()
             dma.wait()
@@ -104,22 +109,20 @@ def _decode_one(i, clen, dict_len, comp_w, dict_w, out_hbm, meta_ref,
         """Bytes p..p+3 of the compressed stream as one LE word (uint32)."""
         c = p >> _CW_LOG
         ensure_chunk(c)
-        return _u(ring_w[c & 1, (p >> 7) & (_CW_ROWS - 1), p & 127])
+        # slot*128 + in-chunk row == bits [14:7] of p: ONE flat 2-D fold
+        return _u(ring_w[(p >> 7) & (2 * _CW_ROWS - 1), p & 127])
 
     def Wr(p):
         """Raw ring read — caller guarantees the chunk is resident."""
-        return _u(
-            ring_w[(p >> _CW_LOG) & 1, (p >> 7) & (_CW_ROWS - 1), p & 127]
-        )
+        return _u(ring_w[(p >> 7) & (2 * _CW_ROWS - 1), p & 127])
 
     # ---- output ring accessors -------------------------------------------
     def OUTW(q):
-        r = q & (_OR_WORDS - 1)
-        return _u(ring_o[r >> 12, (r >> 7) & (_SEG_ROWS - 1), r & 127])
+        # seg*32 + in-seg row == bits [14:7] of the ring offset: flat fold
+        return _u(ring_o[(q >> 7) & (_OR_WORDS // 128 - 1), q & 127])
 
     def store_word(wp, v):
-        r = wp & (_OR_WORDS - 1)
-        ring_o[r >> 12, (r >> 7) & (_SEG_ROWS - 1), r & 127] = _i(v)
+        ring_o[(wp >> 7) & (_OR_WORDS // 128 - 1), wp & 127] = _i(v)
 
     def flush_for(wp):
         """Flush output segments so ring word wp (and wp+1) are writable."""
@@ -130,7 +133,8 @@ def _decode_one(i, clen, dict_len, comp_w, dict_w, out_hbm, meta_ref,
         def body(f):
             ring_seg = (_DICT_SEGS + f) % _N_RING_SEGS
             dma = pltpu.make_async_copy(
-                ring_o.at[ring_seg], out_hbm.at[i, f], sem_o
+                ring_o.at[pl.ds(ring_seg * _SEG_ROWS, _SEG_ROWS)],
+                out_hbm.at[i, f], sem_o,
             )
             dma.start()
             dma.wait()
@@ -478,7 +482,8 @@ def _decode_one(i, clen, dict_len, comp_w, dict_w, out_hbm, meta_ref,
     def fin_body(f):
         ring_seg = (_DICT_SEGS + f) % _N_RING_SEGS
         dma = pltpu.make_async_copy(
-            ring_o.at[ring_seg], out_hbm.at[i, f], sem_o
+            ring_o.at[pl.ds(ring_seg * _SEG_ROWS, _SEG_ROWS)],
+            out_hbm.at[i, f], sem_o,
         )
         dma.start()
         dma.wait()
@@ -537,8 +542,8 @@ def pallas_decode_stream(comps_i32, comp_lens, out_cap: int, dicts_i32=None,
             ),
         ],
         scratch_shapes=[
-            pltpu.SMEM((2, _CW_ROWS, 128), jnp.int32),
-            pltpu.SMEM((_N_RING_SEGS, _SEG_ROWS, 128), jnp.int32),
+            pltpu.SMEM((2 * _CW_ROWS, 128), jnp.int32),
+            pltpu.SMEM((_N_RING_SEGS * _SEG_ROWS, 128), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),

@@ -64,8 +64,8 @@ def _encode_stream_one(i, n, acc0, src_w, out_hbm, meta_ref, ring_w, ring_o,
 
     src_w:   HBM i32[B, NC, 128, 128]  per-byte LE words, chunked
     out_hbm: HBM i32[B, NSEG, 32, 128] packed compressed words, segmented
-    ring_w:  SMEM i32[8, 128, 128]     input ring
-    ring_o:  SMEM i32[4, 32, 128]      output ring
+    ring_w:  SMEM i32[1024, 128]       input ring (8 x 128-row chunk slots)
+    ring_o:  SMEM i32[128, 128]        output ring (4 x 32-row segments)
     state:   SMEM i32[16]              [0..7] slot chunk ids, [8] flushed
     """
     for s in range(_NSLOTS):
@@ -78,7 +78,9 @@ def _encode_stream_one(i, n, acc0, src_w, out_hbm, meta_ref, ring_w, ring_o,
         @pl.when(state[slot] != c)
         def _():
             dma = pltpu.make_async_copy(
-                src_w.at[i, c], ring_w.at[slot], sem_w
+                src_w.at[i, c],
+                ring_w.at[pl.ds(slot * _CW_ROWS, _CW_ROWS)],
+                sem_w,
             )
             dma.start()
             dma.wait()
@@ -91,11 +93,11 @@ def _encode_stream_one(i, n, acc0, src_w, out_hbm, meta_ref, ring_w, ring_o,
         p = jnp.maximum(p, 0)
         c = p >> _CW_LOG
         ensure_chunk(c)
-        return ring_w[c & (_NSLOTS - 1), (p >> 7) & (_CW_ROWS - 1), p & 127]
+        # slot*128 + in-chunk row == bits [16:7] of p: ONE flat 2-D fold
+        return ring_w[(p >> 7) & (_NSLOTS * _CW_ROWS - 1), p & 127]
 
     def store(wp, v):
-        r = wp & (_OR_WORDS - 1)
-        ring_o[r >> 12, (r >> 7) & (_SEG_ROWS - 1), r & 127] = _i(v)
+        ring_o[(wp >> 7) & (_OR_WORDS // 128 - 1), wp & 127] = _i(v)
 
     def flush(wp):
         """Flush output segments so ring words wp (and wp+1) are writable."""
@@ -105,7 +107,8 @@ def _encode_stream_one(i, n, acc0, src_w, out_hbm, meta_ref, ring_w, ring_o,
 
         def body(f):
             dma = pltpu.make_async_copy(
-                ring_o.at[f % _N_OSEGS], out_hbm.at[i, f], sem_o
+                ring_o.at[pl.ds((f % _N_OSEGS) * _SEG_ROWS, _SEG_ROWS)],
+                out_hbm.at[i, f], sem_o,
             )
             dma.start()
             dma.wait()
@@ -118,9 +121,7 @@ def _encode_stream_one(i, n, acc0, src_w, out_hbm, meta_ref, ring_w, ring_o,
         software-pipelined probe word; see _encode_body docstring)."""
         p = jnp.maximum(p, 0)
         c = p >> _CW_LOG
-        return ring_w[
-            c & (_NSLOTS - 1), (p >> 7) & (_CW_ROWS - 1), p & 127
-        ]
+        return ring_w[(p >> 7) & (_NSLOTS * _CW_ROWS - 1), p & 127]
 
     def ensure_to(pos):
         ensure_chunk(pos >> _CW_LOG)
@@ -139,7 +140,8 @@ def _encode_stream_one(i, n, acc0, src_w, out_hbm, meta_ref, ring_w, ring_o,
 
     def fin_body(f):
         dma = pltpu.make_async_copy(
-            ring_o.at[f % _N_OSEGS], out_hbm.at[i, f], sem_o
+            ring_o.at[pl.ds((f % _N_OSEGS) * _SEG_ROWS, _SEG_ROWS)],
+            out_hbm.at[i, f], sem_o,
         )
         dma.start()
         dma.wait()
@@ -201,8 +203,8 @@ def pallas_encode_stream(src_i32, lens, bcap: int, attempts: int = 0,
             ),
         ],
         scratch_shapes=[
-            pltpu.SMEM((_NSLOTS, _CW_ROWS, 128), jnp.int32),
-            pltpu.SMEM((_N_OSEGS, _SEG_ROWS, 128), jnp.int32),
+            pltpu.SMEM((_NSLOTS * _CW_ROWS, 128), jnp.int32),
+            pltpu.SMEM((_N_OSEGS * _SEG_ROWS, 128), jnp.int32),
             pltpu.SMEM((16,), jnp.int32),
             pltpu.SMEM((1 << _HLOG,), jnp.int32),
             pltpu.SMEM((32768 if attempts else 8,), jnp.int32),
