@@ -225,7 +225,7 @@ def _device_config_stream(block_size, total, iters, uniq, level=0):
         dec_in.append((comps, np.asarray(clens, np.int32)))
 
     raw0, lens0, derr0 = decode_blocks_pallas_stream(
-        dec_in[0][0], dec_in[0][1], block_size
+        dec_in[0][0], dec_in[0][1], block_size, mode="full2v"
     )
     assert int(np.asarray(derr0).sum()) == 0
     recon = b"".join(
@@ -235,7 +235,7 @@ def _device_config_stream(block_size, total, iters, uniq, level=0):
     t0 = time.perf_counter()
     for k in range(1, len(dec_in)):
         _, _, derr = decode_blocks_pallas_stream(
-            dec_in[k][0], dec_in[k][1], block_size
+            dec_in[k][0], dec_in[k][1], block_size, mode="full2v"
         )
         assert int(np.asarray(derr).sum()) == 0
     dec_gbps = total * (len(dec_in) - 1) / (time.perf_counter() - t0) / 1e9

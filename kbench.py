@@ -249,6 +249,15 @@ def main():
                 return out, meta.reshape(meta.shape[0], 8)
 
             return runs, "packed0"
+        if name == "vsv":
+            # streaming decoder, VLE-capable fused run (mode full2v)
+            from lz4_tpu.ops.decode_pallas_stream import pallas_decode_stream
+
+            def runsv(c, l):
+                out, meta = pallas_decode_stream(c, l, bs, mode="full2v")
+                return out, meta.reshape(meta.shape[0], 8)
+
+            return runsv, "packed0"
         if name == "vsp":
             # streaming decoder, parse-only profile (no byte emission)
             from lz4_tpu.ops.decode_pallas_stream import pallas_decode_stream

@@ -327,6 +327,75 @@ def _decode_one(i, clen, dict_len, comp_w, dict_w, out_hbm, meta_ref,
         ll0 = token >> 4
         mln = token & 15
         mo_at = ip + 1 + ll0
+
+        if mode == "full2v":
+            # fast arm also covers SINGLE-extension-byte match VLE
+            # (ml 19..272) — the HC/OPT majority shape; the extension byte
+            # rides in the same speculative offset word (see
+            # decode_pallas6 mode="full2v", which this port follows)
+            wo_full = _u(W(mo_at))
+            wo_s = _i(wo_full & 0xFFFF)
+            isv0 = mln == 15
+            ext0 = _i((wo_full >> 16) & 0xFF)
+            mlv0 = jnp.where(isv0, MIN_MATCH + 15 + ext0, mln + MIN_MATCH)
+            adv0 = mo_at + 2 + _i(isv0)
+            need0 = jnp.where(isv0, 304, 40)
+            fused = (
+                (~bad) & (ll0 < 15) & ((~isv0) | (ext0 < 255))
+                & (adv0 <= clen) & (op + need0 <= ocap)
+                & (wo_s >= 8) & (wo_s <= op + ll0 - lo)
+            )
+
+            def arm_fast_v(_):
+                # same windowed-run reservation as the full2 arm below;
+                # VLE-capable sequences need the wider output bound
+                # (ml <= 272 -> need 304) in the reservation and the run
+                # predicate
+                ensure_chunk((mo_at + 23) >> _CW_LOG)
+                win_end = (((mo_at + 23) >> _CW_LOG) + 1) << _CW_LOG
+                flush_for((op + ll0 + mlv0) >> 2)
+                limit_w = (
+                    _DICT_WORDS + loaded[2] * _SEG_WORDS + _OR_WORDS - 2
+                )
+
+                def fbody(st):
+                    ipx, opx, accx, llx, mlvx, advx, wox, ok = st
+                    a2, o2 = lit_fast(accx, opx, ipx + 1, llx)
+                    a3, o3 = match_fast(a2, o2, wox, mlvx)
+                    ip2 = advx
+                    tokb = _i(Wr(ip2)) & 0xFF
+                    llb = tokb >> 4
+                    mlnb = tokb & 15
+                    mo2 = ip2 + 1 + llb
+                    w2 = _u(Wr(mo2))
+                    wo2 = _i(w2 & 0xFFFF)
+                    isv = mlnb == 15
+                    ext = _i((w2 >> 16) & 0xFF)
+                    mlv2 = jnp.where(
+                        isv, MIN_MATCH + 15 + ext, mlnb + MIN_MATCH
+                    )
+                    adv2 = mo2 + 2 + _i(isv)
+                    need = jnp.where(isv, 304, 40)
+                    ok2 = (
+                        (llb < 15) & ((~isv) | (ext < 255))
+                        & (adv2 <= clen) & (o3 + need <= ocap)
+                        & (wo2 >= 8) & (wo2 <= o3 + llb - lo)
+                        & (mo2 + 3 < win_end)
+                        & (((o3 + need) >> 2) < limit_w)
+                    )
+                    return ip2, o3, a3, llb, mlv2, adv2, wo2, ok2
+
+                ipf, opf, accf, _, _, _, _, _ = jax.lax.while_loop(
+                    lambda st: st[7], fbody,
+                    (ip, op, acc, ll0, mlv0, adv0, wo_s, fused),
+                )
+                return ipf, opf, accf, err, done
+
+            def arm_slow_v(_):
+                return seq_slow(state)
+
+            return jax.lax.cond(fused, arm_fast_v, arm_slow_v, None)
+
         # speculative offset read (inside the wrapper's slack chunk) lets
         # the no-VLE off>=8 common case run parse + literal copy + far
         # match copy as ONE cond arm with ONE ring-flush check, exactly
@@ -577,8 +646,12 @@ def decode_blocks_pallas_stream(
     out_cap: int,
     dicts_u8: np.ndarray | None = None,
     dict_lens: np.ndarray | None = None,
+    mode: str = "full",
 ):
-    """Host wrapper mirroring `decode_pallas.decode_blocks_pallas`."""
+    """Host wrapper mirroring `decode_pallas.decode_blocks_pallas`.
+
+    `mode`: "full" (fused windowed run) or "full2v" (run also covers
+    single-extension-byte match VLE — the HC/OPT stream shape)."""
     comps_i32 = jnp.asarray(comps_u8, jnp.int32)
     if dicts_u8 is not None:
         out, meta = pallas_decode_stream(
@@ -588,10 +661,12 @@ def decode_blocks_pallas_stream(
             jnp.asarray(dicts_u8, jnp.int32),
             jnp.asarray(dict_lens, jnp.int32),
             with_dict=True,
+            mode=mode,
         )
     else:
         out, meta = pallas_decode_stream(
-            comps_i32, jnp.asarray(comp_lens, jnp.int32), out_cap
+            comps_i32, jnp.asarray(comp_lens, jnp.int32), out_cap,
+            mode=mode,
         )
     words = np.ascontiguousarray(np.asarray(out).reshape(out.shape[0], -1))
     u8 = words.view(np.uint8).reshape(words.shape[0], -1)

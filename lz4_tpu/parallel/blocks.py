@@ -295,11 +295,19 @@ def decode_blocks_device(comps_np, clens_np, out_cap: int):
         )
     if _on_tpu():
         # 256KB-4MB blocks: same scalar pipeline over SMEM rings with
-        # HBM DMA streaming (constant on-chip footprint, no size cap)
+        # HBM DMA streaming (constant on-chip footprint, no size cap).
+        # full2v is the streaming DEFAULT: unlike the staged kernel, it
+        # wins on BOTH stream shapes here (+38% L09, +10% L00 — ml-VLE
+        # sequences avoid the ensure-laden slow arm entirely); the env
+        # pin maps full2 -> the plain windowed run for A/B
+        import os
+
+        env = os.environ.get("LZ4TPU_DECODE_MODE", "")
         from ..ops.decode_pallas_stream import decode_blocks_pallas_stream
 
         return decode_blocks_pallas_stream(
-            np.asarray(comps_np), np.asarray(clens_np), out_cap
+            np.asarray(comps_np), np.asarray(clens_np), out_cap,
+            mode="full" if env == "full2" else "full2v",
         )
     return decode_chunked(comps_np, clens_np, out_cap)
 

@@ -81,6 +81,46 @@ def test_dictionary_prefix(rng):
     assert out[0, : lens[0]].tobytes() == data
 
 
+def test_full2v_mode_byte_identical(rng):
+    """mode="full2v" (fast arm covers 1-extension-byte match VLE) must
+    match the default mode byte-for-byte on FAST and HC/OPT streams,
+    including VLE boundaries and ring wraps (150 KB blocks)."""
+    n = 150_000
+    base = (
+        b"".join(
+            rng.choice([b"lorem", b"ipsum", b"dolor", b"sit", b" "])
+            for _ in range(25_000)
+        )
+        + b"E" * 300            # ml VLE boundary runs
+        + rng.randbytes(20_000)
+        + (b"0123456789abcdef" * 2000)
+    )[:n]
+    cap = comp_capacity(n)
+    for lvl in (0, 9):
+        c = _enc(base, lvl)
+        comps = np.zeros((1, cap), np.uint8)
+        comps[0, : len(c)] = np.frombuffer(c, np.uint8)
+        clens = np.asarray([len(c)], np.int32)
+        o_a, l_a, e_a = DS.decode_blocks_pallas_stream(comps, clens, n)
+        o_b, l_b, e_b = DS.decode_blocks_pallas_stream(
+            comps, clens, n, mode="full2v"
+        )
+        assert np.array_equal(e_a, e_b) and np.array_equal(l_a, l_b), lvl
+        assert np.array_equal(o_a, o_b), lvl
+        assert e_a[0] == 0 and o_a[0, : l_a[0]].tobytes() == base, lvl
+
+
+def test_full2v_malformed_flagged():
+    cap = comp_capacity(131072)
+    bad = np.zeros((1, cap), np.uint8)
+    bad[0, 0] = 0x4F  # fast-arm ml VLE with offset 0
+    bad[0, 1:5] = ord("q")
+    out, lens, errs = DS.decode_blocks_pallas_stream(
+        bad, np.asarray([7], np.int32), 131072, mode="full2v"
+    )
+    assert errs[0] != 0
+
+
 def test_malformed_flagged():
     cap = comp_capacity(131072)
     bad = np.zeros((1, cap), np.uint8)
