@@ -754,7 +754,10 @@ static int chain_init(chain_t *c, const uint8_t *base, int64_t buf_len) {
     c->inserted = 0;
     c->max_insert = buf_len - MINMATCH + 1 > 0 ? buf_len - MINMATCH + 1 : 0;
     if (!c->head || !c->delta) { free(c->head); free(c->delta); return 0; }
-    for (int64_t i = 0; i < (1 << HC_HASH_LOG); i++) c->head[i] = -1;
+    /* empty = -65536: any i - head[h] then exceeds 0xFFFF, so the insert
+     * clamp alone marks the chain end (no sign check per position), and a
+     * fresh head lookup yields cand < 0 < lowest (no candidate) */
+    for (int64_t i = 0; i < (1 << HC_HASH_LOG); i++) c->head[i] = -65536;
     memset(c->delta, 0xFF, sizeof(uint16_t) * CHAIN_RING);
     return 1;
 }
@@ -765,8 +768,7 @@ static void chain_insert(chain_t *c, int64_t upto) {
     if (upto > c->max_insert) upto = c->max_insert;
     for (int64_t i = c->inserted; i < upto; i++) {
         uint32_t h = hash4(read32(c->base + i));
-        int64_t prev = c->head[h];
-        int64_t d = prev < 0 ? 0xFFFF : i - prev;
+        int64_t d = i - c->head[h];  /* empty head = -65536 -> d > 0xFFFF */
         c->delta[i & 0xFFFF] = d > 0xFFFF ? 0xFFFF : (uint16_t)d;
         c->head[h] = (int32_t)i;
     }
@@ -824,7 +826,7 @@ static int64_t count_back_pattern(
  * quick reject, strict improvement, repeated-pattern chain acceleration
  * (pattern_analysis), better-chain selection inside the current best match
  * (chain_swap). */
-static int64_t hc_wider_match(
+static __attribute__((always_inline)) inline int64_t hc_wider_match(
     chain_t *c, const uint8_t *ip, const uint8_t *ilow, const uint8_t *ihigh,
     int64_t longest, const uint8_t **m_start, const uint8_t **m_pos,
     int32_t max_attempts, int pattern_analysis, int chain_swap)
@@ -838,6 +840,13 @@ static int64_t hc_wider_match(
     int64_t chain_off = 0;       /* chain-swap: follow chain from inside match */
     int repeat_tested = 0, repeat_confirmed = 0;
     int64_t src_pat_len = 0;
+    /* Best-so-far kept in LOCALS and written through the output pointers
+     * once on exit: in-loop `*m_start` stores are char-typed and would
+     * force the compiler to reload every cached byte read (the
+     * quick-reject halfword below) on each attempt. */
+    const uint8_t *best_s = *m_start, *best_p = *m_pos;
+    /* the two bytes a wider match must reproduce; refreshed on improvement */
+    uint16_t want = read16le(ilow + longest - 1);
 
     chain_insert(c, pos);
     int64_t cand = c->head[hash4(pattern)];
@@ -852,15 +861,17 @@ static int64_t hc_wider_match(
         attempts--;
         const uint8_t *mp = base + cand;
         /* quick reject: the two bytes that would extend the best must match */
-        if (read16le(ilow + longest - 1) == read16le(mp - lookback + longest - 1)
-            && read32(mp) == pattern) {
+        if (__builtin_expect(
+                want == read16le(mp - lookback + longest - 1)
+                && read32(mp) == pattern, 0)) {
             int64_t back = lookback ? count_back(ip, mp, ilow, base) : 0;
             match_len = MINMATCH
                 + run_length(mp + MINMATCH, ip + MINMATCH, ihigh) - back;
             if (match_len > longest) {
                 longest = match_len;
-                *m_pos = mp + back;
-                *m_start = ip + back;
+                best_p = mp + back;
+                best_s = ip + back;
+                want = read16le(ilow + longest - 1);
             }
         }
 
@@ -920,8 +931,9 @@ static int64_t hc_wider_match(
                             if (longest < max_ml) {
                                 if (pos - cand > MAXDIST) break;
                                 longest = max_ml;
-                                *m_pos = base + cand;
-                                *m_start = ip;
+                                best_p = base + cand;
+                                best_s = ip;
+                                want = read16le(ilow + longest - 1);
                             }
                             uint16_t d2 = c->delta[cand & 0xFFFF];
                             if (d2 > cand) break;
@@ -939,6 +951,8 @@ static int64_t hc_wider_match(
             cand -= d;
         }
     }
+    *m_start = best_s;
+    *m_pos = best_p;
     return longest;
 }
 
