@@ -134,7 +134,7 @@ int64_t lz4tpu_decode(
             uint8_t *op_seq = op;
             uint32_t token = *ip++;
             int64_t lit = token >> 4;
-            if ((token & 15) != 15 && lit != 15) {
+            if (__builtin_expect((token & 15) != 15 && lit != 15, 1)) {
                 /* shortcut: <=14 literals + 4..18-byte match resolve with
                  * two wide copies and a single compound branch.  Input
                  * reads stay in bounds: ip_seq <= iend-17 covers
@@ -433,36 +433,47 @@ int64_t lz4tpu_encode_fast(
     }
 
     if (n > MFLIMIT) {
-        int64_t search = (int64_t)accel << SKIP_TRIGGER;
-        while (p < mflimit) {
-            uint32_t w = read32(p);
-            uint32_t h = hash4(w);
-            int64_t cand = use16 ? (int64_t)t16[h] - 1 : (int64_t)t32[h];
-            if (use16) t16[h] = (uint16_t)(p - base + 1);
-            else t32[h] = (int32_t)(p - base);
-            if (cand >= 0 && (p - base) - cand <= MAXDIST
-                && read32(base + cand) == w) {
-                const uint8_t *m = base + cand;
-                /* extend backwards */
-                while (p > anchor && m > base && p[-1] == m[-1]) { p--; m--; }
-                int64_t mlen = MINMATCH + run_length(
-                    m + MINMATCH, p + MINMATCH, match_limit);
-                int64_t rc = emit_sequence(
-                    &op, oend, anchor, p - anchor,
-                    (uint32_t)(p - m), mlen);
-                if (rc < 0) { free(table_mem); return rc; }
-                p += mlen;
-                anchor = p;
-                if (p >= mflimit) break;
-                if (use16)
-                    t16[hash4(read32(p - 2))] = (uint16_t)(p - 2 - base + 1);
-                else
-                    t32[hash4(read32(p - 2))] = (int32_t)(p - 2 - base);
-                search = (int64_t)accel << SKIP_TRIGGER;
-                continue;
-            }
-            p += (search++ >> SKIP_TRIGGER);
-        }
+/* scan instantiated twice with U16 a compile-time constant, so the
+ * table-mode ternaries vanish from the hot loop (same treatment as
+ * CANON_SCAN below) */
+#define DENSE_SCAN(U16) do { \
+        int64_t search = (int64_t)accel << SKIP_TRIGGER; \
+        while (p < mflimit) { \
+            uint32_t w = read32(p); \
+            uint32_t h = hash4(w); \
+            int64_t cand = (U16) ? (int64_t)t16[h] - 1 : (int64_t)t32[h]; \
+            if (U16) t16[h] = (uint16_t)(p - base + 1); \
+            else t32[h] = (int32_t)(p - base); \
+            if (cand >= 0 && (p - base) - cand <= MAXDIST \
+                && read32(base + cand) == w) { \
+                const uint8_t *m = base + cand; \
+                /* extend backwards */ \
+                while (p > anchor && m > base && p[-1] == m[-1]) { \
+                    p--; m--; \
+                } \
+                int64_t mlen = MINMATCH + run_length( \
+                    m + MINMATCH, p + MINMATCH, match_limit); \
+                int64_t rc = emit_sequence( \
+                    &op, oend, anchor, p - anchor, \
+                    (uint32_t)(p - m), mlen); \
+                if (rc < 0) { free(table_mem); return rc; } \
+                p += mlen; \
+                anchor = p; \
+                if (p >= mflimit) break; \
+                if (U16) \
+                    t16[hash4(read32(p - 2))] = \
+                        (uint16_t)(p - 2 - base + 1); \
+                else \
+                    t32[hash4(read32(p - 2))] = (int32_t)(p - 2 - base); \
+                search = (int64_t)accel << SKIP_TRIGGER; \
+                continue; \
+            } \
+            p += (search++ >> SKIP_TRIGGER); \
+        } \
+    } while (0)
+        if (use16) DENSE_SCAN(1);
+        else DENSE_SCAN(0);
+#undef DENSE_SCAN
     }
     int64_t rc = emit_sequence(&op, oend, anchor, src_end - anchor, 0, 0);
     free(table_mem);
