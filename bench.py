@@ -20,6 +20,11 @@ Usage: python bench.py
 Env:   LZ4TPU_BENCH_BLOCK=65536   block size in bytes
        LZ4TPU_BENCH_MB=16         payload per batch in MiB
        LZ4TPU_BENCH_ITERS=5       timed iterations (= distinct batches)
+       LZ4TPU_BENCH_REAL=1        device configs run on rotating windows
+                                  of real image bytes instead of the
+                                  synthetic mix (ratios ~0.49 vs ~0.45;
+                                  measured: decode +2%, encode -16% —
+                                  probe-bound on noisier bytes)
 """
 
 from __future__ import annotations
@@ -74,6 +79,30 @@ def make_corpus(total_bytes: int, seed: int = 0) -> bytes:
     return out[:total_bytes]
 
 
+_REAL_POOL = None
+
+
+def bench_corpus(total_bytes: int, seed: int = 0) -> bytes:
+    """Input generator for the device configs: the synthetic mix by
+    default, or rotating windows of REAL image bytes (tests/realcorpus.py)
+    with LZ4TPU_BENCH_REAL=1.  The seed-dependent rotation keeps every
+    timed batch a DISTINCT input (the runtime memoizes identical
+    (executable, inputs) executions), while the byte distribution stays
+    that of real data.  Ratios then sit near the real-bytes row's ~0.49
+    rather than the synthetic ~0.45."""
+    if os.environ.get("LZ4TPU_BENCH_REAL") != "1":
+        return make_corpus(total_bytes, seed)
+    global _REAL_POOL
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from realcorpus import real_corpus
+
+    if _REAL_POOL is None or len(_REAL_POOL) < total_bytes:
+        _REAL_POOL = real_corpus(max(total_bytes, 32 << 20))
+    off = (seed * 1048573) % len(_REAL_POOL)
+    window = _REAL_POOL[off:] + _REAL_POOL[:off]
+    return window[:total_bytes]
+
+
 def _device_config(block_size, total, iters, uniq, attempts, opt=None):
     """Measure the Pallas device path at one level (attempts=0 -> L00 FAST,
     else HC chain depth; opt=(sufficient, full) selects the optimal parse).
@@ -98,7 +127,7 @@ def _device_config(block_size, total, iters, uniq, attempts, opt=None):
     enc_batches = []
     datas = []
     for s in range(iters + 1):
-        data = make_corpus(total, seed=uniq * 100 + attempts * 10 + s)
+        data = bench_corpus(total, seed=uniq * 100 + attempts * 10 + s)
         bufs_np, lens_np = split_blocks(data, block_size)
         enc_batches.append(
             (jnp.asarray(bufs_np, jnp.int32), jnp.asarray(lens_np))
@@ -196,7 +225,7 @@ def _device_config_stream(block_size, total, iters, uniq, level=0):
 
     datas, enc_in = [], []
     for s in range(iters + 1):
-        data = make_corpus(total, seed=uniq * 100 + s)
+        data = bench_corpus(total, seed=uniq * 100 + s)
         bufs, lens = split_blocks(data, block_size)
         enc_in.append((bufs, lens))
         datas.append(data)
@@ -292,7 +321,7 @@ def _scaling_device_config(block_size, total, iters, uniq):
 
         batches = []
         for s in range(iters + 1):
-            data = make_corpus(total, seed=uniq * 17 + 3 * s + n)
+            data = bench_corpus(total, seed=uniq * 17 + 3 * s + n)
             bufs, lens = split_blocks(data, block_size, pad_to=n)
             batches.append((
                 jax.device_put(jnp.asarray(bufs, jnp.int32), sh),
