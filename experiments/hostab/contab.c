@@ -11,6 +11,10 @@ typedef int64_t (*cont_t)(const uint8_t *, int64_t, int64_t, uint8_t *, int64_t,
 static double now(void){struct timespec ts;clock_gettime(CLOCK_MONOTONIC,&ts);return ts.tv_sec+ts.tv_nsec*1e-9;}
 static int cmpd(const void*a,const void*b){double x=*(const double*)a,y=*(const double*)b;return x<y?-1:x>y;}
 int main(int argc, char **argv) {
+    if (argc < 4) {
+        fprintf(stderr, "usage: contab <corpus> <block> <rounds>\n");
+        return 1;
+    }
     const char *path = argv[1];
     long block = atol(argv[2]);
     int rounds = atoi(argv[3]);

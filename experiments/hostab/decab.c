@@ -13,17 +13,24 @@ typedef int (*lz4hc_t)(const char *, char *, int, int, int);
 static double now(void){struct timespec ts;clock_gettime(CLOCK_MONOTONIC,&ts);return ts.tv_sec+ts.tv_nsec*1e-9;}
 static int cmpd(const void*a,const void*b){double x=*(const double*)a,y=*(const double*)b;return x<y?-1:x>y;}
 int main(int argc, char **argv) {
+    if (argc < 5) {
+        fprintf(stderr, "usage: decab <corpus> <level> <block> <rounds>\n");
+        return 1;
+    }
     const char *path = argv[1];
     int level = atoi(argv[2]);
     long block = atol(argv[3]);
     int rounds = atoi(argv[4]);
     void *h1 = dlopen("/root/repo/lz4_tpu/native/liblz4tpu-cpython-312.so", RTLD_NOW);
     void *h2 = dlopen("/usr/lib/x86_64-linux-gnu/liblz4.so.1", RTLD_NOW);
+    if (!h1 || !h2) { fprintf(stderr, "dlopen: %s\n", dlerror()); return 1; }
     dec_t ours = (dec_t)dlsym(h1, "lz4tpu_decode");
     lz4d_t canond = (lz4d_t)dlsym(h2, "LZ4_decompress_safe");
     lz4c_t canonc = (lz4c_t)dlsym(h2, "LZ4_compress_default");
     lz4hc_t canonhc = (lz4hc_t)dlsym(h2, "LZ4_compress_HC");
-    if (!ours) { fprintf(stderr, "no lz4tpu_decode: %s\n", dlerror()); return 1; }
+    if (!ours || !canond || !canonc || !canonhc) {
+        fprintf(stderr, "dlsym failed\n"); return 1;
+    }
     FILE *f = fopen(path, "rb");
     fseek(f,0,SEEK_END); long total=ftell(f); fseek(f,0,SEEK_SET);
     uint8_t *data = malloc(total);

@@ -24,6 +24,10 @@ static int cmpd(const void *a, const void *b) {
 }
 
 int main(int argc, char **argv) {
+    if (argc < 5) {
+        fprintf(stderr, "usage: hcab <corpus> <level> <block> <rounds> [ours.so]\n");
+        return 1;
+    }
     const char *path = argv[1];
     int level = atoi(argv[2]);
     long block = atol(argv[3]);
@@ -37,6 +41,9 @@ int main(int argc, char **argv) {
     enc_hc_t ours_hc = (enc_hc_t)dlsym(h1, "lz4tpu_encode_hc");
     enc_opt_t ours_opt = (enc_opt_t)dlsym(h1, "lz4tpu_encode_opt");
     lz4hc_t canon = (lz4hc_t)dlsym(h2, "LZ4_compress_HC");
+    if (!ours_hc || !ours_opt || !canon) {
+        fprintf(stderr, "dlsym failed\n"); return 1;
+    }
 
     FILE *f = fopen(path, "rb");
     fseek(f, 0, SEEK_END); long total = ftell(f); fseek(f, 0, SEEK_SET);

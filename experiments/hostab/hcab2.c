@@ -11,6 +11,10 @@ typedef int (*lz4hc_t)(const char *, char *, int, int, int);
 static double now(void){struct timespec ts;clock_gettime(CLOCK_MONOTONIC,&ts);return ts.tv_sec+ts.tv_nsec*1e-9;}
 static int cmpd(const void*a,const void*b){double x=*(const double*)a,y=*(const double*)b;return x<y?-1:x>y;}
 int main(int argc, char **argv) {
+    if (argc < 7) {
+        fprintf(stderr, "usage: hcab2 <corpus> <level> <block> <rounds> <soA> <soB>\n");
+        return 1;
+    }
     const char *path = argv[1];
     int level = atoi(argv[2]);
     long block = atol(argv[3]);
@@ -22,6 +26,9 @@ int main(int argc, char **argv) {
     const char *sym = level >= 10 ? "lz4tpu_encode_opt" : "lz4tpu_encode_hc";
     enc_t encA = (enc_t)dlsym(hA, sym), encB = (enc_t)dlsym(hB, sym);
     lz4hc_t canon = (lz4hc_t)dlsym(hC, "LZ4_compress_HC");
+    if (!encA || !encB || !canon) {
+        fprintf(stderr, "dlsym failed\n"); return 1;
+    }
     FILE *f = fopen(path, "rb");
     fseek(f,0,SEEK_END); long total=ftell(f); fseek(f,0,SEEK_SET);
     uint8_t *data = malloc(total);

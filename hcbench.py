@@ -1,12 +1,14 @@
 """Host HC (L3-L12) A/B harness vs canonical liblz4, single core, paired.
 
-Times `native.encode` (our C engine) against canonical `LZ4_compress_HC`
-on the SAME real-bytes blocks, strictly interleaved A/B/A/B with paired
-per-round ratios — the only methodology that survives this VM's +-15%
-run-to-run throughput swings (CLAUDE.md).  Byte-parity is asserted inline
-(the engines are byte-identical at L3-L12, so ratios cancel exactly).
+Times `native.encode_span` (our C engine, zero-copy span entry — the same
+raw-call footing as canonical's ctypes binding) against canonical
+`LZ4_compress_HC` on the SAME real-bytes blocks, strictly interleaved
+A/B/A/B with paired per-round ratios — the only methodology that survives
+this VM's +-15% run-to-run throughput swings (CLAUDE.md).  Byte-parity is
+asserted over EVERY block once up front (the engines are byte-identical
+at L3-L12, so ratios compare pure speed).
 
-Usage: python hcbench.py [--mb 16] [--rounds 9] [--level 9] [--block 65536]
+Usage: python hcbench.py [--mb=16] [--rounds=9] [--level=9] [--block=65536]
 
 CPU-only (JAX never imported).  Run it alone.
 """
@@ -16,6 +18,8 @@ import os
 import statistics
 import sys
 import time
+
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -36,10 +40,14 @@ def canonical():
 
 
 def main():
-    opts = {
-        a.split("=")[0][2:]: a.split("=")[1]
-        for a in sys.argv[1:] if a.startswith("--") and "=" in a
-    }
+    opts = {}
+    for a in sys.argv[1:]:
+        if not (a.startswith("--") and "=" in a):
+            sys.exit(f"unrecognized argument {a!r} (use --key=value)")
+        k, v = a[2:].split("=", 1)
+        if k not in ("mb", "rounds", "level", "block"):
+            sys.exit(f"unknown option --{k}")
+        opts[k] = v
     mb = int(opts.get("mb", 16))
     rounds = int(opts.get("rounds", 9))
     level = int(opts.get("level", 9))
@@ -51,18 +59,20 @@ def main():
     blocks = [data[i:i + block] for i in range(0, total, block)]
     bound = lib.LZ4_compressBound(block)
     dst = ctypes.create_string_buffer(bound)
+    obuf = np.empty(bound, np.uint8)  # our zero-copy span target
 
-    # byte-parity check once up front (ratios then cancel exactly)
-    for b in blocks[:: max(1, len(blocks) // 8)]:
+    # byte-parity over EVERY block once up front (ratios then cancel
+    # exactly; a speed number from this harness implies parity held)
+    for b in blocks:
         rc = lib.LZ4_compress_HC(b, dst, len(b), bound, level)
         assert rc > 0
-        ours = native.encode(b, level=level)
-        assert ours == dst.raw[:rc], "HC byte-parity broken!"
+        n = native.encode_span(b, 0, len(b), obuf, 0, bound, level)
+        assert obuf.tobytes()[:n] == dst.raw[:rc], "HC byte-parity broken!"
 
     def run_ours():
         n = 0
         for b in blocks:
-            n += len(native.encode(b, level=level))
+            n += native.encode_span(b, 0, len(b), obuf, 0, bound, level)
         return n
 
     def run_canon():
