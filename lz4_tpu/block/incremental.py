@@ -12,6 +12,13 @@ rings with explicit `Topup/Encode/Commit` state machines because it targets
 zero-copy .NET interop; here the carry is simply the last 64 KB of raw
 history (chained modes), kept as bytes, and blocks are encoded/decoded
 one-shot through `lz4_tpu.block.api` (TPU kernels or native host codec).
+
+The reference's `dirty` context flag (a stream poisoned after a failed
+compression, `Engine/LL.types.cs:34`) has no counterpart here by
+construction: the chain state (`_dict`) is updated only AFTER a block
+call returns successfully, so a raised encode/decode leaves the
+encoder/decoder at its exact pre-call state — failed calls are
+transactional rather than poisoning.
 """
 
 from __future__ import annotations
