@@ -1,0 +1,55 @@
+"""Bit-exactness of the 32-bit byU32-hash emulation vs the 64-bit
+reference formula (and the native C engine's chash_u32 via the encode
+path's observable behavior)."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from experiments.canon_hash32 import hash5_ref, hash5_u32, hash5_u32_np
+
+
+def _split(v: int):
+    """v (40-bit) -> (b0, w_hi) as the kernel reads them."""
+    return v & 0xFF, (v >> 8) & 0xFFFFFFFF
+
+
+def test_scalar_emulation_edges():
+    edges = [0, 1, 0xFF, 0x100, 0xFFFF, 0x10000, 0xFFFFFFFF,
+             0x100000000, 0xFFFFFFFFFF, 0x1122334455, 0xDEADBEEF01]
+    for v in edges:
+        b0, w = _split(v)
+        assert hash5_u32(b0, w) == hash5_ref(v), hex(v)
+
+
+def test_scalar_emulation_random():
+    rng = np.random.default_rng(20260820)
+    vs = rng.integers(0, 1 << 40, 20000, dtype=np.uint64)
+    for v in vs.tolist():
+        b0, w = _split(v)
+        assert hash5_u32(b0, w) == hash5_ref(v), hex(v)
+
+
+def test_scalar_emulation_full_b0_range():
+    """Every b0 value crossed with random tails: the small-mul partials
+    depend only on b0, so this exhausts their range."""
+    rng = np.random.default_rng(7)
+    for b0 in range(256):
+        for w in rng.integers(0, 1 << 32, 16, dtype=np.uint64).tolist():
+            v = (int(w) << 8) | b0
+            assert hash5_u32(b0, int(w)) == hash5_ref(v), (b0, hex(w))
+
+
+def test_int32_typed_variant_matches():
+    """The int32-typed (wrap-semantics) variant a Pallas kernel would
+    compile to agrees with the python-int emulation."""
+    rng = np.random.default_rng(99)
+    vs = rng.integers(0, 1 << 40, 50000, dtype=np.uint64)
+    b0 = (vs & 0xFF).astype(np.uint32)
+    w = ((vs >> np.uint64(8)) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    got = hash5_u32_np(b0, w)
+    want = np.array([hash5_ref(int(v)) for v in vs.tolist()], np.int64)
+    assert np.array_equal(got, want)
