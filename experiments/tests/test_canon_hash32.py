@@ -43,6 +43,48 @@ def test_scalar_emulation_full_b0_range():
             assert hash5_u32(b0, int(w)) == hash5_ref(v), (b0, hex(w))
 
 
+def test_pallas_scalar_kernel_matches():
+    """The emulation written as an actual Pallas scalar-core kernel
+    (SMEM loops, s32 wrap multiply, logical shift) — the exact form the
+    streaming encoder's probe would compile — is bit-exact under
+    interpret mode."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from experiments.canon_hash32 import KL, KL_HI16, KL_LO16, K_HI8
+
+    def kern(b0_ref, w_ref, out_ref):
+        def body(i, _):
+            b0 = b0_ref[i]
+            w = w_ref[i]
+            hi = ((b0 * KL_HI16) << 8) + ((b0 * KL_LO16) >> 8)
+            lo1 = ((b0 * K_HI8) & 0xFF) << 24
+            lo2 = w * jnp.int32(np.int32(np.uint32(KL)))  # wrapping s32
+            out_ref[i] = jax.lax.shift_right_logical(hi + lo1 + lo2, 20)
+            return 0
+
+        jax.lax.fori_loop(0, b0_ref.shape[0], body, 0)
+
+    rng = np.random.default_rng(20260820)
+    vs = rng.integers(0, 1 << 40, 4096, dtype=np.uint64)
+    b0 = (vs & 0xFF).astype(np.int32)
+    w = ((vs >> np.uint64(8)) & np.uint64(0xFFFFFFFF)).astype(
+        np.uint32
+    ).view(np.int32)
+    f = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((4096,), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        interpret=True,
+    )
+    got = np.asarray(f(jnp.asarray(b0), jnp.asarray(w)))
+    want = np.array([hash5_ref(int(v)) for v in vs.tolist()], np.int32)
+    assert np.array_equal(got, want)
+
+
 def test_int32_typed_variant_matches():
     """The int32-typed (wrap-semantics) variant a Pallas kernel would
     compile to agrees with the python-int emulation."""
