@@ -38,7 +38,18 @@ _LANES = 128
 _HLOG = 15  # matches the host engines (FAST_HASH_LOG / HC_HASH_LOG) so all
             # three implementations stay byte-identical by construction
 _SKIP_TRIGGER = 6
-_CANON_HLOG = 13  # upstream byU16 FAST table (LZ4_HASHLOG + 1)
+_CANON_HLOG = 13    # upstream byU16 FAST table (LZ4_HASHLOG + 1)
+_CANON_HLOG32 = 12  # upstream byU32 FAST table (LZ4_HASHLOG)
+_CANON_64K = 65536 + MF_LIMIT - 1  # upstream LZ4_64Klimit: byU32 above it
+
+# 32-bit decomposition of the byU32 5-byte-hash multiplier 889523592379
+# (experiments/canon_hash32.py proves the emulation bit-exact): the scalar
+# core is 32-bit, but the needed product bits 52..63 live in the high word,
+# which is exactly computable from 32-bit pieces.
+_K5_HI8 = 889523592379 >> 32           # 0xCF
+_K5_KL = 889523592379 & 0xFFFFFFFF     # 0x1BBCDCBB
+_K5_KL_HI16 = _K5_KL >> 16             # 0x1BBC
+_K5_KL_LO16 = _K5_KL & 0xFFFF          # 0xDCBB
 
 
 class _Row:
