@@ -28,12 +28,16 @@ Kernel-side inputs are free: b0 is the byte at p and x_hi is the
 unaligned 32-bit LE read at p+1 — both already in the encoder's reach.
 Cost: ~2 small muls + 1 wrapping mul + ~5 ALU ops per probe.
 
-Status: numbers proven bit-exact against the 64-bit formula over the
-full b0 range x random tails and exhaustive low/high edges
-(experiments/tests/test_canon_hash32.py).  Not yet wired into
-`ops/encode_pallas_stream.py` — that needs the canonical one-shot
-schedule (probe-ahead, skip-ramp phase, ip-2 refill) ported into the
-windowed scan, tracked in TODO.md "Capability completions".
+Status: proven bit-exact against the 64-bit formula over the full b0
+range x random tails and exhaustive low/high edges
+(experiments/tests/test_canon_hash32.py), and WIRED INTO the production
+kernels in round 4: `ops/encode_pallas5._encode_body`'s canonical scan
+uses this decomposition for the byU32 mode (inputs >= 64 KB + 11), in
+both the staged and windowed-streaming instantiations — gated
+byte-identical to the host canonical engines / upstream
+LZ4_compress_default by tests/test_pallas_encode_stream.py and the
+liblz4 interop suite.  test_kernel_constants_in_sync keeps the two
+constant decompositions in lockstep.
 """
 
 from __future__ import annotations

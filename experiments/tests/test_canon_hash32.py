@@ -17,6 +17,20 @@ def _split(v: int):
     return v & 0xFF, (v >> 8) & 0xFFFFFFFF
 
 
+def test_kernel_constants_in_sync():
+    """The production kernel (ops/encode_pallas5) derives its _K5_* pieces
+    from the same multiplier; keep the two decompositions in lockstep."""
+    from experiments import canon_hash32 as CH
+    from lz4_tpu.ops import encode_pallas5 as E5
+
+    assert E5._K5 == CH.K64
+    assert E5._K5_HI8 == CH.K_HI8
+    assert E5._K5_KL == CH.KL
+    assert E5._K5_KL_HI16 == CH.KL_HI16
+    assert E5._K5_KL_LO16 == CH.KL_LO16
+    assert E5._CANON_HLOG32 == CH.HASHLOG
+
+
 def test_scalar_emulation_edges():
     edges = [0, 1, 0xFF, 0x100, 0xFFFF, 0x10000, 0xFFFFFFFF,
              0x100000000, 0xFFFFFFFFFF, 0x1122334455, 0xDEADBEEF01]

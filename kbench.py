@@ -297,15 +297,19 @@ def main():
                                            profile="find", pair_probe=True)
                 return out, meta.reshape(meta.shape[0], 8)
             return runxf
-        if name in ("es", "esf"):
-            # streaming encoder (any block size; use with --block >= 256K);
-            # esf = find-only profile
+        if name in ("es", "escf", "esd", "esf"):
+            # streaming encoder (any block size; use with --block >= 256K):
+            # es = canonical schedule (production default), escf = canonical
+            # find-only, esd = dense 15-bit schedule, esf = dense find-only
             from lz4_tpu.ops.encode_pallas_stream import pallas_encode_stream
 
-            def runes(bufs, lens, name=name):
+            sched = "canonical" if name in ("es", "escf") else "dense"
+            prof = {"es": "full", "escf": "cfind",
+                    "esd": "full", "esf": "find"}[name]
+
+            def runes(bufs, lens, sched=sched, prof=prof):
                 out, meta = pallas_encode_stream(
-                    bufs, lens, bs, 0,
-                    profile="find" if name == "esf" else "full",
+                    bufs, lens, bs, 0, profile=prof, fast_schedule=sched,
                 )
                 return out, meta.reshape(meta.shape[0], 8)
             return runes

@@ -7,7 +7,10 @@ the measured cost model that selected them):
   exact optimal parse), blocks <= 64 KB, staged SMEM
 - `encode_pallas_stream` — same encoder body over SMEM rings + HBM DMA:
   any block size, plus dictionary mode ([dict | src] flat prefix) — the
-  chained-frame batch path
+  chained-frame batch path.  One-shot no-dict FAST runs the canonical
+  upstream schedule at EVERY block size (byU16 below 64 KB + 11, byU32
+  with the 32-bit-emulated 5-byte hash at/above) — byte-identical to
+  LZ4_compress_default; dict/chained batches use the dense family
 - `decode_pallas6`  — decoder, blocks <= 64 KB (branch-merged parse,
   full-word copies, fused fast arm; mode="full2v" extends the fast arm
   to 1-byte match VLE — +8% on HC-heavy streams, see PERFORMANCE.md).

@@ -40,16 +40,18 @@ _HLOG = 15  # matches the host engines (FAST_HASH_LOG / HC_HASH_LOG) so all
 _SKIP_TRIGGER = 6
 _CANON_HLOG = 13    # upstream byU16 FAST table (LZ4_HASHLOG + 1)
 _CANON_HLOG32 = 12  # upstream byU32 FAST table (LZ4_HASHLOG)
-_CANON_64K = 65536 + MF_LIMIT - 1  # upstream LZ4_64Klimit: byU32 above it
+_CANON_64K = 65536 + MF_LIMIT - 1  # upstream LZ4_64Klimit: byU32 when
+                                   # inputSize >= this (byU16 strictly below)
 
-# 32-bit decomposition of the byU32 5-byte-hash multiplier 889523592379
-# (experiments/canon_hash32.py proves the emulation bit-exact): the scalar
-# core is 32-bit, but the needed product bits 52..63 live in the high word,
-# which is exactly computable from 32-bit pieces.
-_K5_HI8 = 889523592379 >> 32           # 0xCF
-_K5_KL = 889523592379 & 0xFFFFFFFF     # 0x1BBCDCBB
-_K5_KL_HI16 = _K5_KL >> 16             # 0x1BBC
-_K5_KL_LO16 = _K5_KL & 0xFFFF          # 0xDCBB
+# 32-bit decomposition of the byU32 5-byte-hash multiplier (the canonical
+# LZ4_hash5 constant; experiments/canon_hash32.py proves the emulation
+# bit-exact): the scalar core is 32-bit, but the needed product bits 52..63
+# live in the high word, which is exactly computable from 32-bit pieces.
+_K5 = 889523592379
+_K5_HI8 = _K5 >> 32             # 0xCF
+_K5_KL = _K5 & 0xFFFFFFFF       # 0x1BBCDCBB
+_K5_KL_HI16 = _K5_KL >> 16      # 0x1BBC
+_K5_KL_LO16 = _K5_KL & 0xFFFF   # 0xDCBB
 
 
 class _Row:
@@ -81,6 +83,7 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                  hc_flat: bool = True, hc_run: bool = False, Wc=None,
                  ensure_to=None, win_log=None,
                  fast_schedule: str = "canonical",
+                 canon_u16=True,
                  emit_fuse: bool = False):
     """The complete FAST/HC/OPT encoder over caller-supplied accessors.
 
@@ -300,7 +303,6 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
         and not attempts
         and not opt_sufficient
         and not has_dict
-        and not windowed
         # "full" = production; "cfind" = canonical find-only profile (no
         # byte emission; kbench e5cf); other knobs instrument the dense
         # machinery
@@ -308,16 +310,9 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
     )
 
     # ---- init hash table -------------------------------------------------
-    if canonical_fast:
-        # upstream byU16 convention: empty slot == position 0 (false
-        # positives at position 0 are resolved by the 4-byte compare), so
-        # the table zero-inits — and it is 13-bit, a quarter of the init
-        def init_body(h, _):
-            htab[h] = 0
-            return 0
-
-        jax.lax.fori_loop(0, 1 << _CANON_HLOG, init_body, 0)
-    else:
+    # (the canonical scan zero-inits its own table inside `canon_scan` —
+    # its size depends on the runtime byU16/byU32 mode selection)
+    if not canonical_fast:
         def init_body(h, _):
             htab[h] = -1
             return 0
@@ -1366,122 +1361,248 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
 
     # ---- canonical-schedule FAST scan ------------------------------------
     if canonical_fast:
-        # Byte-parity FAST: upstream lz4's one-shot byU16 schedule (blocks
-        # here are <= 64 KB), byte-identical to LZ4_compress_default and to
-        # the host engines' canonical paths (native/lz4tpu.c
-        # lz4tpu_encode_fast_canonical documents the schedule; reference
-        # anchor `x64/LL64.fast.cs:35-513`).  Probing starts at byte 1 with
-        # the hash computed one probe ahead; the step lags the skip ramp by
-        # one; after each match: refill at ip-2, then a zero-literal
-        # immediate retry with no back-extension.
-        def hash13(w):
-            prod = (w * jnp.int32(-1640531535)).astype(jnp.uint32)
-            return _i(prod >> jnp.uint32(32 - _CANON_HLOG))
-
+        # Byte-parity FAST: upstream lz4's one-shot schedule, byte-identical
+        # to LZ4_compress_default and to the host engines' canonical paths
+        # (native/lz4tpu.c lz4tpu_encode_fast_canonical documents the
+        # schedule; reference anchor `x64/LL64.fast.cs:35-513`): byU16
+        # (13-bit table, 4-byte hash) for inputs < 64 KB + 11, byU32
+        # (12-bit table, 5-byte hash) at/above — the 5-byte hash runs as the
+        # proven 32-bit decomposition (experiments/canon_hash32.py).
+        # Probing starts at byte 1 with the hash computed one probe ahead;
+        # the step lags the skip ramp by one; byU32 candidates outside the
+        # 64 KB window are distance-rejected before the compare; after each
+        # match: refill at ip-2, then a zero-literal immediate retry with
+        # no back-extension.
+        #
+        # `canon_u16` selects the table mode statically (True when every
+        # block in the batch is < _CANON_64K) or at runtime per block
+        # (None: a top-level cond over two scan instantiations, the kernel
+        # twin of the C engine's CANON_SCAN(U16) pair).
         accel = jnp.clip(acc0, 1, 65537)
         mf1 = mf_limit + 1  # n - MF_LIMIT + 1, the upstream probe bound
 
-        def find_cond(fs):
-            cand, bail = fs[5], fs[6]
-            return (cand < 0) & (~bail)
+        def canon_scan(u16: bool):
+            """The full scan for one table mode.  Returns the final
+            (anchor, acc, op, err)."""
 
-        def find_body(fs):
-            _ip, fwd, step, ramp, fh, _cand, _bail = fs
-            h = fh
-            ip2 = fwd
-            fwd2 = fwd + step
-            step2 = ramp >> _SKIP_TRIGGER
-            ramp2 = ramp + 1
-            bail = fwd2 > mf1
-            mi = htab[h]
-            # clamped read: exact when live, dead on the bail path (fwd2
-            # can ramp far past n at high accelerations)
-            fh2 = hash13(W(jnp.minimum(fwd2, n)))
-            htab[h] = jnp.where(bail, mi, ip2)
-            good = (~bail) & (W(mi) == W(ip2))
-            return (
-                ip2, fwd2, step2, ramp2, fh2,
-                jnp.where(good, mi, jnp.int32(-1)), bail,
+            # empty slot == position 0 (upstream's convention: false
+            # positives at position 0 are resolved by the 4-byte compare /
+            # the byU32 distance check)
+            def tinit(h, _):
+                htab[h] = 0
+                return 0
+
+            jax.lax.fori_loop(
+                0, 1 << (_CANON_HLOG if u16 else _CANON_HLOG32), tinit, 0
             )
 
-        def chain_cond(cs):
-            return cs[6]
+            if u16:
+                def chash(p, rd=None):
+                    w = (W if rd is None else rd)(p)
+                    prod = (w * jnp.int32(-1640531535)).astype(jnp.uint32)
+                    return _i(prod >> jnp.uint32(32 - _CANON_HLOG))
 
-        def chain_body(cs):
-            ip, m, _anchor, acc, op, err, _again, _fin = cs
-            ml = MIN_MATCH + match_length(
-                m + MIN_MATCH, ip + MIN_MATCH, match_limit
-            )
-            if profile == "cfind":  # find-only: parse cost, no emission
-                op = op + (ip - _anchor) + 3 + (ml >> 4)
+                def cand_ok(mi, cur):
+                    return jnp.bool_(True)
+
+                def cand_w(mi, cur):
+                    return W(mi)
             else:
-                acc, op = emit_sequence(acc, op, _anchor, ip, ip - m, ml)
-            err = err | (op > ocap_b)
-            np_ = ip + ml
-            fin = np_ >= mf1
-            # refill ip-2, then probe ip — in that order (a colliding hash
-            # must see the refill); both skipped on the finishing exit
-            hpm2 = hash13(W(np_ - 2))
-            vpm2 = htab[hpm2]
-            htab[hpm2] = jnp.where(fin, vpm2, np_ - 2)
-            h2 = hash13(W(np_))
-            mi2 = htab[h2]
-            htab[h2] = jnp.where(fin, mi2, np_)
-            again = (~fin) & (W(mi2) == W(np_)) & (~err)
-            return np_, mi2, np_, acc, op, err, again, fin
+                def chash(p, rd=None):
+                    # h = (((v << 24) * K5) mod 2^64) >> 52 for the 5 LE
+                    # bytes v at p: bits 52..63 of the product live in its
+                    # high word, which decomposes exactly into 32-bit
+                    # pieces of b0 = byte(p) and the LE32 word at p+1
+                    # (bit-exactness proven in experiments/canon_hash32.py)
+                    r = W if rd is None else rd
+                    b0 = r(p) & 0xFF
+                    hi = ((b0 * _K5_KL_HI16) << 8) + (
+                        (b0 * _K5_KL_LO16) >> 8
+                    )
+                    lo1 = ((b0 * _K5_HI8) & 0xFF) << 24
+                    lo2 = r(p + 1) * jnp.int32(_K5_KL)  # wrapping mul
+                    s = (hi + lo1 + lo2).astype(jnp.uint32)
+                    return _i(s >> jnp.uint32(52 - 32))
 
-        def outer_cond(s):
-            err, done = s[5], s[6]
-            return (~done) & (~err)
+                def cand_ok(mi, cur):
+                    # upstream byU32 distance gate, applied BEFORE the
+                    # candidate load
+                    return mi + 65535 >= cur
 
-        def outer_body(s):
-            ip, fh, anchor, acc, op, err, _done = s
-            ipf, _fwd, _st, _rm, fhf, cand, bail = jax.lax.while_loop(
-                find_cond, find_body,
-                (ip, ip, jnp.int32(1), accel << _SKIP_TRIGGER, fh,
-                 jnp.int32(-1), jnp.bool_(False)),
+                def cand_w(mi, cur):
+                    # clamped (ensured) read: a distance-rejected
+                    # candidate's chunk is never DMA'd by the streaming
+                    # ring; the clamped value is dead under cand_ok
+                    return W(jnp.maximum(mi, cur - 65535))
+
+            def fbody(fs, rd, lim):
+                """One probe: h was computed one probe ahead; the next
+                probe's hash reads through `rd` clamped to `lim` (exact
+                when the loop continues, dead on exit paths)."""
+                _ip, fwd, step, ramp, fh, _cand, _bail = fs
+                h = fh
+                ip2 = fwd
+                fwd2 = fwd + step
+                step2 = ramp >> _SKIP_TRIGGER
+                ramp2 = ramp + 1
+                bail = fwd2 > mf1
+                mi = htab[h]
+                fh2 = chash(jnp.minimum(fwd2, lim), rd=rd)
+                htab[h] = jnp.where(bail, mi, ip2)
+                good = (~bail) & cand_ok(mi, ip2) & (
+                    cand_w(mi, ip2) == rd(ip2)
+                )
+                return (
+                    ip2, fwd2, step2, ramp2, fh2,
+                    jnp.where(good, mi, jnp.int32(-1)), bail,
+                )
+
+            if not windowed:
+                def find(ip):
+                    def fcond(fs):
+                        return (fs[5] < 0) & (~fs[6])
+
+                    out = jax.lax.while_loop(
+                        fcond, lambda fs: fbody(fs, W, n),
+                        (ip, ip, jnp.int32(1), accel << _SKIP_TRIGGER,
+                         chash(jnp.minimum(ip, n)), jnp.int32(-1),
+                         jnp.bool_(False)),
+                    )
+                    return out[0], out[5], out[6]
+            else:
+                # WINDOWED find (streaming wrapper): the outer loop ensures
+                # one chunk of probe lookahead, then the inner loop runs the
+                # probe stream on raw ring reads and exits at the window
+                # edge; re-entry recomputes the pipelined hash from ensured
+                # reads with identical state, so the probe/insert sequence
+                # and skip schedule are byte-identical to the staged scan.
+                # Candidate-verify reads stay on the ensured `W` (see the
+                # _encode_body docstring for why raw is unsafe there).
+                def find(ip):
+                    def ocond(s):
+                        return (s[4] < 0) & (~s[5])
+
+                    def obody(s):
+                        ip_, fwd, step, ramp, _c, _b = s
+                        ensure_to(fwd + (1 << win_log))
+                        win_hi = ((fwd >> win_log) + 2) << win_log
+                        # raw-read clamp: stays resident AND inside the
+                        # padded source
+                        lim = jnp.minimum(win_hi - 8, n)
+                        fh = chash(jnp.minimum(fwd, n))  # ensured, exact
+
+                        def icond(t):
+                            return (
+                                (t[5] < 0) & (~t[6])
+                                & (t[1] + 8 <= win_hi)
+                            )
+
+                        out = jax.lax.while_loop(
+                            icond, lambda t: fbody(t, Wc, lim),
+                            (ip_, fwd, step, ramp, fh, jnp.int32(-1),
+                             jnp.bool_(False)),
+                        )
+                        return (out[0], out[1], out[2], out[3], out[5],
+                                out[6])
+
+                    out = jax.lax.while_loop(
+                        ocond, obody,
+                        (ip, ip, jnp.int32(1), accel << _SKIP_TRIGGER,
+                         jnp.int32(-1), jnp.bool_(False)),
+                    )
+                    return out[0], out[4], out[5]
+
+            def chain_cond(cs):
+                return cs[6]
+
+            def chain_body(cs):
+                ip, m, _anchor, acc, op, err, _again, _fin = cs
+                ml = MIN_MATCH + match_length(
+                    m + MIN_MATCH, ip + MIN_MATCH, match_limit
+                )
+                if profile == "cfind":  # find-only: parse cost, no emission
+                    op = op + (ip - _anchor) + 3 + (ml >> 4)
+                else:
+                    acc, op = emit_sequence(acc, op, _anchor, ip, ip - m, ml)
+                err = err | (op > ocap_b)
+                np_ = ip + ml
+                fin = np_ >= mf1
+                # refill ip-2, then probe ip — in that order (a colliding
+                # hash must see the refill); both skipped on the finishing
+                # exit
+                hpm2 = chash(np_ - 2)
+                vpm2 = htab[hpm2]
+                htab[hpm2] = jnp.where(fin, vpm2, np_ - 2)
+                h2 = chash(np_)
+                mi2 = htab[h2]
+                htab[h2] = jnp.where(fin, mi2, np_)
+                again = (
+                    (~fin) & cand_ok(mi2, np_)
+                    & (cand_w(mi2, np_) == W(np_)) & (~err)
+                )
+                return np_, mi2, np_, acc, op, err, again, fin
+
+            def outer_cond(s):
+                err, done = s[4], s[5]
+                return (~done) & (~err)
+
+            def outer_body(s):
+                ip, anchor, acc, op, err, _done = s
+                ipf, cand, bail = find(ip)
+
+                def hit(_):
+                    def back_cond(bs):
+                        pp, cc = bs
+                        return (
+                            (pp > anchor) & (cc > 0)
+                            & (byte(pp - 1) == byte(cc - 1))
+                        )
+
+                    def back_body(bs):
+                        pp, cc = bs
+                        return pp - 1, cc - 1
+
+                    ipb, mb = jax.lax.while_loop(
+                        back_cond, back_body, (ipf, cand)
+                    )
+                    ip3, _m, anchor3, acc3, op3, err3, _ag, fin3 = (
+                        jax.lax.while_loop(
+                            chain_cond, chain_body,
+                            (ipb, mb, anchor, acc, op, err,
+                             jnp.bool_(True), jnp.bool_(False)),
+                        )
+                    )
+                    # clamp is identity when live
+                    ipn = jnp.minimum(ip3 + 1, n)
+                    return ipn, anchor3, acc3, op3, err3, fin3
+
+                def miss(_):
+                    # `bail` is True on this branch; returning it (not a
+                    # python constant) keeps the cond's yield types uniform
+                    # under the Mosaic lowering
+                    return ipf, anchor, acc, op, err, bail
+
+                return jax.lax.cond(bail, miss, hit, None)
+
+            small_block0 = n < MF_LIMIT + 1
+            ip0 = jnp.minimum(jnp.int32(1), n)
+            _ip, anchor_f, acc_f, op_f, err_f, _done = jax.lax.while_loop(
+                outer_cond, outer_body,
+                (ip0, jnp.int32(0), jnp.uint32(0), jnp.int32(0),
+                 jnp.bool_(False), small_block0),
             )
+            return anchor_f, acc_f, op_f, err_f
 
-            def hit(_):
-                def back_cond(bs):
-                    pp, cc = bs
-                    return (
-                        (pp > anchor) & (cc > 0)
-                        & (byte(pp - 1) == byte(cc - 1))
-                    )
+        if canon_u16 is None:
+            anchor, acc, op, err = jax.lax.cond(
+                n < _CANON_64K,
+                lambda _: canon_scan(True),
+                lambda _: canon_scan(False),
+                None,
+            )
+        else:
+            anchor, acc, op, err = canon_scan(bool(canon_u16))
 
-                def back_body(bs):
-                    pp, cc = bs
-                    return pp - 1, cc - 1
-
-                ipb, mb = jax.lax.while_loop(
-                    back_cond, back_body, (ipf, cand)
-                )
-                ip3, _m, anchor3, acc3, op3, err3, _ag, fin3 = (
-                    jax.lax.while_loop(
-                        chain_cond, chain_body,
-                        (ipb, mb, anchor, acc, op, err,
-                         jnp.bool_(True), jnp.bool_(False)),
-                    )
-                )
-                ipn = jnp.minimum(ip3 + 1, n)  # clamp is identity when live
-                return ipn, hash13(W(ipn)), anchor3, acc3, op3, err3, fin3
-
-            def miss(_):
-                # `bail` is True on this branch; returning it (not a python
-                # constant) keeps the cond's yield types uniform under the
-                # Mosaic lowering
-                return ipf, fhf, anchor, acc, op, err, bail
-
-            return jax.lax.cond(bail, miss, hit, None)
-
-        small_block0 = n < MF_LIMIT + 1
-        ip0 = jnp.minimum(jnp.int32(1), n)
-        _ip, _fh, anchor, acc, op, err, _done = jax.lax.while_loop(
-            outer_cond, outer_body,
-            (ip0, hash13(W(ip0)), jnp.int32(0), jnp.uint32(0),
-             jnp.int32(0), jnp.bool_(False), small_block0),
-        )
         if profile == "cfind":
             op = op + (n - anchor) + 1
         else:
@@ -1542,7 +1663,7 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
                 opt_full: bool = False, profile: str = "full",
                 pair_probe: bool = False, hc_flat: bool = True,
                 hc_run: bool = False, fast_schedule: str = "canonical",
-                emit_fuse: bool = False):
+                canon_u16=True, emit_fuse: bool = False):
     """Staged whole-block wrapper around `_encode_body`.
 
     src_s:   SMEM i32[1, 1, CAP]  per-byte LE words
@@ -1562,7 +1683,8 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
         n, acc0, W, store, None, htab, prev, nti, opt_tab,
         attempts, ocap, opt_sufficient, opt_full, profile=profile,
         pair_probe=pair_probe, hc_flat=hc_flat, hc_run=hc_run,
-        fast_schedule=fast_schedule, emit_fuse=emit_fuse,
+        fast_schedule=fast_schedule, canon_u16=canon_u16,
+        emit_fuse=emit_fuse,
     )
     meta_ref[0, 0, 0] = op
     meta_ref[0, 0, 1] = errv
@@ -1585,11 +1707,11 @@ def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
     """src_i32: i32[B, CAP] block bytes (CAP % 128 == 0, >= bcap + pad).
 
     Returns (out_words i32[B, 1, OW] packed, meta i32[B, 1, 8])."""
-    if bcap >= 65536 + 11:  # upstream LZ4_64Klimit: byU32 above it
-        # the device canonical schedule implements byU16 only (the byU32
-        # 5-byte hash needs a 64-bit multiply); larger blocks use the
-        # dense-schedule family, like the streaming kernel
-        fast_schedule = "dense"
+    # upstream table-mode selection is per-INPUT (byU16 strictly below
+    # LZ4_64Klimit, byU32 at/above): when the batch capacity proves every
+    # block is byU16 the mode is compile-time static; otherwise the kernel
+    # selects per block at runtime
+    canon_u16 = True if bcap < _CANON_64K else None
     b, cap = src_i32.shape
     assert cap % _LANES == 0 and cap >= bcap + 2 * _LANES, (cap, bcap)
     if accs is None:
@@ -1633,7 +1755,8 @@ def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
             meta_ref, attempts, align1024(compress_bound(bcap)),
             opt_sufficient, opt_full, profile=profile,
             pair_probe=pair_probe, hc_flat=hc_flat, hc_run=hc_run,
-            fast_schedule=fast_schedule, emit_fuse=emit_fuse,
+            fast_schedule=fast_schedule, canon_u16=canon_u16,
+            emit_fuse=emit_fuse,
         )
 
     out, meta = pl.pallas_call(

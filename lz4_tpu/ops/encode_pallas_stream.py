@@ -59,7 +59,8 @@ def _encode_stream_one(i, n, acc0, src_w, out_hbm, meta_ref, ring_w, ring_o,
                        state, htab, prev, nti, opt_tab, sem_w, sem_o,
                        attempts: int, ocap: int, opt_sufficient: int,
                        opt_full: bool, src_off=None,
-                       profile: str = "full"):
+                       profile: str = "full",
+                       fast_schedule: str = "canonical", canon_u16=None):
     """Encode block i through the shared body over ring accessors.
 
     src_w:   HBM i32[B, NC, 128, 128]  per-byte LE words, chunked
@@ -130,6 +131,7 @@ def _encode_stream_one(i, n, acc0, src_w, out_hbm, meta_ref, ring_w, ring_o,
         n, acc0, W, store, flush, htab, prev, nti, opt_tab,
         attempts, ocap, opt_sufficient, opt_full, src_off=src_off,
         profile=profile, Wc=Wc, ensure_to=ensure_to, win_log=_CW_LOG,
+        fast_schedule=fast_schedule, canon_u16=canon_u16,
     )
 
     # final flush of all remaining segments (incl. the partial one)
@@ -162,12 +164,13 @@ def _align(v: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("bcap", "attempts", "opt_sufficient", "opt_full",
-                     "has_dict", "profile"),
+                     "has_dict", "profile", "fast_schedule"),
 )
 def pallas_encode_stream(src_i32, lens, bcap: int, attempts: int = 0,
                          accs=None, opt_sufficient: int = 0,
                          opt_full: bool = False, src_offs=None,
-                         has_dict: bool = False, profile: str = "full"):
+                         has_dict: bool = False, profile: str = "full",
+                         fast_schedule: str = "canonical"):
     """src_i32: i32[B, CAP] block bytes, any bcap.
 
     Dictionary mode (has_dict): each row is [dict | src] flat-prefix
@@ -175,6 +178,9 @@ def pallas_encode_stream(src_i32, lens, bcap: int, attempts: int = 0,
     TOTAL length, and `bcap` bounds the SOURCE part (sizes the output).
 
     Returns (out_words i32[B, NSEG, 32, 128] packed, meta i32[B, 1, 8])."""
+    from .encode_pallas5 import _CANON_64K
+
+    canon_u16 = True if bcap < _CANON_64K else None
     b, cap = src_i32.shape
     if accs is None:
         accs = jnp.ones((1,), jnp.int32)
@@ -225,7 +231,8 @@ def pallas_encode_stream(src_i32, lens, bcap: int, attempts: int = 0,
             state, htab, prev, nti, opt_tab, sem_w, sem_o,
             attempts, ocap, opt_sufficient, opt_full,
             src_off=offs_ref[i] if has_dict else None,
-            profile=profile,
+            profile=profile, fast_schedule=fast_schedule,
+            canon_u16=canon_u16,
         )
 
     out, meta = pl.pallas_call(
@@ -243,11 +250,17 @@ def pallas_encode_stream(src_i32, lens, bcap: int, attempts: int = 0,
 def encode_blocks_pallas_stream(
     bufs_u8: np.ndarray, lens: np.ndarray, bcap: int, level: int = 0,
     acceleration: int = 1, dicts: np.ndarray | None = None,
-    dict_lens: np.ndarray | None = None,
+    dict_lens: np.ndarray | None = None, fast_schedule: str = "canonical",
 ):
     """Host wrapper: u8[B, CAP] raw blocks -> (u8[B, OCAP], clens, errs).
 
-    Same ladder mapping as `encode_pallas5.encode_blocks_pallas5`.
+    Same ladder mapping as `encode_pallas5.encode_blocks_pallas5`.  FAST
+    one-shot no-dict blocks default to the canonical upstream schedule
+    (byte-identical to LZ4_compress_default at ANY block size — byU16
+    below 64 KB + 11, byU32 with the emulated 5-byte hash at/above);
+    ``fast_schedule="dense"`` selects the 15-bit-table finder.
+    Dictionary/chained batches always use the dense family (the canonical
+    one-shot schedule is a no-dict schedule by definition).
 
     Dictionary mode: `dicts` u8[B, DW] holds each block's preset window
     RIGHT-aligned (the last `dict_lens[b]` bytes are the dictionary, like
@@ -292,6 +305,7 @@ def encode_blocks_pallas_stream(
             src, jnp.asarray(lens, jnp.int32), bcap, attempts,
             jnp.asarray([acceleration], jnp.int32),
             src_offs=src_offs, has_dict=has_dict,
+            fast_schedule=fast_schedule,
         )
     ocap = align1024(compress_bound(bcap))
     words = np.ascontiguousarray(np.asarray(out).reshape(out.shape[0], -1))

@@ -153,7 +153,7 @@ def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
 
             out, out_lens, errs = encode_blocks_pallas_stream(
                 np.asarray(bufs_np), np.asarray(lens_np), bcap, int(level),
-                acceleration,
+                acceleration, fast_schedule=geometry,
             )
             if errs.any():
                 raise RuntimeError("pallas stream encoder overflow")
@@ -169,7 +169,7 @@ def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
 
         out, out_lens, errs = encode_blocks_pallas_stream(
             np.asarray(bufs_np), np.asarray(lens_np), bcap, int(level),
-            acceleration,
+            acceleration, fast_schedule=geometry,
         )
         if errs.any():
             raise RuntimeError("pallas stream encoder overflow")

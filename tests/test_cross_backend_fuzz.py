@@ -172,3 +172,49 @@ def test_fuzz_corrupted_blocks_device_decoder(seed, monkeypatch):
         # must be in range (bytes may legitimately differ from `data`)
         assert 0 <= int(olens[0]) <= n
     D6.pallas_decode6.clear_cache()
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_fuzz_streaming_canonical_byu32_interpret(seed, monkeypatch):
+    """Round-4 coverage: the streaming kernel's canonical scan fuzzed with
+    sizes straddling the byU16/byU32 limit (LZ4_64Klimit = 65547) in one
+    batch — every block must be byte-identical to the host canonical
+    engine and decode back through the oracle."""
+    import functools
+
+    import numpy as np
+    from jax.experimental import pallas as pl
+
+    from lz4_tpu.ops import encode_pallas_stream as ES
+
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    ES.pallas_encode_stream.clear_cache()
+    try:
+        rng = random.Random(9000 + seed)
+        sizes = [
+            rng.choice([65546, 65547, 65548]),
+            rng.randrange(66000, 90000),
+            rng.randrange(100, 60000),
+        ]
+        datas = [_random_structured(rng, sz) for sz in sizes]
+        bcap = max(sizes)
+        cap = -(-(bcap + 1024) // 1024) * 1024
+        bufs = np.zeros((len(datas), cap), np.uint8)
+        lens = np.zeros((len(datas),), np.int32)
+        for k, d in enumerate(datas):
+            bufs[k, : len(d)] = np.frombuffer(d, np.uint8)
+            lens[k] = len(d)
+        accel = rng.choice([1, 1, 3])
+        out, clens, errs = ES.encode_blocks_pallas_stream(
+            bufs, lens, bcap, 0, acceleration=accel
+        )
+        assert not np.asarray(errs).any()
+        for k, d in enumerate(datas):
+            got = out[k, : clens[k]].tobytes()
+            assert got == hostref.encode_fast_canonical(d, accel), \
+                (seed, k, len(d), accel)
+            assert hostref.decode_block(got, len(d)) == d, (seed, k)
+    finally:
+        ES.pallas_encode_stream.clear_cache()

@@ -45,6 +45,11 @@ def _identity_case(data: bytes, bcap: int, level: int):
     comp_s = s_out[0, : s_len[0]].tobytes()
     comp_g = g_out[0, : g_len[0]].tobytes()
     assert comp_s == comp_g, "stream != staged"
+    if level < 3:
+        # one-shot no-dict FAST is the canonical upstream schedule at ANY
+        # block size (byU16 < 64 KB + 11, byU32 at/above)
+        assert comp_s == hostref.encode_fast_canonical(data, 1), \
+            "stream != host canonical"
     assert hostref.decode_block(comp_s, len(data)) == data
     return comp_s
 
@@ -80,6 +85,74 @@ def test_fast_identity_long_literals_window(rng):
         + rng.randbytes(17616)
     )
     _identity_case(data, 160 * 1024, 0)
+
+
+def test_canonical_byu32_boundary_and_batch(rng):
+    """The upstream byU16/byU32 selection edge (LZ4_64Klimit = 65547) and
+    a mixed batch exercising the runtime table-mode cond: every block must
+    be byte-identical to the host canonical engine (and so to upstream
+    LZ4_compress_default)."""
+    words = [rng.randbytes(rng.randint(3, 9)) for _ in range(40)]
+
+    def wordy(n):
+        return b" ".join(rng.choice(words) for _ in range(n * 2))[:n]
+
+    datas = [wordy(65546), wordy(65547), wordy(30000), b"", wordy(100000)]
+    bcap = 100000
+    cap = -(-(bcap + 1024) // 1024) * 1024
+    bufs = np.zeros((len(datas), cap), np.uint8)
+    lens = np.zeros((len(datas),), np.int32)
+    for k, d in enumerate(datas):
+        bufs[k, : len(d)] = np.frombuffer(d, np.uint8)
+        lens[k] = len(d)
+    s_out, s_len, s_err = ES.encode_blocks_pallas_stream(bufs, lens, bcap, 0)
+    assert not np.asarray(s_err).any()
+    for k, d in enumerate(datas):
+        got = s_out[k, : s_len[k]].tobytes()
+        assert got == hostref.encode_fast_canonical(d, 1), (k, len(d))
+
+
+def test_canonical_byu32_acceleration_and_eviction(rng):
+    """byU32 canonical under skip-ramp accelerations, with a 150 KB noise
+    head whose long-literal emit reloads old chunks (the slot-eviction
+    hazard), plus the distance-gated candidate rejection on far matches."""
+    noise = rng.randbytes(150 * 1024)
+    tail = (b"the quick brown fox jumps over the lazy dog " * 900)[:38000]
+    data = noise + tail + bytes(12000)
+    bcap = len(data)
+    cap = -(-(bcap + 1024) // 1024) * 1024
+    bufs = np.zeros((1, cap), np.uint8)
+    bufs[0] = np.frombuffer(data.ljust(cap, b"\0"), np.uint8)
+    lens = np.asarray([len(data)], np.int32)
+    for accel in (1, 2, 7, 65537):
+        s_out, s_len, s_err = ES.encode_blocks_pallas_stream(
+            bufs, lens, bcap, 0, acceleration=accel
+        )
+        assert s_err[0] == 0
+        got = s_out[0, : s_len[0]].tobytes()
+        assert got == hostref.encode_fast_canonical(data, accel), accel
+
+
+def test_dense_geometry_stays_selectable(rng):
+    """fast_schedule="dense" keeps the 15-bit-table finder (pinned by its
+    own golden vectors) for one-shot streaming blocks."""
+    from lz4_tpu import native
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    words = [rng.randbytes(rng.randint(3, 9)) for _ in range(30)]
+    data = b" ".join(rng.choice(words) for _ in range(30000))[:90000]
+    bcap = len(data)
+    cap = -(-(bcap + 1024) // 1024) * 1024
+    bufs = np.zeros((1, cap), np.uint8)
+    bufs[0, : len(data)] = np.frombuffer(data, np.uint8)
+    lens = np.asarray([len(data)], np.int32)
+    s_out, s_len, s_err = ES.encode_blocks_pallas_stream(
+        bufs, lens, bcap, 0, fast_schedule="dense"
+    )
+    assert s_err[0] == 0
+    got = s_out[0, : s_len[0]].tobytes()
+    assert got == native.encode(data, 0, geometry="dense")
 
 
 def test_hc_identity_across_chunks(rng):
@@ -190,9 +263,15 @@ def test_big_block_stream_encode_routing(monkeypatch):
     bufs[0] = np.frombuffer(d, np.uint8)
     lens = np.full((1,), bcap, np.int32)
     out, clens = PB.encode_blocks_device(bufs, lens, bcap, 0)
-    # the streaming device kernel is the dense-schedule family (canonical
-    # byU32 needs the 5-byte hash's 64-bit multiply; host-only for now)
-    assert out[0, : clens[0]].tobytes() == native.encode(
+    # round 4: the streaming device kernel defaults to the canonical
+    # schedule (byU32 via the emulated 5-byte hash), so on-device and
+    # host big-block encode are byte-identical
+    assert out[0, : clens[0]].tobytes() == native.encode(d, 0)
+    # and the dense geometry threads through the routing
+    out_d, clens_d = PB.encode_blocks_device(
+        bufs, lens, bcap, 0, geometry="dense"
+    )
+    assert out_d[0, : clens_d[0]].tobytes() == native.encode(
         d, 0, geometry="dense"
     )
     # default (env unset): host engine handles it — canonical schedule

@@ -171,10 +171,19 @@ def test_streaming_encode_large_blocks(tpu):
     for level in (0, 9):
         out, clens, errs = encode_blocks_pallas_stream(bufs, lens, bcap, level)
         assert not errs.any(), level
-        # streaming kernel = dense-schedule family (see ops/__init__.py)
-        ref = native.encode(d, level, geometry="dense")
+        # one-shot FAST defaults to the canonical byU32 schedule above the
+        # 64 KB limit (round 4) — byte-identical to the host default
+        ref = native.encode(d, level)
         for b in (0, 1):
             assert out[b, : clens[b]].tobytes() == ref, (level, b)
+    # the dense 15-bit geometry stays selectable
+    out, clens, errs = encode_blocks_pallas_stream(
+        bufs, lens, bcap, 0, fast_schedule="dense"
+    )
+    assert not errs.any()
+    ref = native.encode(d, 0, geometry="dense")
+    for b in (0, 1):
+        assert out[b, : clens[b]].tobytes() == ref, b
 
 
 def test_dict_decode(tpu):
