@@ -280,6 +280,34 @@ def test_big_block_stream_encode_routing(monkeypatch):
     assert out2[0, : clens2[0]].tobytes() == native.encode(d, 0)
 
 
+def test_independent_device_frame_big_blocks_identical(monkeypatch, rng):
+    """End-to-end frame parity for the round-4 canonical byU32 path: an
+    INDEPENDENT-block frame with 128 KB blocks encoded on the device
+    streaming kernel is byte-identical to the host frame (both canonical),
+    including the content checksum and block framing."""
+    from lz4_tpu import frame, native
+    from lz4_tpu.frame.descriptor import EncoderSettings
+    from lz4_tpu.parallel import blocks as PB
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    words = [rng.randbytes(rng.randint(3, 8)) for _ in range(40)]
+    data = (
+        b" ".join(rng.choice(words) for _ in range(60000))[:200_000]
+        + rng.randbytes(50_000)
+        + bytes(62_000)
+    )
+    settings = EncoderSettings(
+        chain_blocks=False, block_size=131072, content_checksum=True
+    )
+    ref = frame.compress(data, settings=settings, backend="host")
+    monkeypatch.setattr(PB, "_on_tpu", lambda: True)
+    monkeypatch.setenv("LZ4TPU_DEVICE_STREAM_ENCODE", "1")
+    dev = frame.compress(data, settings=settings, backend="tpu")
+    assert dev == ref
+    assert frame.decompress(dev) == data
+
+
 def test_chained_device_frame_large_blocks(monkeypatch):
     """Chained frame with 256 KB blocks end-to-end on the device paths:
     batched streaming dict-ENCODE produces the host FrameWriter's exact
