@@ -66,7 +66,59 @@ def _host_encode(
     return hostref.encode_opt(data, dictionary, level)
 
 
-def _tpu_encode(data: bytes, level: int, dictionary: bytes) -> bytes:
+def _tpu_encode(
+    data: bytes, level: int, dictionary: bytes, acceleration: int = 1,
+    geometry: str = "canonical",
+) -> bytes:
+    """Explicit-device one-shot.  On a real TPU this routes to the
+    production Pallas kernels (staged <= 64 KB, streaming above,
+    dictionary mode via the streaming kernel) — the same engines the
+    batched `lz4_tpu.parallel` paths ship, ~25-40x the XLA dense kernel
+    per chip.  The XLA kernel remains the CPU-mesh fallback.  Shapes are
+    power-of-2 bucketed (like the XLA path) to bound per-shape compiles."""
+    import numpy as np
+
+    from ..parallel import blocks as PB
+
+    if PB._on_tpu():
+        from ..ops.encode_jax import _bucket
+
+        n = len(data)
+        bcap = _bucket(max(n, 16))
+        errs = None
+        if not dictionary and bcap <= PB.PALLAS_MAX_BLOCK:
+            from ..ops.encode_pallas5 import encode_blocks_pallas5
+
+            cap = bcap + 1024  # kernel needs cap >= bcap + 256, % 128 == 0
+            bufs = np.zeros((1, cap), np.uint8)
+            if n:
+                bufs[0, :n] = np.frombuffer(data, np.uint8)
+            out, clens, errs = encode_blocks_pallas5(
+                bufs, np.asarray([n], np.int32), bcap, int(level),
+                acceleration, fast_schedule=geometry,
+            )
+        else:
+            from ..ops.encode_pallas_stream import encode_blocks_pallas_stream
+
+            bufs = np.zeros((1, bcap), np.uint8)
+            if n:
+                bufs[0, :n] = np.frombuffer(data, np.uint8)
+            dicts = dict_lens = None
+            if dictionary:
+                win = bytes(dictionary)[-65536:]
+                dicts = np.zeros((1, 65536), np.uint8)
+                dicts[0, 65536 - len(win):] = np.frombuffer(win, np.uint8)
+                dict_lens = np.asarray([len(win)], np.int32)
+            out, clens, errs = encode_blocks_pallas_stream(
+                bufs, np.asarray([n], np.int32), bcap, int(level),
+                acceleration, dicts=dicts, dict_lens=dict_lens,
+                fast_schedule=geometry,
+            )
+        if int(errs[0]):
+            from .hostref import LZ4Error
+
+            raise LZ4Error("device encoder overflow")
+        return out[0, : int(clens[0])].tobytes()
     from ..ops import encode_jax
 
     return encode_jax.encode_block_bytes(data, level=level, dictionary=dictionary)
@@ -94,9 +146,10 @@ def encode(
     level = int(level)
     _check_geometry(geometry)
     if backend == "tpu":
-        # the XLA dense-vector kernel (CPU-mesh fallback) has its own valid
-        # schedule; geometry selects between the host/Pallas engines only
-        out = _tpu_encode(data, level, dictionary)
+        # real TPU: production Pallas kernels (canonical-parity FAST at
+        # any size).  CPU mesh: the XLA dense-vector kernel, which has its
+        # own valid schedule (geometry does not apply there)
+        out = _tpu_encode(data, level, dictionary, acceleration, geometry)
     else:
         # "auto" prefers the native host codec for one-shot blocks: a single
         # block cannot amortize a device round-trip (and a cold jit shape
@@ -107,6 +160,60 @@ def encode(
     if target_capacity is not None and len(out) > target_capacity:
         return None
     return out
+
+
+def _tpu_decode(data, target_length, dictionary, capacity):
+    """Explicit-device one-shot decode via the production Pallas kernels
+    on a real TPU (staged <= 64 KB output, streaming above, dictionary
+    variants included).  Returns None when the Pallas route does not
+    apply (CPU mesh, or no output-size bound to allocate against) — the
+    caller falls back to the XLA kernel."""
+    import numpy as np
+
+    from ..parallel import blocks as PB
+
+    if not PB._on_tpu():
+        return None
+    bound = target_length if target_length is not None else capacity
+    if bound is None:
+        return None  # host/XLA paths size the output dynamically
+    from ..ops.encode_jax import _bucket
+    from .hostref import LZ4Error
+
+    out_cap = _bucket(max(int(bound), 16))
+    cap = _bucket(max(len(data), 16)) + 1024
+    comps = np.zeros((1, cap), np.uint8)
+    comps[0, : len(data)] = np.frombuffer(data, np.uint8)
+    clens = np.asarray([len(data)], np.int32)
+    if dictionary:
+        win = bytes(dictionary)[-65536:]
+        dicts = np.zeros((1, 65536), np.uint8)
+        dicts[0, 65536 - len(win):] = np.frombuffer(win, np.uint8)
+        dlens = np.asarray([len(win)], np.int32)
+        if out_cap <= PB.PALLAS_MAX_BLOCK:
+            from ..ops.decode_pallas6 import decode_blocks_pallas6
+
+            out, olens, errs = decode_blocks_pallas6(
+                comps, clens, out_cap, dicts, dlens
+            )
+        else:
+            from ..ops.decode_pallas_stream import (
+                decode_blocks_pallas_stream,
+            )
+
+            out, olens, errs = decode_blocks_pallas_stream(
+                comps, clens, out_cap, dicts, dlens
+            )
+    else:
+        out, olens, errs = PB.decode_blocks_device(comps, clens, out_cap)
+    if int(errs[0]):
+        raise LZ4Error("malformed block (device decoder)")
+    olen = int(olens[0])
+    if target_length is not None and olen != target_length:
+        raise LZ4Error(
+            f"decoded {olen} bytes, expected {target_length}"
+        )
+    return out[0, :olen].tobytes()
 
 
 def decode(
@@ -122,6 +229,9 @@ def decode(
     unknown (e.g. legacy-format blocks with a known maximum size)."""
     data = _as_bytes(data)
     if backend == "tpu":
+        out = _tpu_decode(data, target_length, dictionary, capacity)
+        if out is not None:
+            return out
         from ..ops import decode_jax
 
         return decode_jax.decode_block_bytes(
