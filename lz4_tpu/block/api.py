@@ -177,35 +177,33 @@ def _tpu_decode(data, target_length, dictionary, capacity):
     bound = target_length if target_length is not None else capacity
     if bound is None:
         return None  # host/XLA paths size the output dynamically
+    from ..constants import compress_bound
+    from ..ops.common import align1024
     from ..ops.encode_jax import _bucket
     from .hostref import LZ4Error
 
     out_cap = _bucket(max(int(bound), 16))
-    cap = _bucket(max(len(data), 16)) + 1024
+    # the comp staging cap stays on the batched paths' proven shape
+    # family (align1024(compress_bound(out_cap))): a VALID block for this
+    # output bound cannot be longer (LZ4's length codings have no
+    # redundant forms), and a novel larger SMEM shape would risk an
+    # avoidable Mosaic allocation failure / fresh remote compile
+    cap = align1024(compress_bound(out_cap))
+    if len(data) > cap:
+        return None  # cannot be a valid block for this bound; let the
+        # dynamic-output paths produce the precise error
     comps = np.zeros((1, cap), np.uint8)
     comps[0, : len(data)] = np.frombuffer(data, np.uint8)
     clens = np.asarray([len(data)], np.int32)
+    dicts = dlens = None
     if dictionary:
         win = bytes(dictionary)[-65536:]
         dicts = np.zeros((1, 65536), np.uint8)
         dicts[0, 65536 - len(win):] = np.frombuffer(win, np.uint8)
         dlens = np.asarray([len(win)], np.int32)
-        if out_cap <= PB.PALLAS_MAX_BLOCK:
-            from ..ops.decode_pallas6 import decode_blocks_pallas6
-
-            out, olens, errs = decode_blocks_pallas6(
-                comps, clens, out_cap, dicts, dlens
-            )
-        else:
-            from ..ops.decode_pallas_stream import (
-                decode_blocks_pallas_stream,
-            )
-
-            out, olens, errs = decode_blocks_pallas_stream(
-                comps, clens, out_cap, dicts, dlens
-            )
-    else:
-        out, olens, errs = PB.decode_blocks_device(comps, clens, out_cap)
+    out, olens, errs = PB.decode_blocks_device(
+        comps, clens, out_cap, dicts, dlens
+    )
     if int(errs[0]):
         raise LZ4Error("malformed block (device decoder)")
     olen = int(olens[0])

@@ -278,11 +278,17 @@ def _pick_decode_mode(clens_np, out_cap: int) -> str:
     return "full2v" if ratio < 0.40 else "full2"
 
 
-def decode_blocks_device(comps_np, clens_np, out_cap: int):
-    """Decode a batch on the device with the best available kernel.
+def decode_blocks_device(comps_np, clens_np, out_cap: int,
+                         dicts_np=None, dict_lens_np=None):
+    """Decode a batch on the device with the best available kernel
+    (optionally with per-block preset dictionaries, u8[B, 65536]
+    right-aligned + lengths).
 
     Returns (out u8[B, out_cap], lens i32[B], errs i32[B]) as numpy.
     """
+    if dicts_np is not None:
+        dicts_np = np.asarray(dicts_np)
+        dict_lens_np = np.asarray(dict_lens_np, np.int32)
     if _use_pallas(out_cap):
         # v6: all-scalar packed-word kernel with branch-merged parse and
         # full-word copies (see ops/decode_pallas6) — the fastest measured
@@ -291,6 +297,7 @@ def decode_blocks_device(comps_np, clens_np, out_cap: int):
 
         return decode_blocks_pallas6(
             np.asarray(comps_np), np.asarray(clens_np), out_cap,
+            dicts_np, dict_lens_np,
             mode=_pick_decode_mode(clens_np, out_cap),
         )
     if _on_tpu():
@@ -307,7 +314,12 @@ def decode_blocks_device(comps_np, clens_np, out_cap: int):
 
         return decode_blocks_pallas_stream(
             np.asarray(comps_np), np.asarray(clens_np), out_cap,
+            dicts_np, dict_lens_np,
             mode="full" if env == "full2" else "full2v",
+        )
+    if dicts_np is not None:
+        raise NotImplementedError(
+            "dictionary batches need the Pallas device kernels"
         )
     return decode_chunked(comps_np, clens_np, out_cap)
 
