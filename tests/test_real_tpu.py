@@ -257,3 +257,39 @@ def test_xxh32_kernel(tpu):
     got = xxh32_blocks(bufs, lens)
     for i, d in enumerate(datas):
         assert int(got[i]) & 0xFFFFFFFF == xxh32(d), i
+
+
+def test_block_api_tpu_backend_one_shots(tpu):
+    """Round 4: explicit backend="tpu" one-shots ride the production
+    Pallas kernels on real hardware — staged (<= 64 KB bucket), streaming
+    (above), and the dictionary variants — byte-identical to the host
+    canonical/dense engines."""
+    import lz4_tpu
+    from lz4_tpu import native
+    from lz4_tpu.block import hostref
+
+    rng = random.Random(91)
+    words = [rng.randbytes(rng.randint(3, 8)) for _ in range(30)]
+
+    def wordy(n):
+        return b" ".join(rng.choice(words) for _ in range(n))[:n]
+
+    small = wordy(3000)
+    c = lz4_tpu.encode(small, backend="tpu")
+    assert c == hostref.encode_fast_canonical(small, 1)
+    assert lz4_tpu.decode(c, len(small), backend="tpu") == small
+
+    big = wordy(100000)
+    c = lz4_tpu.encode(big, backend="tpu")
+    assert c == hostref.encode_fast_canonical(big, 1)
+    assert lz4_tpu.decode(c, len(big), backend="tpu") == big
+
+    if native.available():
+        dict_ = wordy(4000)
+        data = dict_[-1500:] + b"-NEW-" + dict_[:800]
+        c = lz4_tpu.encode(data, dictionary=dict_, backend="tpu")
+        assert c == native.encode(data, 0, dictionary=dict_,
+                                  geometry="dense")
+        assert lz4_tpu.decode(
+            c, len(data), dictionary=dict_, backend="tpu"
+        ) == data
