@@ -97,14 +97,22 @@ def compress_distributed(
     level: int = 0,
     settings=None,
 ) -> bytes | None:
-    """Compress ``data`` (replicated input) into one independent-block LZ4
-    frame, with the block axis sharded across processes.
+    """Compress ``data`` (replicated input) into one LZ4 frame, with the
+    block axis sharded across processes.
 
     Every process encodes only its contiguous block range; compressed
     lengths are all-gathered (the frame-offset prefix sum), payload lanes
     are gathered in frame order, and every process returns the identical
     assembled frame (process_allgather is an all-gather — symmetric by
     construction; callers typically write it out on process 0 only).
+
+    CHAINED frames shard too: block k's dictionary is the previous 64 KB
+    of *plaintext*, and the input is replicated, so every process already
+    holds every block's window — chained encode is as parallel as
+    independent encode (the multi-host twin of
+    ``parallel.encode_blocks_chained_device``; only chained *decode* is
+    inherently sequential).  Output is byte-identical to the sequential
+    host FrameWriter's chained frame (gated by tests/test_multihost.py).
     """
     import struct
 
@@ -120,8 +128,7 @@ def compress_distributed(
     settings = settings or EncoderSettings(
         chain_blocks=False, block_size=block_size, compression_level=level
     )
-    if settings.chain_blocks:
-        raise ValueError("distributed frames require independent blocks")
+    chained = settings.chain_blocks
     block_size = settings.block_size
     level = settings.compression_level
     d = settings.to_descriptor()
@@ -139,8 +146,16 @@ def compress_distributed(
     lane_lens = np.zeros((per,), np.int32)
     stored = np.zeros((per,), np.int32)
     for i, b in enumerate(range(start, stop)):
-        raw = data[b * block_size : min((b + 1) * block_size, n)]
-        comp = block_api.encode(raw, level=level)
+        off = b * block_size
+        raw = data[off : min(off + block_size, n)]
+        window = data[max(0, off - 65536) : off] if chained else b""
+        # chained frames are the dense-geometry family for every block
+        # (the host FrameWriter's chain encoders), independent blocks the
+        # canonical default — same rules as frame.compress
+        comp = block_api.encode(
+            raw, level=level, dictionary=window,
+            geometry="dense" if chained else "canonical",
+        )
         if comp is None or len(comp) >= len(raw):
             comp, stored[i] = raw, 1
         lanes[i, : len(comp)] = np.frombuffer(comp, np.uint8)

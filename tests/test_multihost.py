@@ -54,10 +54,17 @@ blob = multihost.compress_distributed(data, block_size=65536, level=0)
 plain = multihost.decompress_distributed(blob)
 assert plain == data, (jax.process_index(), len(plain), len(data))
 
+# CHAINED frames shard too (plaintext windows are replicated)
+from lz4_tpu.frame.descriptor import EncoderSettings
+st = EncoderSettings(chain_blocks=True, block_size=65536)
+chained = multihost.compress_distributed(data, settings=st)
+
 out_path = os.environ["LZ4TPU_TEST_OUT"] + f".{jax.process_index()}"
 with open(out_path, "wb") as f:
     f.write(blob)
-print("worker", jax.process_index(), "ok", len(blob))
+with open(out_path + ".chained", "wb") as f:
+    f.write(chained)
+print("worker", jax.process_index(), "ok", len(blob), len(chained))
 """
 
 
@@ -116,6 +123,19 @@ def test_two_process_distributed_frame(tmp_path):
     assert blob0 == single
     assert frame.decompress(blob0, backend="host") == data
 
+    # chained distributed frame: symmetric and byte-identical to the
+    # sequential host FrameWriter's chained frame
+    ch0 = open(out + ".0.chained", "rb").read()
+    ch1 = open(out + ".1.chained", "rb").read()
+    assert ch0 == ch1
+    ch_single = frame.compress(
+        data,
+        settings=EncoderSettings(chain_blocks=True, block_size=65536),
+        backend="host",
+    )
+    assert ch0 == ch_single
+    assert frame.decompress(ch0, backend="host") == data
+
 
 def _free_port() -> int:
     s = socket.socket()
@@ -123,6 +143,33 @@ def _free_port() -> int:
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+def test_chained_compress_distributed_single_process():
+    """Chained distributed compress (round 4): byte-identical to the host
+    FrameWriter's chained frame across the ladder — block k's plaintext
+    window is replicated, so chained ENCODE shards like independent."""
+    import random
+
+    from lz4_tpu import frame
+    from lz4_tpu.frame.descriptor import EncoderSettings
+    from lz4_tpu.parallel.multihost import compress_distributed
+
+    rng = random.Random(31)
+    words = [rng.randbytes(rng.randint(3, 8)) for _ in range(40)]
+    data = (
+        b" ".join(rng.choice(words) for _ in range(40000))[:150_000]
+        + rng.randbytes(40_000)
+        + bytes(40_000)
+    )
+    for lvl in (0, 9):
+        st = EncoderSettings(
+            chain_blocks=True, block_size=65536, compression_level=lvl,
+            content_checksum=True,
+        )
+        blob = compress_distributed(data, settings=st)
+        assert blob == frame.compress(data, settings=st, backend="host"), lvl
+        assert frame.decompress(blob) == data
 
 
 def test_decompress_distributed_single_process():
