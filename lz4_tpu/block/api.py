@@ -66,6 +66,17 @@ def _host_encode(
     return hostref.encode_opt(data, dictionary, level)
 
 
+def _stage_dict_window(dictionary):
+    """Right-align the last 64 KB of a preset dictionary into the device
+    kernels' u8[1, 65536] window layout.  Returns (dicts, dict_lens)."""
+    import numpy as np
+
+    win = bytes(dictionary)[-65536:]
+    dicts = np.zeros((1, 65536), np.uint8)
+    dicts[0, 65536 - len(win):] = np.frombuffer(win, np.uint8)
+    return dicts, np.asarray([len(win)], np.int32)
+
+
 def _tpu_encode(
     data: bytes, level: int, dictionary: bytes, acceleration: int = 1,
     geometry: str = "canonical",
@@ -105,10 +116,7 @@ def _tpu_encode(
                 bufs[0, :n] = np.frombuffer(data, np.uint8)
             dicts = dict_lens = None
             if dictionary:
-                win = bytes(dictionary)[-65536:]
-                dicts = np.zeros((1, 65536), np.uint8)
-                dicts[0, 65536 - len(win):] = np.frombuffer(win, np.uint8)
-                dict_lens = np.asarray([len(win)], np.int32)
+                dicts, dict_lens = _stage_dict_window(dictionary)
             out, clens, errs = encode_blocks_pallas_stream(
                 bufs, np.asarray([n], np.int32), bcap, int(level),
                 acceleration, dicts=dicts, dict_lens=dict_lens,
@@ -197,10 +205,7 @@ def _tpu_decode(data, target_length, dictionary, capacity):
     clens = np.asarray([len(data)], np.int32)
     dicts = dlens = None
     if dictionary:
-        win = bytes(dictionary)[-65536:]
-        dicts = np.zeros((1, 65536), np.uint8)
-        dicts[0, 65536 - len(win):] = np.frombuffer(win, np.uint8)
-        dlens = np.asarray([len(win)], np.int32)
+        dicts, dlens = _stage_dict_window(dictionary)
     out, olens, errs = PB.decode_blocks_device(
         comps, clens, out_cap, dicts, dlens
     )
@@ -210,6 +215,13 @@ def _tpu_decode(data, target_length, dictionary, capacity):
     if target_length is not None and olen != target_length:
         raise LZ4Error(
             f"decoded {olen} bytes, expected {target_length}"
+        )
+    if target_length is None and olen > capacity:
+        # `capacity` is a hard safety bound (host semantics: a crafted
+        # block cannot balloon past it), not just an allocation hint —
+        # the kernel decodes into the bucketed buffer, so enforce it here
+        raise LZ4Error(
+            f"decoded {olen} bytes exceeds capacity {capacity}"
         )
     return out[0, :olen].tobytes()
 

@@ -93,3 +93,8 @@ def test_capacity_decode(rng):
     data = _wordy(rng, 2000)
     comp = lz4_tpu.encode(data, backend="tpu")
     assert lz4_tpu.decode(comp, capacity=4096, backend="tpu") == data
+    # `capacity` is a hard bound, not an allocation hint: a block that
+    # decodes past it must raise (host semantics), even though the device
+    # kernel decodes into a power-of-2-bucketed buffer
+    with pytest.raises(hostref.LZ4Error):
+        lz4_tpu.decode(comp, capacity=100, backend="tpu")

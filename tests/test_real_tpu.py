@@ -165,17 +165,23 @@ def test_streaming_encode_large_blocks(tpu):
         + rng.randbytes(bcap // 4)
         + bytes(bcap // 4)
     )
+    # mixed batch: block 0 full-size (byU32), block 1 small (byU16) — the
+    # per-block runtime table-mode cond under real Mosaic codegen
+    d_small = d[: 30000]
     bufs = np.zeros((2, bcap), np.uint8)
-    bufs[0] = bufs[1] = np.frombuffer(d, np.uint8)
-    lens = np.full((2,), bcap, np.int32)
+    bufs[0] = np.frombuffer(d, np.uint8)
+    bufs[1, : len(d_small)] = np.frombuffer(d_small, np.uint8)
+    lens = np.asarray([bcap, len(d_small)], np.int32)
     for level in (0, 9):
         out, clens, errs = encode_blocks_pallas_stream(bufs, lens, bcap, level)
         assert not errs.any(), level
         # one-shot FAST defaults to the canonical byU32 schedule above the
         # 64 KB limit (round 4) — byte-identical to the host default
-        ref = native.encode(d, level)
-        for b in (0, 1):
+        for b, src in ((0, d), (1, d_small)):
+            ref = native.encode(src, level)
             assert out[b, : clens[b]].tobytes() == ref, (level, b)
+    bufs[1] = bufs[0]
+    lens = np.full((2,), bcap, np.int32)
     # the dense 15-bit geometry stays selectable
     out, clens, errs = encode_blocks_pallas_stream(
         bufs, lens, bcap, 0, fast_schedule="dense"
