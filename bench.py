@@ -825,6 +825,28 @@ def main():
             "decode_GBps": round(d9, 4),
             "ratio": round(r9, 4),
         }
+    if (
+        full
+        and block_size <= 65536
+        and os.environ.get("LZ4TPU_BENCH_REAL") != "1"
+    ):
+        # same kernel shapes as device_L00 (no new compiles), REAL image
+        # bytes: real streams carry longer matches than the synthetic mix,
+        # so this is where device decode meets its ~118 MB/s ceiling
+        try:
+            os.environ["LZ4TPU_BENCH_REAL"] = "1"
+            er, dr, rr = _device_config(
+                block_size, total, max(2, iters - 1), uniq + 5, attempts=0
+            )
+            configs["device_L00_real_bytes"] = {
+                "encode_GBps": round(er, 4),
+                "decode_GBps": round(dr, 4),
+                "ratio": round(rr, 4),
+            }
+        except Exception:
+            pass  # real corpus unavailable: keep the synthetic rows only
+        finally:
+            os.environ.pop("LZ4TPU_BENCH_REAL", None)
     if full:
         if os.environ.get("LZ4TPU_BENCH_L12") == "1":
             # device optimal parse: opt-in (its kernel compile can take
