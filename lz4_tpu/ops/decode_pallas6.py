@@ -566,14 +566,20 @@ def pallas_decode6(comps_i32, comp_lens, out_cap: int, dicts_i32=None,
     """comps_i32: i32[B, CAP] one byte per element, zero padded.
 
     Returns (out_words i32[B, OW] packed LE words with the dict prefix
-    stripped by the host wrapper, meta i32[B, 8])."""
+    stripped by the host wrapper, meta i32[B, 8]).
+
+    Byte inputs may arrive as uint8: the widening to i32 runs ON DEVICE
+    (inside this jit), so the host->device transfer ships 1 byte per
+    byte instead of 4 (the tunnel moves ~35 MB/s — measured 2.9x faster
+    ingestion for 8 MB payloads)."""
+    comps_i32 = comps_i32.astype(jnp.int32)
     b, cap = comps_i32.shape
     assert cap % _LANES == 0, cap
     if with_dict:
         dw = _DICT_WORDS
         assert dicts_i32 is not None and dicts_i32.shape == (b, 65536)
         packed = (
-            dicts_i32.reshape(b, dw, 4)
+            dicts_i32.astype(jnp.int32).reshape(b, dw, 4)
             * jnp.array([1, 1 << 8, 1 << 16, 1 << 24], jnp.int32)
         ).sum(axis=2, dtype=jnp.int32)
         dict_words = packed.reshape(b, 1, dw)
@@ -649,13 +655,13 @@ def decode_blocks_pallas6(
     `mode`: "full2" (fused-run fast arm, the L00 headline) or "full2v"
     (fast arm also covers single-extension-byte match VLE — +8% on
     HC/OPT-shaped streams, -2.5% on L00; see PERFORMANCE.md)."""
-    comps_i32 = jnp.asarray(comps_u8, jnp.int32)
+    comps_i32 = jnp.asarray(comps_u8)  # u8: widened on device
     if dicts_u8 is not None:
         out, meta, dcapw = pallas_decode6(
             comps_i32,
             jnp.asarray(comp_lens, jnp.int32),
             out_cap,
-            jnp.asarray(dicts_u8, jnp.int32),
+            jnp.asarray(dicts_u8),
             jnp.asarray(dict_lens, jnp.int32),
             with_dict=True,
             mode=mode,

@@ -177,9 +177,14 @@ def pallas_encode_stream(src_i32, lens, bcap: int, attempts: int = 0,
     (host-engine layout), `src_offs[b]` is the dict length, `lens[b]` the
     TOTAL length, and `bcap` bounds the SOURCE part (sizes the output).
 
-    Returns (out_words i32[B, NSEG, 32, 128] packed, meta i32[B, 1, 8])."""
+    Returns (out_words i32[B, NSEG, 32, 128] packed, meta i32[B, 1, 8]).
+
+    Byte inputs may arrive as uint8: the widening to i32 runs ON DEVICE
+    (inside this jit), so the host->device transfer ships 1 byte per byte
+    instead of 4 (measured 2.9x faster ingestion over the tunnel)."""
     from .encode_pallas5 import _CANON_64K
 
+    src_i32 = src_i32.astype(jnp.int32)
     canon_u16 = True if bcap < _CANON_64K else None
     b, cap = src_i32.shape
     if accs is None:
@@ -288,7 +293,7 @@ def encode_blocks_pallas_stream(
         src_offs = jnp.asarray(dls, jnp.int32)
         lens = jnp.asarray(dls + lens, jnp.int32)
 
-    src = jnp.asarray(bufs_u8, jnp.int32)
+    src = jnp.asarray(bufs_u8)  # u8: widened on device
     level = int(level)
     if level >= 10:
         searches, sufficient = HC_LEVEL_TABLE[min(level, 12)]
