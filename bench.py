@@ -135,7 +135,9 @@ def _device_config(block_size, total, iters, uniq, attempts, opt=None):
         data = bench_corpus(total, seed=uniq * 100 + attempts * 10 + s)
         bufs_np, lens_np = split_blocks(data, block_size)
         enc_batches.append(
-            (jnp.asarray(bufs_np, jnp.int32), jnp.asarray(lens_np))
+            # u8 staging: shares the production wrappers' u8-input
+            # executables (the widen runs on device)
+            (jnp.asarray(bufs_np), jnp.asarray(lens_np))
         )
         datas.append(data)
     jax.block_until_ready([b[0] for b in enc_batches])
@@ -180,7 +182,7 @@ def _device_config(block_size, total, iters, uniq, attempts, opt=None):
         w = min(cap, out_np.shape[1])
         comps[:, :w] = out_np[:, :w]
         dec_batches.append(
-            (jnp.asarray(comps, jnp.int32), jnp.asarray(ol_np.astype(np.int32)))
+            (jnp.asarray(comps), jnp.asarray(ol_np.astype(np.int32)))
         )
     jax.block_until_ready([b[0] for b in dec_batches])
 
@@ -329,7 +331,7 @@ def _scaling_device_config(block_size, total, iters, uniq):
             data = bench_corpus(total, seed=uniq * 17 + 3 * s + n)
             bufs, lens = split_blocks(data, block_size, pad_to=n)
             batches.append((
-                jax.device_put(jnp.asarray(bufs, jnp.int32), sh),
+                jax.device_put(jnp.asarray(bufs), sh),
                 jax.device_put(jnp.asarray(lens), sh),
             ))
         jax.block_until_ready([b[0] for b in batches])
@@ -352,7 +354,7 @@ def _scaling_device_config(block_size, total, iters, uniq):
             w = min(cap, u8.shape[1])
             comps[:, :w] = u8[:, :w]
             dec_batches.append((
-                jax.device_put(jnp.asarray(comps, jnp.int32), sh),
+                jax.device_put(jnp.asarray(comps), sh),
                 jax.device_put(jnp.asarray(mh[:, 0].astype(np.int32)), sh),
             ))
         jax.block_until_ready([b[0] for b in dec_batches])
