@@ -70,7 +70,7 @@ def main():
             c = native.encode(bufs[b, : lens[b]].tobytes(), enclevel)
             comps[b, : len(c)] = np.frombuffer(c, np.uint8)
             clens[b] = len(c)
-        dec_batches.append((jnp.asarray(comps), jnp.asarray(clens)))
+        dec_batches.append((jnp.asarray(comps, jnp.int32), jnp.asarray(clens)))
         datas.append(data)
     jax.block_until_ready([b[0] for b in dec_batches])
     print("staged (native-encoded)", flush=True)
@@ -383,7 +383,7 @@ def main():
         for s in range(iters + 1):
             bufs, lens = split_blocks(datas[s], bs)
             enc_batches.append(
-                (jnp.asarray(bufs), jnp.asarray(lens))
+                (jnp.asarray(bufs, jnp.int32), jnp.asarray(lens))
             )
         jax.block_until_ready([b[0] for b in enc_batches])
         for name in enc_variants:
