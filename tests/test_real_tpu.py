@@ -299,3 +299,37 @@ def test_block_api_tpu_backend_one_shots(tpu):
         assert lz4_tpu.decode(
             c, len(data), dictionary=dict_, backend="tpu"
         ) == data
+
+
+def test_streaming_dict_encode_on_hardware(tpu):
+    """Dictionary-mode streaming ENCODE under real Mosaic codegen (the
+    chained-frame batch path): flat [dict | src] prefix with per-block
+    src_off, byte-identical to the host engines' dense dict family."""
+    from lz4_tpu import native
+    from lz4_tpu.ops.encode_pallas_stream import encode_blocks_pallas_stream
+
+    rng = random.Random(47)
+    words = [rng.randbytes(rng.randint(3, 8)) for _ in range(30)]
+
+    def wordy(n):
+        return b" ".join(rng.choice(words) for _ in range(n))[:n]
+
+    cap, dw = 8192, 65536
+    cases = [(wordy(3000), wordy(cap)), (b"", wordy(cap))]
+    bufs = np.zeros((len(cases), cap), np.uint8)
+    lens = np.zeros((len(cases),), np.int32)
+    dicts = np.zeros((len(cases), dw), np.uint8)
+    dls = np.zeros((len(cases),), np.int32)
+    for k, (d, s) in enumerate(cases):
+        bufs[k, : len(s)] = np.frombuffer(s, np.uint8)
+        lens[k] = len(s)
+        if d:
+            dicts[k, dw - len(d):] = np.frombuffer(d, np.uint8)
+        dls[k] = len(d)
+    out, clens, errs = encode_blocks_pallas_stream(
+        bufs, lens, cap, 0, dicts=dicts, dict_lens=dls
+    )
+    assert not np.asarray(errs).any()
+    for k, (d, s) in enumerate(cases):
+        ref = native.encode(s, 0, dictionary=d, geometry="dense")
+        assert out[k, : clens[k]].tobytes() == ref, k
