@@ -281,6 +281,16 @@ def main():
                 )
                 return out, meta
             return run
+        if name == "e5cw":
+            # canonical find with the CARRIED compare word (one SMEM load
+            # fewer per probe; byte-identical) — A/B vs e5
+            from lz4_tpu.ops.encode_pallas5 import pallas_encode5
+
+            def runcw(bufs, lens):
+                out, meta = pallas_encode5(bufs, lens, bs, 0,
+                                           canon_carry_w=True)
+                return out, meta.reshape(meta.shape[0], 8)
+            return runcw
         if name == "e5x":
             from lz4_tpu.ops.encode_pallas5 import pallas_encode5
 

@@ -83,7 +83,7 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                  hc_flat: bool = True, hc_run: bool = False, Wc=None,
                  ensure_to=None, win_log=None,
                  fast_schedule: str = "canonical",
-                 canon_u16=True,
+                 canon_u16=True, canon_carry_w: bool = False,
                  emit_fuse: bool = False):
     """The complete FAST/HC/OPT encoder over caller-supplied accessors.
 
@@ -1397,10 +1397,12 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
             )
 
             if u16:
-                def chash(p, rd=None):
-                    w = (W if rd is None else rd)(p)
+                def hash_w(w, w1):
                     prod = (w * jnp.int32(-1640531535)).astype(jnp.uint32)
                     return _i(prod >> jnp.uint32(32 - _CANON_HLOG))
+
+                def read_hw(p, rd):
+                    return rd(p), jnp.int32(0)
 
                 def cand_ok(mi, cur):
                     return jnp.bool_(True)
@@ -1408,21 +1410,24 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                 def cand_w(mi, cur):
                     return W(mi)
             else:
-                def chash(p, rd=None):
+                def hash_w(w, w1):
                     # h = (((v << 24) * K5) mod 2^64) >> 52 for the 5 LE
                     # bytes v at p: bits 52..63 of the product live in its
                     # high word, which decomposes exactly into 32-bit
-                    # pieces of b0 = byte(p) and the LE32 word at p+1
-                    # (bit-exactness proven in experiments/canon_hash32.py)
-                    r = W if rd is None else rd
-                    b0 = r(p) & 0xFF
+                    # pieces of b0 = w & 0xFF and w1 = the LE32 word at
+                    # p+1 (bit-exactness proven in
+                    # experiments/canon_hash32.py)
+                    b0 = w & 0xFF
                     hi = ((b0 * _K5_KL_HI16) << 8) + (
                         (b0 * _K5_KL_LO16) >> 8
                     )
                     lo1 = ((b0 * _K5_HI8) & 0xFF) << 24
-                    lo2 = r(p + 1) * jnp.int32(_K5_KL)  # wrapping mul
+                    lo2 = w1 * jnp.int32(_K5_KL)  # wrapping mul
                     s = (hi + lo1 + lo2).astype(jnp.uint32)
                     return _i(s >> jnp.uint32(52 - 32))
+
+                def read_hw(p, rd):
+                    return rd(p), rd(p + 1)
 
                 def cand_ok(mi, cur):
                     # upstream byU32 distance gate, applied BEFORE the
@@ -1435,40 +1440,82 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                     # ring; the clamped value is dead under cand_ok
                     return W(jnp.maximum(mi, cur - 65535))
 
-            def fbody(fs, rd, lim):
-                """One probe: h was computed one probe ahead; the next
-                probe's hash reads through `rd` clamped to `lim` (exact
-                when the loop continues, dead on exit paths)."""
-                _ip, fwd, step, ramp, fh, _cand, _bail = fs
-                h = fh
-                ip2 = fwd
-                fwd2 = fwd + step
-                step2 = ramp >> _SKIP_TRIGGER
-                ramp2 = ramp + 1
-                bail = fwd2 > mf1
-                mi = htab[h]
-                fh2 = chash(jnp.minimum(fwd2, lim), rd=rd)
-                htab[h] = jnp.where(bail, mi, ip2)
-                good = (~bail) & cand_ok(mi, ip2) & (
-                    cand_w(mi, ip2) == rd(ip2)
-                )
-                return (
-                    ip2, fwd2, step2, ramp2, fh2,
-                    jnp.where(good, mi, jnp.int32(-1)), bail,
-                )
+            def chash(p, rd=None):
+                r = W if rd is None else rd
+                w, w1 = read_hw(p, r)
+                return hash_w(w, w1)
+
+            if canon_carry_w:
+                # CARRIED compare word: the pipelined hash already reads
+                # the word at the next probe position, so carry it in the
+                # loop state and reuse it as that iteration's compare word
+                # — one SMEM load fewer per probe (byte-identical: same
+                # values read).
+                def fbody(fs, rd, lim):
+                    _ip, fwd, step, ramp, fh, w, _cand, _bail = fs
+                    h = fh
+                    ip2 = fwd
+                    fwd2 = fwd + step
+                    step2 = ramp >> _SKIP_TRIGGER
+                    ramp2 = ramp + 1
+                    bail = fwd2 > mf1
+                    mi = htab[h]
+                    wn, w1n = read_hw(jnp.minimum(fwd2, lim), rd)
+                    fh2 = hash_w(wn, w1n)
+                    htab[h] = jnp.where(bail, mi, ip2)
+                    good = (~bail) & cand_ok(mi, ip2) & (
+                        cand_w(mi, ip2) == w
+                    )
+                    return (
+                        ip2, fwd2, step2, ramp2, fh2, wn,
+                        jnp.where(good, mi, jnp.int32(-1)), bail,
+                    )
+
+                def pipe_init(p, lim, rd):
+                    w0, w10 = read_hw(jnp.minimum(p, lim), rd)
+                    return (hash_w(w0, w10), w0)
+
+                _CAND, _BAIL = 6, 7
+            else:
+                def fbody(fs, rd, lim):
+                    """One probe: h was computed one probe ahead; the next
+                    probe's hash reads through `rd` clamped to `lim`
+                    (exact when the loop continues, dead on exit paths)."""
+                    _ip, fwd, step, ramp, fh, _cand, _bail = fs
+                    h = fh
+                    ip2 = fwd
+                    fwd2 = fwd + step
+                    step2 = ramp >> _SKIP_TRIGGER
+                    ramp2 = ramp + 1
+                    bail = fwd2 > mf1
+                    mi = htab[h]
+                    fh2 = chash(jnp.minimum(fwd2, lim), rd=rd)
+                    htab[h] = jnp.where(bail, mi, ip2)
+                    good = (~bail) & cand_ok(mi, ip2) & (
+                        cand_w(mi, ip2) == rd(ip2)
+                    )
+                    return (
+                        ip2, fwd2, step2, ramp2, fh2,
+                        jnp.where(good, mi, jnp.int32(-1)), bail,
+                    )
+
+                def pipe_init(p, lim, rd):
+                    return (chash(jnp.minimum(p, lim), rd=rd),)
+
+                _CAND, _BAIL = 5, 6
 
             if not windowed:
                 def find(ip):
                     def fcond(fs):
-                        return (fs[5] < 0) & (~fs[6])
+                        return (fs[_CAND] < 0) & (~fs[_BAIL])
 
                     out = jax.lax.while_loop(
                         fcond, lambda fs: fbody(fs, W, n),
-                        (ip, ip, jnp.int32(1), accel << _SKIP_TRIGGER,
-                         chash(jnp.minimum(ip, n)), jnp.int32(-1),
-                         jnp.bool_(False)),
+                        (ip, ip, jnp.int32(1), accel << _SKIP_TRIGGER)
+                        + pipe_init(ip, n, W)
+                        + (jnp.int32(-1), jnp.bool_(False)),
                     )
-                    return out[0], out[5], out[6]
+                    return out[0], out[_CAND], out[_BAIL]
             else:
                 # WINDOWED find (streaming wrapper): the outer loop ensures
                 # one chunk of probe lookahead, then the inner loop runs the
@@ -1489,21 +1536,24 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                         # raw-read clamp: stays resident AND inside the
                         # padded source
                         lim = jnp.minimum(win_hi - 8, n)
-                        fh = chash(jnp.minimum(fwd, n))  # ensured, exact
 
                         def icond(t):
                             return (
-                                (t[5] < 0) & (~t[6])
+                                (t[_CAND] < 0) & (~t[_BAIL])
                                 & (t[1] + 8 <= win_hi)
                             )
 
                         out = jax.lax.while_loop(
                             icond, lambda t: fbody(t, Wc, lim),
-                            (ip_, fwd, step, ramp, fh, jnp.int32(-1),
-                             jnp.bool_(False)),
+                            (ip_, fwd, step, ramp)
+                            # re-entry pipeline values from ENSURED reads
+                            # (exact; the probe/insert schedule is
+                            # unchanged across window crossings)
+                            + pipe_init(fwd, n, W)
+                            + (jnp.int32(-1), jnp.bool_(False)),
                         )
-                        return (out[0], out[1], out[2], out[3], out[5],
-                                out[6])
+                        return (out[0], out[1], out[2], out[3],
+                                out[_CAND], out[_BAIL])
 
                     out = jax.lax.while_loop(
                         ocond, obody,
@@ -1663,7 +1713,8 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
                 opt_full: bool = False, profile: str = "full",
                 pair_probe: bool = False, hc_flat: bool = True,
                 hc_run: bool = False, fast_schedule: str = "canonical",
-                canon_u16=True, emit_fuse: bool = False):
+                canon_u16=True, canon_carry_w: bool = False,
+                emit_fuse: bool = False):
     """Staged whole-block wrapper around `_encode_body`.
 
     src_s:   SMEM i32[1, 1, CAP]  per-byte LE words
@@ -1684,7 +1735,7 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
         attempts, ocap, opt_sufficient, opt_full, profile=profile,
         pair_probe=pair_probe, hc_flat=hc_flat, hc_run=hc_run,
         fast_schedule=fast_schedule, canon_u16=canon_u16,
-        emit_fuse=emit_fuse,
+        canon_carry_w=canon_carry_w, emit_fuse=emit_fuse,
     )
     meta_ref[0, 0, 0] = op
     meta_ref[0, 0, 1] = errv
@@ -1696,13 +1747,14 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
     jax.jit,
     static_argnames=("bcap", "attempts", "opt_sufficient", "opt_full",
                      "profile", "pair_probe", "hc_flat", "hc_run",
-                     "fast_schedule", "emit_fuse"),
+                     "fast_schedule", "canon_carry_w", "emit_fuse"),
 )
 def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
                    opt_sufficient: int = 0, opt_full: bool = False,
                    profile: str = "full", pair_probe: bool = False,
                    hc_flat: bool = True, hc_run: bool = False,
                    fast_schedule: str = "canonical",
+                   canon_carry_w: bool = False,
                    emit_fuse: bool = False):
     """src_i32: i32[B, CAP] block bytes (CAP % 128 == 0, >= bcap + pad).
 
@@ -1761,7 +1813,7 @@ def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
             opt_sufficient, opt_full, profile=profile,
             pair_probe=pair_probe, hc_flat=hc_flat, hc_run=hc_run,
             fast_schedule=fast_schedule, canon_u16=canon_u16,
-            emit_fuse=emit_fuse,
+            canon_carry_w=canon_carry_w, emit_fuse=emit_fuse,
         )
 
     out, meta = pl.pallas_call(
