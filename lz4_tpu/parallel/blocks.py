@@ -118,6 +118,69 @@ def _on_tpu() -> bool:
         return False
 
 
+def _bucket_batch(nb: int) -> int:
+    """Round a batch dimension up to the next power of two (min 1).
+
+    The device executables are specialized per (batch, capacity) shape and
+    a fresh shape costs 1 s - 10 min of remote compile; bucketing bounds
+    production traffic to O(log B) executables per block size.  Padding
+    rows are len-0 (encode) or the 1-byte empty block (decode) — both
+    decode/encode cleanly and are sliced off before returning."""
+    b = 1
+    while b < nb:
+        b <<= 1
+    return b
+
+
+def _pad_batch(arr, lens, nb_to: int, fill_empty_block: bool = False):
+    """Pad arr/lens with `nb_to - B` inert rows (see _bucket_batch)."""
+    nb = arr.shape[0]
+    if nb == nb_to:
+        return arr, lens
+    pad = np.zeros((nb_to - nb, arr.shape[1]), arr.dtype)
+    plens = np.zeros((nb_to - nb,), np.int32)
+    if fill_empty_block:
+        plens[:] = 1  # pad[:, 0] is already 0x00: the empty LZ4 block
+    return np.vstack([arr, pad]), np.concatenate(
+        [np.asarray(lens, np.int32), plens]
+    )
+
+
+def warmup_device(block_size: int = 65536, levels=(0,),
+                  max_blocks: int = 256, decode: bool = True) -> int:
+    """Precompile the production device executables for ``block_size``.
+
+    Device executables are specialized per (batch-bucket, capacity) shape
+    and a fresh shape compiles in 1 s - 10 min on a remote-compile
+    runtime; this walks every power-of-two batch bucket up to
+    ``max_blocks`` with tiny payloads so production traffic never pays
+    first-compile latency.  Returns the number of (bucket, level) combos
+    warmed.  No-op off-TPU."""
+    if not _on_tpu():
+        return 0
+    warmed = 0
+    payload = b"warmup payload " * 8
+    bucket = 1
+    while bucket <= max(1, max_blocks):
+        # exactly the shapes production traffic uses: split_blocks's
+        # padded input rows and comp_capacity-sized compressed rows
+        bufs, lens = split_blocks(payload, block_size, pad_to=bucket)
+        bufs, lens = bufs[:bucket], lens[:bucket]
+        for level in levels:
+            out, out_lens = encode_blocks_device(
+                bufs, lens, block_size, int(level)
+            )
+            if decode:
+                cap = comp_capacity(block_size)
+                comps = np.zeros((bucket, cap), np.uint8)
+                w = min(cap, out.shape[1])
+                comps[:, :w] = out[:, :w]
+                decode_blocks_device(comps, out_lens, block_size)
+            warmed += 1
+        bucket <<= 1
+    return warmed
+
+
 def _prefer_device_stream_encode() -> bool:
     """Opt-in: encode >64KB blocks with the streaming Pallas kernel instead
     of the (faster) native host engine — for device-resident pipelines."""
@@ -143,6 +206,7 @@ def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
     on device (opt-in / host-unavailable), with the native host engine as
     the default big-block route (it is faster per chip).
     """
+    nb = np.asarray(bufs_np).shape[0]
     if bcap > PALLAS_MAX_BLOCK and _on_tpu():
         if _prefer_device_stream_encode():
             # streaming encoder: same body as the staged kernel over
@@ -151,13 +215,16 @@ def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
                 encode_blocks_pallas_stream,
             )
 
+            bufs_p, lens_p = _pad_batch(
+                np.asarray(bufs_np), lens_np, _bucket_batch(nb)
+            )
             out, out_lens, errs = encode_blocks_pallas_stream(
-                np.asarray(bufs_np), np.asarray(lens_np), bcap, int(level),
+                bufs_p, lens_p, bcap, int(level),
                 acceleration, fast_schedule=geometry,
             )
             if errs.any():
                 raise RuntimeError("pallas stream encoder overflow")
-            return out, out_lens
+            return out[:nb], out_lens[:nb]
         # default: the native host engine is ~20x faster per chip than the
         # scalar device pipeline for big-block encode; route honestly and
         # leave LZ4TPU_DEVICE_STREAM_ENCODE=1 for device-resident pipelines
@@ -167,24 +234,30 @@ def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
             return host
         from ..ops.encode_pallas_stream import encode_blocks_pallas_stream
 
+        bufs_p, lens_p = _pad_batch(
+            np.asarray(bufs_np), lens_np, _bucket_batch(nb)
+        )
         out, out_lens, errs = encode_blocks_pallas_stream(
-            np.asarray(bufs_np), np.asarray(lens_np), bcap, int(level),
+            bufs_p, lens_p, bcap, int(level),
             acceleration, fast_schedule=geometry,
         )
         if errs.any():
             raise RuntimeError("pallas stream encoder overflow")
-        return out, out_lens
+        return out[:nb], out_lens[:nb]
     if _use_pallas(bcap):
         # v5: all-scalar packed-word kernel (see ops/encode_pallas5)
         from ..ops.encode_pallas5 import encode_blocks_pallas5
 
+        bufs_p, lens_p = _pad_batch(
+            np.asarray(bufs_np), lens_np, _bucket_batch(nb)
+        )
         out, out_lens, errs = encode_blocks_pallas5(
-            np.asarray(bufs_np), np.asarray(lens_np), bcap, int(level),
+            bufs_p, lens_p, bcap, int(level),
             acceleration, fast_schedule=geometry,
         )
         if errs.any():
             raise RuntimeError("pallas encoder overflow")
-        return out, out_lens
+        return out[:nb], out_lens[:nb]
     return encode_chunked(bufs_np, lens_np, bcap, level_to_depth(level))
 
 
@@ -235,11 +308,12 @@ def encode_blocks_chained_device(data: bytes, block_size: int,
 
     n = len(data)
     nb = -(-n // block_size)
+    nb_p = _bucket_batch(nb)  # bounded executable family (see _bucket_batch)
     arr = np.frombuffer(data, np.uint8)
-    bufs = np.zeros((nb, block_size), np.uint8)
-    lens = np.zeros((nb,), np.int32)
-    dicts = np.zeros((nb, 65536), np.uint8)
-    dls = np.zeros((nb,), np.int32)
+    bufs = np.zeros((nb_p, block_size), np.uint8)
+    lens = np.zeros((nb_p,), np.int32)
+    dicts = np.zeros((nb_p, 65536), np.uint8)
+    dls = np.zeros((nb_p,), np.int32)
     for k in range(nb):
         start = k * block_size
         raw = arr[start : min(start + block_size, n)]
@@ -253,7 +327,7 @@ def encode_blocks_chained_device(data: bytes, block_size: int,
         bufs, lens, block_size, int(level), acceleration,
         dicts=dicts, dict_lens=dls,
     )
-    if np.asarray(errs).any():
+    if np.asarray(errs)[:nb].any():
         raise RuntimeError("pallas chained encoder overflow")
     return [out[k, : int(clens[k])].tobytes() for k in range(nb)]
 
@@ -289,17 +363,30 @@ def decode_blocks_device(comps_np, clens_np, out_cap: int,
     if dicts_np is not None:
         dicts_np = np.asarray(dicts_np)
         dict_lens_np = np.asarray(dict_lens_np, np.int32)
+    nb = np.asarray(comps_np).shape[0]
+
+    def _pad_all(comps, clens):
+        nb_to = _bucket_batch(nb)
+        comps_p, clens_p = _pad_batch(
+            np.asarray(comps), clens, nb_to, fill_empty_block=True
+        )
+        dp, dlp = dicts_np, dict_lens_np
+        if dp is not None and dp.shape[0] != nb_to:
+            dp, dlp = _pad_batch(dp, dlp, nb_to)
+        return comps_p, clens_p, dp, dlp
+
     if _use_pallas(out_cap):
         # v6: all-scalar packed-word kernel with branch-merged parse and
         # full-word copies (see ops/decode_pallas6) — the fastest measured
         # decode path on real v5e hardware (53 vs v5's 46 MB/s per call)
         from ..ops.decode_pallas6 import decode_blocks_pallas6
 
-        return decode_blocks_pallas6(
-            np.asarray(comps_np), np.asarray(clens_np), out_cap,
-            dicts_np, dict_lens_np,
+        comps_p, clens_p, dp, dlp = _pad_all(comps_np, clens_np)
+        out, olens, errs = decode_blocks_pallas6(
+            comps_p, clens_p, out_cap, dp, dlp,
             mode=_pick_decode_mode(clens_np, out_cap),
         )
+        return out[:nb], olens[:nb], errs[:nb]
     if _on_tpu():
         # 256KB-4MB blocks: same scalar pipeline over SMEM rings with
         # HBM DMA streaming (constant on-chip footprint, no size cap).
@@ -312,11 +399,12 @@ def decode_blocks_device(comps_np, clens_np, out_cap: int,
         env = os.environ.get("LZ4TPU_DECODE_MODE", "")
         from ..ops.decode_pallas_stream import decode_blocks_pallas_stream
 
-        return decode_blocks_pallas_stream(
-            np.asarray(comps_np), np.asarray(clens_np), out_cap,
-            dicts_np, dict_lens_np,
+        comps_p, clens_p, dp, dlp = _pad_all(comps_np, clens_np)
+        out, olens, errs = decode_blocks_pallas_stream(
+            comps_p, clens_p, out_cap, dp, dlp,
             mode="full" if env == "full2" else "full2v",
         )
+        return out[:nb], olens[:nb], errs[:nb]
     if dicts_np is not None:
         raise NotImplementedError(
             "dictionary batches need the Pallas device kernels"

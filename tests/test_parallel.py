@@ -58,3 +58,57 @@ def test_decode_error_surfaces(mesh):
     bad = [b"\x10a\x00\x00\x00"]
     with pytest.raises(LZ4Error):
         pb.decode_blocks(bad, 4096)
+
+
+def test_batch_bucketing_and_warmup(monkeypatch, rng):
+    """Round 4: device batches pad to power-of-two buckets (bounding the
+    per-shape executable count) with inert rows, and warmup_device walks
+    the bucket ladder.  Results must be identical to the unbucketed
+    host engines for every real row."""
+    import functools
+
+    import numpy as np
+    from jax.experimental import pallas as pl
+
+    from lz4_tpu import native
+    from lz4_tpu.parallel import blocks as PB
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    monkeypatch.setattr(PB, "_on_tpu", lambda: True)
+    from lz4_tpu.ops import decode_pallas6 as D6
+    from lz4_tpu.ops import encode_pallas5 as E5
+
+    E5.pallas_encode5.clear_cache()
+    D6.pallas_decode6.clear_cache()
+    try:
+        assert PB._bucket_batch(1) == 1
+        assert PB._bucket_batch(3) == 4
+        assert PB._bucket_batch(8) == 8
+        words = [rng.randbytes(rng.randint(3, 8)) for _ in range(20)]
+        datas = [
+            b" ".join(rng.choice(words) for _ in range(800))[:4000]
+            for _ in range(3)  # 3 -> bucket 4
+        ]
+        bcap = 4096
+        bufs = np.zeros((3, bcap + 256), np.uint8)  # split_blocks pad tail
+        lens = np.zeros((3,), np.int32)
+        for k, d in enumerate(datas):
+            bufs[k, : len(d)] = np.frombuffer(d, np.uint8)
+            lens[k] = len(d)
+        out, clens = PB.encode_blocks_device(bufs, lens, bcap, 0)
+        assert out.shape[0] == 3 and clens.shape[0] == 3
+        comps = np.zeros((3, PB.comp_capacity(bcap)), np.uint8)
+        for k in range(3):
+            assert out[k, : clens[k]].tobytes() == native.encode(datas[k], 0)
+            comps[k, : clens[k]] = out[k, : clens[k]]
+        dec, olens, errs = PB.decode_blocks_device(comps, clens, bcap)
+        assert dec.shape[0] == 3 and not np.asarray(errs).any()
+        for k, d in enumerate(datas):
+            assert dec[k, : olens[k]].tobytes() == d
+        assert PB.warmup_device(bcap, levels=(0,), max_blocks=2) == 2
+    finally:
+        E5.pallas_encode5.clear_cache()
+        D6.pallas_decode6.clear_cache()
