@@ -7,4 +7,5 @@ from .blocks import (  # noqa: F401
     sharded_decode_fn,
     sharded_encode_fn,
     split_blocks,
+    warmup_device,
 )
