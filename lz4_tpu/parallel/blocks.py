@@ -608,7 +608,13 @@ def encode_blocks(
     k_depth = level_to_depth(level)
     if mesh is not None:
         nd = mesh.devices.size
-        bufs, lens = split_blocks(data, block_size, pad_to=nd)
+        # pad to the bucketed batch (a multiple of nd): bounded executable
+        # family on remote-compile runtimes (see _bucket_batch)
+        nb0 = max(1, -(-len(data) // block_size))
+        bufs, lens = split_blocks(
+            data, block_size,
+            pad_to=-(-_bucket_batch(nb0) // nd) * nd,
+        )
         fn = sharded_encode_fn(mesh, block_size, k_depth, mesh.axis_names[0])
         sh = NamedSharding(mesh, P(mesh.axis_names[0]))
         bufs = jax.device_put(jnp.asarray(bufs), sh)
@@ -639,7 +645,7 @@ def decode_blocks(
     cap = comp_capacity(block_size)
     nb = len(blocks)
     nd = mesh.devices.size if mesh is not None else 1
-    nb_pad = -(-nb // nd) * nd
+    nb_pad = -(-_bucket_batch(nb) // nd) * nd  # bucketed (see _bucket_batch)
     comps = np.zeros((nb_pad, cap), np.uint8)
     clens = np.zeros((nb_pad,), np.int32)
     for b, blk in enumerate(blocks):
