@@ -846,7 +846,13 @@ def main():
                 "ratio": round(rr, 4),
             }
         except Exception:
-            pass  # real corpus unavailable: keep the synthetic rows only
+            # real corpus unavailable OR a real regression: surface it on
+            # stderr (the JSON contract line stays clean) instead of
+            # silently dropping the row
+            import traceback
+
+            print("device_L00_real_bytes row failed:", file=sys.stderr)
+            traceback.print_exc()
         finally:
             os.environ.pop("LZ4TPU_BENCH_REAL", None)
     if full:

@@ -210,7 +210,13 @@ def _tpu_decode(data, target_length, dictionary, capacity):
         comps, clens, out_cap, dicts, dlens
     )
     if int(errs[0]):
-        raise LZ4Error("malformed block (device decoder)")
+        # the device err flag also fires for a WELL-FORMED block whose
+        # decoded size exceeds the bucketed out_cap (host paths report a
+        # length/capacity mismatch there) — say so rather than mislead
+        raise LZ4Error(
+            f"malformed block, or decoded output exceeds the "
+            f"{int(bound)}-byte bound (device decoder)"
+        )
     olen = int(olens[0])
     if target_length is not None and olen != target_length:
         raise LZ4Error(

@@ -150,12 +150,20 @@ def warmup_device(block_size: int = 65536, levels=(0,),
                   max_blocks: int = 256, decode: bool = True) -> int:
     """Precompile the production device executables for ``block_size``.
 
-    Device executables are specialized per (batch-bucket, capacity) shape
-    and a fresh shape compiles in 1 s - 10 min on a remote-compile
+    Device executables are specialized per (batch-bucket, capacity, mode)
+    shape and a fresh shape compiles in 1 s - 10 min on a remote-compile
     runtime; this walks every power-of-two batch bucket up to
-    ``max_blocks`` with tiny payloads so production traffic never pays
-    first-compile latency.  Returns the number of (bucket, level) combos
-    warmed.  No-op off-TPU."""
+    ``max_blocks`` with tiny payloads and decodes each bucket once per
+    fast-arm mode ("full2" AND "full2v" — production picks either by
+    batch ratio, see `_pick_decode_mode`), so production traffic never
+    pays first-compile latency on either pick.  Returns the number of
+    (bucket, level) combos warmed.  No-op off-TPU.
+
+    Above 64 KB blocks the DEFAULT encode route is the native host engine
+    (no device executable to warm); the streaming device encoder is only
+    warmed when `LZ4TPU_DEVICE_STREAM_ENCODE=1` opts it in, matching what
+    production traffic will run.  Streaming decode (the >64 KB decode
+    route) is always warmed in both modes."""
     if not _on_tpu():
         return 0
     warmed = 0
@@ -175,7 +183,10 @@ def warmup_device(block_size: int = 65536, levels=(0,),
                 comps = np.zeros((bucket, cap), np.uint8)
                 w = min(cap, out.shape[1])
                 comps[:, :w] = out[:, :w]
-                decode_blocks_device(comps, out_lens, block_size)
+                for dmode in ("full2", "full2v"):
+                    decode_blocks_device(
+                        comps, out_lens, block_size, mode=dmode
+                    )
             warmed += 1
         bucket <<= 1
     return warmed
@@ -353,13 +364,19 @@ def _pick_decode_mode(clens_np, out_cap: int) -> str:
 
 
 def decode_blocks_device(comps_np, clens_np, out_cap: int,
-                         dicts_np=None, dict_lens_np=None):
+                         dicts_np=None, dict_lens_np=None,
+                         mode: str | None = None):
     """Decode a batch on the device with the best available kernel
     (optionally with per-block preset dictionaries, u8[B, 65536]
     right-aligned + lengths).
 
-    Returns (out u8[B, out_cap], lens i32[B], errs i32[B]) as numpy.
+    ``mode`` ("full2"/"full2v") overrides the workload-aware pick — used
+    by `warmup_device` to precompile both fast-arm executables, and by
+    A/B harnesses.  Returns (out u8[B, out_cap], lens i32[B],
+    errs i32[B]) as numpy.
     """
+    import os
+
     if dicts_np is not None:
         dicts_np = np.asarray(dicts_np)
         dict_lens_np = np.asarray(dict_lens_np, np.int32)
@@ -375,7 +392,17 @@ def decode_blocks_device(comps_np, clens_np, out_cap: int,
             dp, dlp = _pad_batch(dp, dlp, nb_to)
         return comps_p, clens_p, dp, dlp
 
-    if _use_pallas(out_cap):
+    # Dict-mode batches route through the STREAMING decoder even when the
+    # blocks would fit the staged kernel: the staged dict variant's SMEM
+    # budget (input 2x266 KB + out 2x131 KB + dict 2x64 KB) sits near the
+    # 1 MB limit, while the ring decoder's footprint is constant at any
+    # block size.  LZ4TPU_STAGED_DICT_DECODE=1 re-enables the staged
+    # variant (kept, with its tests, for A/B).
+    staged_dict_ok = (
+        dicts_np is None
+        or os.environ.get("LZ4TPU_STAGED_DICT_DECODE", "") == "1"
+    )
+    if _use_pallas(out_cap) and staged_dict_ok:
         # v6: all-scalar packed-word kernel with branch-merged parse and
         # full-word copies (see ops/decode_pallas6) — the fastest measured
         # decode path on real v5e hardware (53 vs v5's 46 MB/s per call)
@@ -384,19 +411,17 @@ def decode_blocks_device(comps_np, clens_np, out_cap: int,
         comps_p, clens_p, dp, dlp = _pad_all(comps_np, clens_np)
         out, olens, errs = decode_blocks_pallas6(
             comps_p, clens_p, out_cap, dp, dlp,
-            mode=_pick_decode_mode(clens_np, out_cap),
+            mode=mode or _pick_decode_mode(clens_np, out_cap),
         )
         return out[:nb], olens[:nb], errs[:nb]
     if _on_tpu():
-        # 256KB-4MB blocks: same scalar pipeline over SMEM rings with
-        # HBM DMA streaming (constant on-chip footprint, no size cap).
-        # full2v is the streaming DEFAULT: unlike the staged kernel, it
-        # wins on BOTH stream shapes here (+38% L09, +10% L00 — ml-VLE
-        # sequences avoid the ensure-laden slow arm entirely); the env
-        # pin maps full2 -> the plain windowed run for A/B
-        import os
-
-        env = os.environ.get("LZ4TPU_DECODE_MODE", "")
+        # 256KB-4MB blocks (and dict-mode batches of any size): same scalar
+        # pipeline over SMEM rings with HBM DMA streaming (constant on-chip
+        # footprint, no size cap).  full2v is the streaming DEFAULT: unlike
+        # the staged kernel, it wins on BOTH stream shapes here (+38% L09,
+        # +10% L00 — ml-VLE sequences avoid the ensure-laden slow arm
+        # entirely); the env pin maps full2 -> the plain windowed run for A/B
+        env = mode or os.environ.get("LZ4TPU_DECODE_MODE", "")
         from ..ops.decode_pallas_stream import decode_blocks_pallas_stream
 
         comps_p, clens_p, dp, dlp = _pad_all(comps_np, clens_np)
@@ -651,10 +676,12 @@ def decode_blocks(
     for b, blk in enumerate(blocks):
         comps[b, : len(blk)] = np.frombuffer(blk, np.uint8)
         clens[b] = len(blk)
-    # padding rows decode the first block again (ignored) to avoid err flags
-    for b in range(nb, nb_pad):
-        comps[b] = comps[0]
-        clens[b] = clens[0]
+    # padding rows are the 1-byte EMPTY block (0x00 token: decodes to len 0,
+    # err 0 on the Pallas and XLA decoders alike) — near-zero pad cost.
+    # Duplicating block 0 instead would re-decode it per pad row, and with
+    # power-of-two bucketing the pad count can approach the real batch size
+    # (nb=17 -> nb_pad=32: almost 2x the decode work).
+    clens[nb:nb_pad] = 1  # comps rows are already zeroed: 0x00 token
     if mesh is not None:
         fn = sharded_decode_fn(mesh, block_size, mesh.axis_names[0])
         sh = NamedSharding(mesh, P(mesh.axis_names[0]))

@@ -112,3 +112,46 @@ def test_batch_bucketing_and_warmup(monkeypatch, rng):
     finally:
         E5.pallas_encode5.clear_cache()
         D6.pallas_decode6.clear_cache()
+
+
+def test_dict_decode_routes_to_streaming_kernel(monkeypatch):
+    """Round 5: dict-mode device decode defaults to the STREAMING decoder
+    (constant SMEM footprint) — the staged dict variant sits near the 1 MB
+    SMEM limit and is pinned behind LZ4TPU_STAGED_DICT_DECODE=1."""
+    from lz4_tpu.ops import decode_pallas6 as D6
+    from lz4_tpu.ops import decode_pallas_stream as DS
+
+    calls = []
+
+    def _fake(tag):
+        def run(comps, clens, cap, dp=None, dlp=None, mode="x"):
+            calls.append(tag)
+            b = np.asarray(comps).shape[0]
+            return (
+                np.zeros((b, cap), np.uint8),
+                np.zeros((b,), np.int64),
+                np.zeros((b,), np.int64),
+            )
+
+        return run
+
+    monkeypatch.setattr(pb, "_on_tpu", lambda: True)
+    monkeypatch.setattr(D6, "decode_blocks_pallas6", _fake("staged"))
+    monkeypatch.setattr(DS, "decode_blocks_pallas_stream", _fake("stream"))
+    monkeypatch.delenv("LZ4TPU_STAGED_DICT_DECODE", raising=False)
+
+    comps = np.zeros((1, 1024), np.uint8)
+    clens = np.asarray([1], np.int32)
+    dicts = np.zeros((1, 65536), np.uint8)
+    dls = np.zeros((1,), np.int32)
+
+    pb.decode_blocks_device(comps, clens, 4096, dicts, dls)
+    assert calls == ["stream"], "dict batches must route to the ring decoder"
+
+    monkeypatch.setenv("LZ4TPU_STAGED_DICT_DECODE", "1")
+    pb.decode_blocks_device(comps, clens, 4096, dicts, dls)
+    assert calls == ["stream", "staged"], "env knob re-enables staged dict"
+
+    monkeypatch.delenv("LZ4TPU_STAGED_DICT_DECODE")
+    pb.decode_blocks_device(comps, clens, 4096)
+    assert calls[-1] == "staged", "no-dict small blocks stay staged"
