@@ -108,11 +108,109 @@ def bench_corpus(total_bytes: int, seed: int = 0) -> bytes:
     return (_REAL_POOL[off:] + _REAL_POOL[:off])[:total_bytes]
 
 
+# --- ceiling model (VERDICT round-4 item #5) -------------------------------
+# The per-chip device kernels are scalar-core designs whose measured
+# structural ceilings are derived in PERFORMANCE.md; emitting them next to
+# the measured numbers makes the "MFU analog" self-contained in this JSON.
+#
+#   decode: the primitive-sum floor is TWO-TERM, per stream shape —
+#           per-SEQUENCE parse cost (token+offset loads 4+4, one flat
+#           cond ~15, back-edge ~6 -> ~29 cyc) plus per-WORD copy cost
+#           (packed-word append ~11 cyc / 4 output bytes), on the
+#           ~0.94 GHz v5e scalar core (ubench primitive table,
+#           PERFORMANCE.md).  On the dense kbench stream shape
+#           (556k seqs / 4 MiB, ~2.5 words/seq) this reproduces the
+#           documented ~118-125 MB/s figure; sparser streams (fewer
+#           sequences, more copy bytes each) get a higher floor, and
+#           the measured kernel sits at ~0.5-0.7 of it there because
+#           the short-trip copy loops carry ~2.4x VLIW scheduling slack
+#           (measured ~26 vs 11 cyc/word — the session-4 diagnostic's
+#           closed residual; no structural lever in the current
+#           toolchain).  The floor emitted here is the honest
+#           speed-of-light bound, not the practical kernel model.
+#   encode FAST: 88 MB/s — the measured find-only (emission-stubbed)
+#           kernel rate; the find loop is store-serialization-bound.
+#   encode HC (L4-L9): 8 MB/s — the upper end of the measured walk
+#           dependency-floor bracket (8.86 serial chain loads/byte at
+#           12-25 cyc each).
+_DECODE_CYC_PER_SEQ = 29.0
+_DECODE_CYC_PER_WORD = 11.0
+_SCALAR_CLK_HZ = 0.94e9
+_ENCODE_FAST_CEILING_MBPS = 88.0
+_ENCODE_HC_CEILING_MBPS = 8.0
+
+
+def _count_sequences(comp: bytes) -> int:
+    """Token-walk one LZ4 block: O(sequences), literals skipped in bulk."""
+    n = len(comp)
+    i = 0
+    seqs = 0
+    while i < n:
+        tok = comp[i]
+        i += 1
+        ll = tok >> 4
+        if ll == 15:
+            while True:
+                b = comp[i]
+                i += 1
+                ll += b
+                if b != 255:
+                    break
+        i += ll
+        seqs += 1
+        if i >= n:
+            break  # last sequence: literals only, no match
+        i += 2  # match offset
+        if (tok & 15) == 15:  # match-length VLE bytes
+            while True:
+                b = comp[i]
+                i += 1
+                if b != 255:
+                    break
+    return seqs
+
+
+def _decode_ceiling_mbps(enc_u8, enc_lens, raw_per_block, max_sample=32):
+    """Primitive-sum decode ceiling for THIS stream shape, from the
+    sequence density of a sample of compressed blocks (two-term model:
+    see the ceiling-model comment above)."""
+    nb_total = int(enc_u8.shape[0])
+    # stride the sample across the batch: the corpus quarters differ in
+    # sequence density, so a head-only sample would bias the floor
+    step = max(1, nb_total // max_sample)
+    sample = range(0, nb_total, step)
+    nseq = sum(
+        _count_sequences(enc_u8[b, : int(enc_lens[b])].tobytes())
+        for b in sample
+    )
+    if nseq == 0:
+        return None
+    raw = raw_per_block * len(sample)
+    cyc = nseq * _DECODE_CYC_PER_SEQ + (raw / 4.0) * _DECODE_CYC_PER_WORD
+    return raw / (cyc / _SCALAR_CLK_HZ) / 1e6
+
+
+def _ceiling_fields(enc_gbps, dec_gbps, dec_ceiling_mbps, enc_ceiling_mbps):
+    """ceiling_MBps + utilization fields for one device config row."""
+    out = {}
+    if dec_ceiling_mbps:
+        out["decode_ceiling_MBps"] = round(dec_ceiling_mbps, 1)
+        out["decode_utilization_vs_ceiling"] = round(
+            dec_gbps * 1000.0 / dec_ceiling_mbps, 3
+        )
+    if enc_ceiling_mbps:
+        out["encode_ceiling_MBps"] = round(enc_ceiling_mbps, 1)
+        out["encode_utilization_vs_ceiling"] = round(
+            enc_gbps * 1000.0 / enc_ceiling_mbps, 3
+        )
+    return out
+
+
 def _device_config(block_size, total, iters, uniq, attempts, opt=None):
     """Measure the Pallas device path at one level (attempts=0 -> L00 FAST,
     else HC chain depth; opt=(sufficient, full) selects the optimal parse).
-    Returns (enc_gbps, dec_gbps, ratio) with the roundtrip asserted on the
-    first batch."""
+    Returns (enc_gbps, dec_gbps, ratio, extras) with the roundtrip asserted
+    on the first batch; extras carries the ceiling-model fields."""
     import functools
 
     import jax
@@ -215,7 +313,18 @@ def _device_config(block_size, total, iters, uniq, attempts, opt=None):
     for mh in metas:
         assert int(mh[:, 1].sum()) == 0
     dec_gbps = total * (len(dec_batches) - 1) / min(dec_times) / 1e9
-    return enc_gbps, dec_gbps, ratio
+
+    enc_u8, enc_lens = enc_outs[0]
+    dec_ceiling = _decode_ceiling_mbps(
+        enc_u8[:n_blocks], enc_lens, total / max(1, n_blocks)
+    )
+    enc_ceiling = (
+        _ENCODE_FAST_CEILING_MBPS
+        if attempts == 0
+        else (None if opt else _ENCODE_HC_CEILING_MBPS)
+    )
+    extras = _ceiling_fields(enc_gbps, dec_gbps, dec_ceiling, enc_ceiling)
+    return enc_gbps, dec_gbps, ratio, extras
 
 
 def _device_config_stream(block_size, total, iters, uniq, level=0):
@@ -275,7 +384,13 @@ def _device_config_stream(block_size, total, iters, uniq, level=0):
         )
         assert int(np.asarray(derr).sum()) == 0
     dec_gbps = total * (len(dec_in) - 1) / (time.perf_counter() - t0) / 1e9
-    return enc_gbps, dec_gbps, ratio
+    nb0 = out0.shape[0]
+    dec_ceiling = _decode_ceiling_mbps(
+        np.asarray(out0), np.asarray(clens0), total / max(1, nb0)
+    )
+    enc_ceiling = _ENCODE_FAST_CEILING_MBPS if level == 0 else None
+    extras = _ceiling_fields(enc_gbps, dec_gbps, dec_ceiling, enc_ceiling)
+    return enc_gbps, dec_gbps, ratio, extras
 
 
 def _scaling_device_config(block_size, total, iters, uniq):
@@ -384,6 +499,112 @@ def _scaling_device_config(block_size, total, iters, uniq):
     return out
 
 
+def _paired_frame_decode(datas, blobs):
+    """Per-round interleaved frame-decode legs (see the call site).  Returns
+    the production GB/s numbers plus PAIRED median time ratios, or None
+    when canonical liblz4 is unavailable."""
+    import ctypes
+    import statistics
+
+    from lz4_tpu import frame
+
+    try:
+        lib = ctypes.CDLL("liblz4.so.1")
+    except OSError:
+        return None
+    c_sz = ctypes.c_size_t
+    lib.LZ4_compressBound.restype = ctypes.c_int
+    lib.LZ4_compress_default.restype = ctypes.c_int
+    lib.LZ4_compress_default.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.LZ4_decompress_safe.restype = ctypes.c_int
+    lib.LZ4_decompress_safe.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
+    try:
+        lib.LZ4F_createDecompressionContext.restype = c_sz
+        lib.LZ4F_createDecompressionContext.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_uint,
+        ]
+        lib.LZ4F_decompress.restype = c_sz
+        lib.LZ4F_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(c_sz),
+            ctypes.c_void_p, ctypes.POINTER(c_sz), ctypes.c_void_p,
+        ]
+        lib.LZ4F_isError.restype = ctypes.c_uint
+        lib.LZ4F_isError.argtypes = [c_sz]
+        dctx = ctypes.c_void_p()
+        assert lib.LZ4F_createDecompressionContext(
+            ctypes.byref(dctx), 100
+        ) == 0
+        have_lz4f = True
+    except AttributeError:
+        have_lz4f = False
+
+    total = len(datas[0])
+    bound = lib.LZ4_compressBound(total)
+    cbuf = ctypes.create_string_buffer(bound)
+    canon_blobs = []
+    for d in datas:
+        n = lib.LZ4_compress_default(d, cbuf, total, bound)
+        canon_blobs.append(cbuf.raw[:n])
+    dst = ctypes.create_string_buffer(total)  # warm canonical target
+    dst_np = np.empty(total, np.uint8)        # warm target for ours
+
+    t_ours, t_into, t_cb, t_cf = [], [], [], []
+    for i, (data, blob) in enumerate(zip(datas, blobs)):
+        t0 = time.perf_counter()
+        r = frame.decompress(blob, workers=8)
+        t1 = time.perf_counter()
+        nw = frame.decompress_into(blob, dst_np, workers=8)
+        t2 = time.perf_counter()
+        m = lib.LZ4_decompress_safe(
+            canon_blobs[i], dst, len(canon_blobs[i]), total
+        )
+        t3 = time.perf_counter()
+        assert r == data and nw == total and m == total
+        t_ours.append(t1 - t0)
+        t_into.append(t2 - t1)
+        t_cb.append(t3 - t2)
+        if have_lz4f:
+            srclen = c_sz(len(blob))
+            dstlen = c_sz(total)
+            t4 = time.perf_counter()
+            rc = lib.LZ4F_decompress(
+                dctx, dst, ctypes.byref(dstlen),
+                blob, ctypes.byref(srclen), None,
+            )
+            t5 = time.perf_counter()
+            assert not lib.LZ4F_isError(rc) and dstlen.value == total
+            t_cf.append(t5 - t4)
+
+    med = statistics.median
+    out = {
+        "frame_decode_threaded_GBps": round(total / med(t_ours) / 1e9, 4),
+        "frame_decode_into_threaded_GBps": round(
+            total / med(t_into) / 1e9, 4
+        ),
+        # PAIRED per-round ratios (canonical leg time / ours): > 1.0 means
+        # the production threaded path is faster on the same rounds
+        "frame_decode_vs_canonical_same_vm": round(
+            med([c / o for c, o in zip(t_cb, t_ours)]), 3
+        ),
+        "frame_decode_into_vs_canonical_same_vm": round(
+            med([c / o for c, o in zip(t_cb, t_into)]), 3
+        ),
+        "frame_decode_paired_rounds": len(t_ours),
+    }
+    if have_lz4f:
+        out["canonical_lz4f_frame_decode_GBps"] = round(
+            total / med(t_cf) / 1e9, 4
+        )
+        out["frame_decode_vs_canonical_lz4f"] = round(
+            med([c / o for c, o in zip(t_cf, t_ours)]), 3
+        )
+    return out
+
+
 def _host_config(total, iters, uniq):
     """Native host engine: encode GB/s at L00/L09/L12 + decode GB/s
     (single core), plus the threaded frame path at L00."""
@@ -421,17 +642,32 @@ def _host_config(total, iters, uniq):
         times.append(time.perf_counter() - t0)
     out["frame_encode_threaded_GBps"] = round(total / min(times) / 1e9, 4)
     # ...and the matching threaded frame decode (block-parallel across the
-    # independent blocks — the production host read path)
+    # independent blocks — the production host read path), measured PAIRED
+    # same-process with two canonical legs on every round (VERDICT round-4
+    # item #1: this VM's ±15% run-to-run swing made min-vs-min ratios lie;
+    # per-round interleaved time ratios cancel it):
+    #   canon_block: LZ4_decompress_safe of a one-block stream into a warm
+    #                reused buffer (the strongest canonical leg);
+    #   canon_lz4f:  LZ4F_decompress of OUR frame bytes into a warm buffer
+    #                (the true whole-frame apples-to-apples).
+    # Ours runs both as the production fresh-allocation `decompress` and as
+    # `decompress_into` a warm caller buffer (symmetric buffer policy).
     blobs = [
         frame.compress(data, settings=s, workers=8) for data in datas
     ]
-    times = []
-    for data, blob in zip(datas, blobs):
-        t0 = time.perf_counter()
-        r = frame.decompress(blob, workers=8)
-        times.append(time.perf_counter() - t0)
-        assert r == data
-    out["frame_decode_threaded_GBps"] = round(total / min(times) / 1e9, 4)
+    paired = _paired_frame_decode(datas, blobs)
+    if paired:
+        out.update(paired)
+    else:  # canonical library unavailable: unpaired production numbers
+        times = []
+        for data, blob in zip(datas, blobs):
+            t0 = time.perf_counter()
+            r = frame.decompress(blob, workers=8)
+            times.append(time.perf_counter() - t0)
+            assert r == data
+        out["frame_decode_threaded_GBps"] = round(
+            total / min(times) / 1e9, 4
+        )
     # threaded frame encode at the HC/OPT levels (block-parallel across
     # cores — the per-host production number for L09/L12)
     for level in (9, 12):
@@ -487,8 +723,12 @@ def _host_config(total, iters, uniq):
         # production frame paths vs the canonical single-core codec on the
         # SAME VM (the honest apples-to-apples ratio: published reference
         # numbers come from unknown hardware; this one shares the corpus,
-        # the allocator and the memory bus)
-        if canon.get("decode_GBps"):
+        # the allocator and the memory bus).  The decode ratio is emitted
+        # by _paired_frame_decode (per-round interleaved); only fall back
+        # to the unpaired quotient when that leg was unavailable.
+        if canon.get("decode_GBps") and (
+            "frame_decode_vs_canonical_same_vm" not in out
+        ):
             out["frame_decode_vs_canonical_same_vm"] = round(
                 out["frame_decode_threaded_GBps"] / canon["decode_GBps"], 3
             )
@@ -803,11 +1043,11 @@ def main():
     with trace_cm:
         if block_size > 65536:
             # beyond the SMEM staging cap: ring-streamed kernels
-            e0, d0, r0 = _device_config_stream(
+            e0, d0, r0, x0 = _device_config_stream(
                 block_size, total, iters, uniq
             )
         else:
-            e0, d0, r0 = _device_config(
+            e0, d0, r0, x0 = _device_config(
                 block_size, total, iters, uniq, attempts=0
             )
     configs = {
@@ -815,17 +1055,19 @@ def main():
             "encode_GBps": round(e0, 4),
             "decode_GBps": round(d0, 4),
             "ratio": round(r0, 4),
+            **x0,
         },
     }
     if full and block_size <= 65536:
         hc_total = max(block_size, total // 4)  # HC kernel is ~10x slower
-        e9, d9, r9 = _device_config(
+        e9, d9, r9, x9 = _device_config(
             block_size, hc_total, max(2, iters - 1), uniq + 1, attempts=256
         )
         configs["device_L09"] = {
             "encode_GBps": round(e9, 4),
             "decode_GBps": round(d9, 4),
             "ratio": round(r9, 4),
+            **x9,
         }
     if (
         full
@@ -837,13 +1079,14 @@ def main():
         # so this is where device decode meets its ~118 MB/s ceiling
         try:
             os.environ["LZ4TPU_BENCH_REAL"] = "1"
-            er, dr, rr = _device_config(
+            er, dr, rr, xr = _device_config(
                 block_size, total, max(2, iters - 1), uniq + 5, attempts=0
             )
             configs["device_L00_real_bytes"] = {
                 "encode_GBps": round(er, 4),
                 "decode_GBps": round(dr, 4),
                 "ratio": round(rr, 4),
+                **xr,
             }
         except Exception:
             # real corpus unavailable OR a real regression: surface it on
@@ -856,18 +1099,31 @@ def main():
         finally:
             os.environ.pop("LZ4TPU_BENCH_REAL", None)
     if full:
-        if os.environ.get("LZ4TPU_BENCH_L12") == "1":
-            # device optimal parse: opt-in (its kernel compile can take
-            # 10-20 min on a cold cache, too risky for the default run)
-            e12, d12, r12 = _device_config(
-                block_size, max(block_size, total // 16), 2, uniq + 4,
-                attempts=16384, opt=(4095, True),
-            )
-            configs["device_L12"] = {
-                "encode_GBps": round(e12, 4),
-                "decode_GBps": round(d12, 4),
-                "ratio": round(r12, 4),
-            }
+        if (
+            block_size <= 65536
+            and os.environ.get("LZ4TPU_BENCH_L12") != "0"
+        ):
+            # device optimal parse — in the DEFAULT run since round 5
+            # (VERDICT item #3).  Guarded: a cold-cache kernel compile can
+            # take 10-20 min, so a failure/timeout drops only this row
+            # (logged on stderr), never the driver-contract line.
+            # LZ4TPU_BENCH_L12=0 opts out.
+            try:
+                e12, d12, r12, x12 = _device_config(
+                    block_size, max(block_size, total // 16), 2, uniq + 4,
+                    attempts=16384, opt=(4095, True),
+                )
+                configs["device_L12"] = {
+                    "encode_GBps": round(e12, 4),
+                    "decode_GBps": round(d12, 4),
+                    "ratio": round(r12, 4),
+                    **x12,
+                }
+            except Exception:
+                import traceback
+
+                print("device_L12 row failed:", file=sys.stderr)
+                traceback.print_exc()
         host = _host_config(total, iters, uniq + 2)
         if host:
             configs["host"] = host
@@ -897,6 +1153,13 @@ def main():
         "backend": backend,
         "decode_kernel": "pallas",
         "encode_kernel": "pallas",
+        "ceiling_model": (
+            "decode floor = 29 cyc/sequence + 11 cyc/4 output bytes on the "
+            "0.94 GHz v5e scalar core, computed per stream shape from the "
+            "batch's sequence count; encode ceilings: FAST 88 MB/s "
+            "(measured find-only kernel), HC 8 MB/s (walk dependency-floor "
+            "bracket).  Derivations: PERFORMANCE.md"
+        ),
         "configs": configs,
     }
     print(json.dumps(result))

@@ -283,7 +283,8 @@ def _host_encode_batch(bufs_np, lens_np, bcap: int, level: int,
     if not native.available():
         return None
     import os
-    from concurrent.futures import ThreadPoolExecutor
+
+    from ..pool import shared_pool
 
     bufs = np.asarray(bufs_np)
     lens = np.asarray(lens_np)
@@ -299,8 +300,7 @@ def _host_encode_batch(bufs_np, lens_np, bcap: int, level: int,
         out[b, : len(comp)] = np.frombuffer(comp, np.uint8)
         out_lens[b] = len(comp)
 
-    with ThreadPoolExecutor(min(8, os.cpu_count() or 1)) as ex:
-        list(ex.map(one, range(nb)))
+    list(shared_pool(min(8, os.cpu_count() or 1)).map(one, range(nb)))
     return out, out_lens
 
 
