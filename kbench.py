@@ -307,19 +307,24 @@ def main():
                                            profile="find", pair_probe=True)
                 return out, meta.reshape(meta.shape[0], 8)
             return runxf
-        if name in ("es", "escf", "esd", "esf"):
+        if name in ("es", "escf", "esd", "esf", "esv", "esvcf"):
             # streaming encoder (any block size; use with --block >= 256K):
-            # es = canonical schedule (production default), escf = canonical
-            # find-only, esd = dense 15-bit schedule, esf = dense find-only
+            # es = canonical schedule (production default: raw candidate
+            # verify + residency check, round 5), esv = canonical with the
+            # OLD always-ensured verify (A/B baseline), escf/esvcf = the
+            # matching canonical find-only profiles, esd = dense 15-bit
+            # schedule, esf = dense find-only
             from lz4_tpu.ops.encode_pallas_stream import pallas_encode_stream
 
-            sched = "canonical" if name in ("es", "escf") else "dense"
-            prof = {"es": "full", "escf": "cfind",
-                    "esd": "full", "esf": "find"}[name]
+            sched = "dense" if name in ("esd", "esf") else "canonical"
+            prof = {"es": "full", "escf": "cfind", "esv": "full",
+                    "esvcf": "cfind", "esd": "full", "esf": "find"}[name]
+            rawv = name not in ("esv", "esvcf")
 
-            def runes(bufs, lens, sched=sched, prof=prof):
+            def runes(bufs, lens, sched=sched, prof=prof, rawv=rawv):
                 out, meta = pallas_encode_stream(
                     bufs, lens, bs, 0, profile=prof, fast_schedule=sched,
+                    canon_raw_verify=rawv,
                 )
                 return out, meta.reshape(meta.shape[0], 8)
             return runes

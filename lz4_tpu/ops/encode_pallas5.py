@@ -84,7 +84,8 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                  ensure_to=None, win_log=None,
                  fast_schedule: str = "canonical",
                  canon_u16=True, canon_carry_w: bool = False,
-                 emit_fuse: bool = False):
+                 emit_fuse: bool = False, resident=None,
+                 canon_raw_verify: bool = True):
     """The complete FAST/HC/OPT encoder over caller-supplied accessors.
 
     W(p)        -> int32 LE word of source bytes p..p+3 (any byte offset)
@@ -105,12 +106,23 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
     the loop exits at the window edge (the scan loop re-enters with
     identical state, so the probe/insert sequence and skip schedule are
     byte-identical), and the software-pipelined probe word is read RAW
-    via `Wc` (its position is proven < win_hi before use; candidate
-    ensures inside the loop touch chunks within 7 of the window, which
-    cannot evict it).  Candidate-verify reads stay on the ensured `W`:
-    a raw read there is unsafe — a long-literal emit reloads old chunks
-    whose slots can evict the trailing window, and a stale verify word
-    could fabricate a match (silent corruption).
+    via `Wc` (its position is proven < win_hi before use).
+
+    Candidate-verify reads (round 5, `canon_raw_verify`): the canonical
+    find's per-probe verify also reads RAW, guarded by a RESIDENCY CHECK
+    instead of the old per-probe ensure region:
+      - byU16 blocks span < 5 input chunks and the ring holds 8, so every
+        chunk at or behind the scan stays resident once loaded — the raw
+        read is statically sound, no check needed;
+      - byU32 reads `resident(p)` (the streaming wrapper's exact ring
+        state — this kernel is serial, so check-before == check-after);
+        a NON-resident candidate exits the window loop with the verify
+        pending, and the outer body redoes it through the ensured `W`
+        (a DMA region entered only on actual eviction — adversarial
+        streams degrade to extra DMAs, never to wrong bytes).  The
+        probe/insert/skip schedule is unchanged either way, so output
+        stays byte-identical by construction.  `canon_raw_verify=False`
+        restores the old always-ensured verify (kbench A/B leg `esv`).
 
     Returns (op, errv)."""
     has_dict = src_off is not None
@@ -1396,6 +1408,11 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                 0, 1 << (_CANON_HLOG if u16 else _CANON_HLOG32), tinit, 0
             )
 
+            # raw_verify: per-probe candidate verifies read the ring RAW
+            # with residency handled per the _encode_body docstring; the
+            # staged kernel (not windowed) has no ring, so W is already a
+            # plain SMEM read there and nothing changes.
+            raw_verify = windowed and canon_raw_verify
             if u16:
                 def hash_w(w, w1):
                     prod = (w * jnp.int32(-1640531535)).astype(jnp.uint32)
@@ -1407,7 +1424,19 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                 def cand_ok(mi, cur):
                     return jnp.bool_(True)
 
-                def cand_w(mi, cur):
+                if raw_verify:
+                    # statically resident: byU16 blocks span < 5 chunks of
+                    # the 8-slot ring and nothing behind the scan evicts
+                    def cand_w(mi, cur):
+                        return Wc(mi)
+                else:
+                    def cand_w(mi, cur):
+                        return W(mi)
+
+                def cand_res(mi, cur):
+                    return jnp.bool_(True)
+
+                def cand_w_ens(mi, cur):
                     return W(mi)
             else:
                 def hash_w(w, w1):
@@ -1434,11 +1463,23 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                     # candidate load
                     return mi + 65535 >= cur
 
-                def cand_w(mi, cur):
+                def cand_w_ens(mi, cur):
                     # clamped (ensured) read: a distance-rejected
                     # candidate's chunk is never DMA'd by the streaming
                     # ring; the clamped value is dead under cand_ok
                     return W(jnp.maximum(mi, cur - 65535))
+
+                if raw_verify and resident is not None:
+                    def cand_w(mi, cur):
+                        return Wc(jnp.maximum(mi, cur - 65535))
+
+                    def cand_res(mi, cur):
+                        return resident(jnp.maximum(mi, cur - 65535))
+                else:
+                    cand_w = cand_w_ens
+
+                    def cand_res(mi, cur):
+                        return jnp.bool_(True)
 
             def chash(p, rd=None):
                 r = W if rd is None else rd
@@ -1452,7 +1493,7 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                 # — one SMEM load fewer per probe (byte-identical: same
                 # values read).
                 def fbody(fs, rd, lim):
-                    _ip, fwd, step, ramp, fh, w, _cand, _bail = fs
+                    _ip, fwd, step, ramp, fh, w, _cand, _bail, _st = fs
                     h = fh
                     ip2 = fwd
                     fwd2 = fwd + step
@@ -1463,25 +1504,29 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                     wn, w1n = read_hw(jnp.minimum(fwd2, lim), rd)
                     fh2 = hash_w(wn, w1n)
                     htab[h] = jnp.where(bail, mi, ip2)
-                    good = (~bail) & cand_ok(mi, ip2) & (
-                        cand_w(mi, ip2) == w
-                    )
+                    ok = cand_ok(mi, ip2)
+                    res = cand_res(mi, ip2)
+                    good = (~bail) & ok & res & (cand_w(mi, ip2) == w)
+                    # non-resident candidate: exit with the verify PENDING
+                    # (cand carries mi; the outer body redoes it ensured)
+                    stale = (~bail) & ok & (~res)
                     return (
                         ip2, fwd2, step2, ramp2, fh2, wn,
-                        jnp.where(good, mi, jnp.int32(-1)), bail,
+                        jnp.where(good | stale, mi, jnp.int32(-1)), bail,
+                        stale,
                     )
 
                 def pipe_init(p, lim, rd):
                     w0, w10 = read_hw(jnp.minimum(p, lim), rd)
                     return (hash_w(w0, w10), w0)
 
-                _CAND, _BAIL = 6, 7
+                _CAND, _BAIL, _STALE = 6, 7, 8
             else:
                 def fbody(fs, rd, lim):
                     """One probe: h was computed one probe ahead; the next
                     probe's hash reads through `rd` clamped to `lim`
                     (exact when the loop continues, dead on exit paths)."""
-                    _ip, fwd, step, ramp, fh, _cand, _bail = fs
+                    _ip, fwd, step, ramp, fh, _cand, _bail, _st = fs
                     h = fh
                     ip2 = fwd
                     fwd2 = fwd + step
@@ -1491,18 +1536,24 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                     mi = htab[h]
                     fh2 = chash(jnp.minimum(fwd2, lim), rd=rd)
                     htab[h] = jnp.where(bail, mi, ip2)
-                    good = (~bail) & cand_ok(mi, ip2) & (
+                    ok = cand_ok(mi, ip2)
+                    res = cand_res(mi, ip2)
+                    good = (~bail) & ok & res & (
                         cand_w(mi, ip2) == rd(ip2)
                     )
+                    # non-resident candidate: exit with the verify PENDING
+                    # (cand carries mi; the outer body redoes it ensured)
+                    stale = (~bail) & ok & (~res)
                     return (
                         ip2, fwd2, step2, ramp2, fh2,
-                        jnp.where(good, mi, jnp.int32(-1)), bail,
+                        jnp.where(good | stale, mi, jnp.int32(-1)), bail,
+                        stale,
                     )
 
                 def pipe_init(p, lim, rd):
                     return (chash(jnp.minimum(p, lim), rd=rd),)
 
-                _CAND, _BAIL = 5, 6
+                _CAND, _BAIL, _STALE = 5, 6, 7
 
             if not windowed:
                 def find(ip):
@@ -1513,7 +1564,8 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                         fcond, lambda fs: fbody(fs, W, n),
                         (ip, ip, jnp.int32(1), accel << _SKIP_TRIGGER)
                         + pipe_init(ip, n, W)
-                        + (jnp.int32(-1), jnp.bool_(False)),
+                        + (jnp.int32(-1), jnp.bool_(False),
+                           jnp.bool_(False)),
                     )
                     return out[0], out[_CAND], out[_BAIL]
             else:
@@ -1523,8 +1575,11 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                 # edge; re-entry recomputes the pipelined hash from ensured
                 # reads with identical state, so the probe/insert sequence
                 # and skip schedule are byte-identical to the staged scan.
-                # Candidate-verify reads stay on the ensured `W` (see the
-                # _encode_body docstring for why raw is unsafe there).
+                # Candidate-verify reads are RAW too (round 5) with the
+                # residency check riding the exit path: a stale exit
+                # (evicted candidate chunk — adversarial streams only)
+                # redoes the verify below through the ensured `W`, keeping
+                # the inner loop free of DMA regions entirely.
                 def find(ip):
                     def ocond(s):
                         return (s[4] < 0) & (~s[5])
@@ -1550,10 +1605,27 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                             # (exact; the probe/insert schedule is
                             # unchanged across window crossings)
                             + pipe_init(fwd, n, W)
-                            + (jnp.int32(-1), jnp.bool_(False)),
+                            + (jnp.int32(-1), jnp.bool_(False),
+                               jnp.bool_(False)),
                         )
+                        cand = out[_CAND]
+                        if raw_verify and not u16:
+                            # stale exit: the probe schedule already
+                            # advanced identically; only the verify was
+                            # pending.  Redo it through the ensured path
+                            # (the only DMA-bearing region, entered only
+                            # on actual ring eviction).
+                            def redo(c):
+                                okv = cand_ok(c, out[0]) & (
+                                    cand_w_ens(c, out[0]) == W(out[0])
+                                )
+                                return jnp.where(okv, c, jnp.int32(-1))
+
+                            cand = jax.lax.cond(
+                                out[_STALE], redo, lambda c: c, cand
+                            )
                         return (out[0], out[1], out[2], out[3],
-                                out[_CAND], out[_BAIL])
+                                cand, out[_BAIL])
 
                     out = jax.lax.while_loop(
                         ocond, obody,
@@ -1586,9 +1658,11 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                 h2 = chash(np_)
                 mi2 = htab[h2]
                 htab[h2] = jnp.where(fin, mi2, np_)
+                # per-MATCH verify (not per-probe): the ensured read's
+                # region cost is negligible here, keep it
                 again = (
                     (~fin) & cand_ok(mi2, np_)
-                    & (cand_w(mi2, np_) == W(np_)) & (~err)
+                    & (cand_w_ens(mi2, np_) == W(np_)) & (~err)
                 )
                 return np_, mi2, np_, acc, op, err, again, fin
 

@@ -60,7 +60,9 @@ def _encode_stream_one(i, n, acc0, src_w, out_hbm, meta_ref, ring_w, ring_o,
                        attempts: int, ocap: int, opt_sufficient: int,
                        opt_full: bool, src_off=None,
                        profile: str = "full",
-                       fast_schedule: str = "canonical", canon_u16=None):
+                       fast_schedule: str = "canonical", canon_u16=None,
+                       canon_raw_verify: bool = True,
+                       stale_test: bool = False):
     """Encode block i through the shared body over ring accessors.
 
     src_w:   HBM i32[B, NC, 128, 128]  per-byte LE words, chunked
@@ -127,11 +129,28 @@ def _encode_stream_one(i, n, acc0, src_w, out_hbm, meta_ref, ring_w, ring_o,
     def ensure_to(pos):
         ensure_chunk(pos >> _CW_LOG)
 
+    def resident(p):
+        """Exact ring residency of position p's chunk (serial kernel: the
+        state cannot change between this check and the raw read it
+        guards).  The canonical find's raw candidate-verify reads are
+        gated on this; a False answer costs one ensured redo, never
+        wrong bytes (see _encode_body's docstring)."""
+        p = jnp.maximum(p, 0)
+        c = p >> _CW_LOG
+        ok = state[c & (_NSLOTS - 1)] == c
+        if stale_test:
+            # test hook: lie "not resident" for a slice of positions to
+            # force the stale-exit + ensured-redo path — byte-identity
+            # must hold regardless of the oracle's accuracy
+            ok = ok & ((p & 255) != 0)
+        return ok
+
     op, errv = _encode_body(
         n, acc0, W, store, flush, htab, prev, nti, opt_tab,
         attempts, ocap, opt_sufficient, opt_full, src_off=src_off,
         profile=profile, Wc=Wc, ensure_to=ensure_to, win_log=_CW_LOG,
         fast_schedule=fast_schedule, canon_u16=canon_u16,
+        resident=resident, canon_raw_verify=canon_raw_verify,
     )
 
     # final flush of all remaining segments (incl. the partial one)
@@ -164,13 +183,16 @@ def _align(v: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("bcap", "attempts", "opt_sufficient", "opt_full",
-                     "has_dict", "profile", "fast_schedule"),
+                     "has_dict", "profile", "fast_schedule",
+                     "canon_raw_verify", "stale_test"),
 )
 def pallas_encode_stream(src_i32, lens, bcap: int, attempts: int = 0,
                          accs=None, opt_sufficient: int = 0,
                          opt_full: bool = False, src_offs=None,
                          has_dict: bool = False, profile: str = "full",
-                         fast_schedule: str = "canonical"):
+                         fast_schedule: str = "canonical",
+                         canon_raw_verify: bool = True,
+                         stale_test: bool = False):
     """src_i32: i32[B, CAP] block bytes, any bcap.
 
     Dictionary mode (has_dict): each row is [dict | src] flat-prefix
@@ -237,7 +259,8 @@ def pallas_encode_stream(src_i32, lens, bcap: int, attempts: int = 0,
             attempts, ocap, opt_sufficient, opt_full,
             src_off=offs_ref[i] if has_dict else None,
             profile=profile, fast_schedule=fast_schedule,
-            canon_u16=canon_u16,
+            canon_u16=canon_u16, canon_raw_verify=canon_raw_verify,
+            stale_test=stale_test,
         )
 
     out, meta = pl.pallas_call(

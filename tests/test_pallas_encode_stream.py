@@ -330,3 +330,45 @@ def test_chained_device_frame_large_blocks(monkeypatch):
     assert fast == ref
     dev = frame_api._try_chained_device_decompress(ref, DecoderSettings())
     assert dev == data
+
+
+def test_raw_verify_residency_oracle_property(rng):
+    """Round 5: the canonical find's candidate-verify reads the ring RAW,
+    gated by a residency oracle (`resident`), with a stale exit redoing
+    the verify through the ensured path.  Correctness must not depend on
+    the oracle's accuracy — a false "not resident" answer only costs a
+    redo.  stale_test=True makes the oracle lie for ~1/256 of positions,
+    hammering the stale-exit + ensured-redo path on a byU32 (> 64 KB)
+    block; output must stay byte-identical to the default path, to the
+    old always-ensured path (canon_raw_verify=False), and to the host
+    canonical engine."""
+    import jax.numpy as jnp
+
+    data = (
+        b" ".join([b"alpha", b"bravo", b"charlie", b"delta"] * 2500)
+        + rng.randbytes(40000)
+    )
+    data = (data * 3)[: 140 * 1024]
+    bcap = 140 * 1024  # > LZ4_64Klimit: the byU32 scan with the raw verify
+    bufs = np.zeros((1, bcap), np.uint8)
+    bufs[0, : len(data)] = np.frombuffer(data, np.uint8)
+    lens = np.asarray([len(data)], np.int32)
+
+    outs = {}
+    for tag, kw in (
+        ("raw", {}),
+        ("stale_forced", {"stale_test": True}),
+        ("ensured_baseline", {"canon_raw_verify": False}),
+    ):
+        out, meta = ES.pallas_encode_stream(
+            jnp.asarray(bufs), jnp.asarray(lens), bcap, 0, **kw
+        )
+        meta = np.asarray(meta).reshape(-1, 8)
+        assert int(meta[0, 1]) == 0, tag
+        words = np.ascontiguousarray(np.asarray(out).reshape(1, -1))
+        outs[tag] = words.view(np.uint8)[0, : int(meta[0, 0])].tobytes()
+
+    ref = hostref.encode_fast_canonical(data, 1)
+    for tag, comp in outs.items():
+        assert comp == ref, f"{tag} diverged from host canonical"
+    assert hostref.decode_block(ref, len(data)) == data

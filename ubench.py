@@ -415,7 +415,42 @@ def m_merged_seq(n):
     return k
 
 
+def m_mxu_gather(n):
+    """One 128-byte dynamic gather per iteration via the one-hot-matmul
+    trick (round-4 VERDICT item #4: price the MXU — the one TPU unit the
+    refutation table had not measured).  Gathers the 128 consecutive
+    words at a dynamic base offset from a (128, 128) f32 VMEM tile:
+    iota-compare one-hot row matrix [128k, 128row], one 128x128x128 MXU
+    matmul to select rows, iota-compare one-hot lane mask + multiply +
+    lane reduce to select the element — the minimal MXU analog of an LZ4
+    copy at a dynamic source offset.  The f32 buffer is PRE-STAGED
+    (byte->f32 conversion not charged), so this measures the OPTIMISTIC
+    floor; iterations are serialized through the loop carry, matching
+    the decoder's dependent-copy reality (and preventing DCE)."""
+    def k(seed, out, vmf):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+
+        def body(s):
+            i, a = s
+            base = (a + i) & 4095
+            pos = base + kcol                      # [128, 1] word offsets
+            oh_row = (lane == (pos >> 7)).astype(jnp.float32)
+            r1 = jnp.dot(
+                oh_row, vmf[:, :], preferred_element_type=jnp.float32
+            )
+            oh_lane = (lane == (pos & 127)).astype(jnp.float32)
+            v = jnp.sum(r1 * oh_lane)              # scalar: gathered digest
+            return i + 1, a + v.astype(jnp.int32)
+
+        _, a = jax.lax.while_loop(lambda s: s[0] < n, body, (seed[0, 0], 0))
+        out[:] = jnp.full((1, 128), a, jnp.int32)
+
+    return k
+
+
 VM = (pltpu.VMEM((256, 128), jnp.int32),)
+VMF = (pltpu.VMEM((128, 128), jnp.float32),)
 SC = (pltpu.SMEM((8,), jnp.int32),)
 
 BENCHES = {
@@ -438,6 +473,7 @@ BENCHES = {
     "when_scalar_untaken": (m_when_untaken, SC),
     "when_vec_untaken": (m_when_vec_untaken, VM),
     "merged_seq": (m_merged_seq, VM),
+    "mxu_gather128": (m_mxu_gather, VMF),
 }
 
 
