@@ -328,27 +328,38 @@ def main():
                 )
                 return out, meta.reshape(meta.shape[0], 8)
             return runes
-        if name in ("e5opt", "e5opts", "e5optr"):
+        if name in ("e5opt", "e5opts", "e5optr", "e5opt1k", "e5opt256"):
             # L12 optimal parse; e5opts = serial walk, e5opt = flat-miss
-            # walk, e5optr = fused-run walk (A/B ladder)
+            # walk, e5optr = fused-run walk (A/B ladder); e5opt1k/e5opt256
+            # = REDUCED-DEPTH searches (1024/256 attempts, NOT parity —
+            # round-5 probe of whether search depth dominates L12 time)
             from lz4_tpu.ops.encode_pallas5 import pallas_encode5
 
-            def runopt(bufs, lens, name=name):
+            att = {"e5opt1k": 1024, "e5opt256": 256}.get(name, 16384)
+
+            def runopt(bufs, lens, name=name, att=att):
                 out, meta = pallas_encode5(
-                    bufs, lens, bs, 16384, opt_sufficient=4095,
+                    bufs, lens, bs, att, opt_sufficient=4095,
                     opt_full=True, hc_flat=(name != "e5opts"),
                     hc_run=(name == "e5optr"),
                 )
                 return out, meta.reshape(meta.shape[0], 8)
             return runopt
-        if name in ("e5hx", "e5hr"):
-            # L9 flat-miss walk (e5hx) vs fused-run walk (e5hr)
+        if name in ("e5hx", "e5hr", "e5hpx", "e5hpl", "e5hpc"):
+            # L9 flat-miss walk (e5hx) vs fused-run walk (e5hr); e5hp* =
+            # round-5 marginal-cost injection legs (xstore/xload/xcond —
+            # byte-identical; deltas vs e5hx price one extra store / two
+            # dependent loads / one flat cond per walk attempt)
             from lz4_tpu.ops.encode_pallas5 import pallas_encode5
 
-            def runhx(bufs, lens, name=name):
+            hp = {"e5hpx": "xstore", "e5hpl": "xload",
+                  "e5hpc": "xcond"}.get(name, "")
+
+            def runhx(bufs, lens, name=name, hp=hp):
                 out, meta = pallas_encode5(bufs, lens, bs, 256,
                                            hc_flat=True,
-                                           hc_run=(name == "e5hr"))
+                                           hc_run=(name == "e5hr"),
+                                           hc_prof=hp)
                 return out, meta.reshape(meta.shape[0], 8)
             return runhx
         if name == "e5f":

@@ -396,6 +396,38 @@ def _try_host_chained_compress(data, settings, workers):
     )
 
 
+_LIBC = None
+
+
+def _prefault_async(base: int, length: int):
+    """Populate the result buffer's pages on a pool thread while the
+    serial chained decode walks forward (round 5: paired +3.5% on the
+    default chained+checksum shape — the fresh allocation's page faults
+    otherwise serialize into the single-threaded decode pass).
+    `madvise(MADV_POPULATE_WRITE)` never writes user data, so it is
+    RACE-FREE against the concurrent decoder (a page the decoder already
+    wrote is simply left as is); any error just means the decode faults
+    normally.  Returns the future (or None)."""
+    import ctypes
+
+    global _LIBC
+    if _LIBC is None:
+        try:
+            _LIBC = ctypes.CDLL("libc.so.6", use_errno=True)
+        except OSError:
+            _LIBC = False
+    if not _LIBC:
+        return None
+    from ..pool import shared_pool
+
+    a0 = base & ~4095
+    MADV_POPULATE_WRITE = 23
+    return shared_pool(2).submit(
+        _LIBC.madvise, ctypes.c_void_p(a0), base + length - a0,
+        MADV_POPULATE_WRITE,
+    )
+
+
 def _try_host_chained_decompress(data, settings):
     """Chained-block frame decoded in one sequential zero-copy pass: each
     block decodes into its final position of one contiguous buffer, so the
@@ -430,6 +462,7 @@ def _try_host_chained_decompress(data, settings):
         scratch = np.empty(nb * bs, np.uint8)
         base = native._waddr(scratch)
         cap_total = nb * bs
+    pf = _prefault_async(base, cap_total)  # overlaps the serial pass
     wrote = 0
     for off, length, stored in blocks:
         if stored:
@@ -447,6 +480,8 @@ def _try_host_chained_decompress(data, settings):
                 )
             except Exception as e:  # malformed block or lying content size
                 raise LZ4FormatError(f"chained block decode failed: {e}")
+    if pf is not None:
+        pf.result()  # harmless rc either way; keeps the buffer's lifetime
     if known is not None:
         if wrote != known:
             raise LZ4FormatError(

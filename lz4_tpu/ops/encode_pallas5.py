@@ -85,7 +85,7 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                  fast_schedule: str = "canonical",
                  canon_u16=True, canon_carry_w: bool = False,
                  emit_fuse: bool = False, resident=None,
-                 canon_raw_verify: bool = True):
+                 canon_raw_verify: bool = True, hc_prof: str = ""):
     """The complete FAST/HC/OPT encoder over caller-supplied accessors.
 
     W(p)        -> int32 LE word of source bytes p..p+3 (any byte offset)
@@ -848,6 +848,37 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                 # advance's entry test, so semantics are unchanged.
                 d0 = chain_d(cand + co)
                 take_pa0 = (d0 == 1) & (co == 0)
+
+                if hc_prof:
+                    # Round-5 MARGINAL-COST injection legs (L3-L9 only:
+                    # opt_tab is a dead (4, 8) stub there, so the
+                    # consuming store is semantically inert and output
+                    # stays byte-identical — the walk schedule being
+                    # measured is the real one).  Each leg adds one unit
+                    # of per-attempt work; the delta vs the production
+                    # leg is that primitive's marginal cost ON the real
+                    # walk (kbench e5hpx / e5hpl / e5hpc).
+                    assert not opt_sufficient, "hc_prof legs are L3-L9 only"
+                    if hc_prof == "xstore":
+                        # one extra dynamic SMEM store
+                        opt_tab[0, d0 & 7] = d0
+                    elif hc_prof == "xload":
+                        # two extra dependent SMEM loads (the shape of the
+                        # quick-reject pair) + the consuming store
+                        v = W(cand + 2)
+                        v2 = W(ilow + (v & 63))
+                        opt_tab[0, v2 & 7] = v2
+                    elif hc_prof == "xcond":
+                        # one extra flat two-sided cond + consuming store
+                        dmy = jax.lax.cond(
+                            (d0 & 1) == 0,
+                            lambda _: d0 + 1,
+                            lambda _: d0 - 1,
+                            None,
+                        )
+                        opt_tab[0, dmy & 7] = dmy
+                    else:
+                        raise ValueError(f"unknown hc_prof {hc_prof!r}")
 
                 def fastmiss(args):
                     longest, m_start, m_pos, rt, rc, spl, co2 = args
@@ -1788,7 +1819,7 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
                 pair_probe: bool = False, hc_flat: bool = True,
                 hc_run: bool = False, fast_schedule: str = "canonical",
                 canon_u16=True, canon_carry_w: bool = False,
-                emit_fuse: bool = False):
+                emit_fuse: bool = False, hc_prof: str = ""):
     """Staged whole-block wrapper around `_encode_body`.
 
     src_s:   SMEM i32[1, 1, CAP]  per-byte LE words
@@ -1810,6 +1841,7 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
         pair_probe=pair_probe, hc_flat=hc_flat, hc_run=hc_run,
         fast_schedule=fast_schedule, canon_u16=canon_u16,
         canon_carry_w=canon_carry_w, emit_fuse=emit_fuse,
+        hc_prof=hc_prof,
     )
     meta_ref[0, 0, 0] = op
     meta_ref[0, 0, 1] = errv
@@ -1821,7 +1853,8 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
     jax.jit,
     static_argnames=("bcap", "attempts", "opt_sufficient", "opt_full",
                      "profile", "pair_probe", "hc_flat", "hc_run",
-                     "fast_schedule", "canon_carry_w", "emit_fuse"),
+                     "fast_schedule", "canon_carry_w", "emit_fuse",
+                     "hc_prof"),
 )
 def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
                    opt_sufficient: int = 0, opt_full: bool = False,
@@ -1829,7 +1862,7 @@ def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
                    hc_flat: bool = True, hc_run: bool = False,
                    fast_schedule: str = "canonical",
                    canon_carry_w: bool = False,
-                   emit_fuse: bool = False):
+                   emit_fuse: bool = False, hc_prof: str = ""):
     """src_i32: i32[B, CAP] block bytes (CAP % 128 == 0, >= bcap + pad).
 
     Returns (out_words i32[B, 1, OW] packed, meta i32[B, 1, 8]).
@@ -1888,6 +1921,7 @@ def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
             pair_probe=pair_probe, hc_flat=hc_flat, hc_run=hc_run,
             fast_schedule=fast_schedule, canon_u16=canon_u16,
             canon_carry_w=canon_carry_w, emit_fuse=emit_fuse,
+            hc_prof=hc_prof,
         )
 
     out, meta = pl.pallas_call(
