@@ -553,7 +553,16 @@ def _paired_frame_decode(datas, blobs):
     dst_np = np.empty(total, np.uint8)        # warm target for ours
 
     t_ours, t_into, t_cb, t_cf = [], [], [], []
-    for i, (data, blob) in enumerate(zip(datas, blobs)):
+    # ~25 ms/round: run enough paired rounds for a stable median even when
+    # the caller's iters is small (this VM's scheduler swings are the
+    # whole reason for pairing)
+    rounds = max(9, len(datas))
+    pairs = [
+        (datas[i % len(datas)], blobs[i % len(blobs)])
+        for i in range(rounds)
+    ]
+    for i, (data, blob) in enumerate(pairs):
+        i = i % len(datas)  # canonical blob index
         t0 = time.perf_counter()
         r = frame.decompress(blob, workers=8)
         t1 = time.perf_counter()
