@@ -1127,6 +1127,13 @@ def main():
                     "decode_GBps": round(d12, 4),
                     "ratio": round(r12, 4),
                     **x12,
+                    "note": (
+                        "encode is the figure of merit here; the small "
+                        "payload (encode runs ~2 MB/s) leaves the decode "
+                        "number dominated by the ~29 ms/call dispatch — "
+                        "see device_L09's decode row for the same stream "
+                        "shape at sustained size"
+                    ),
                 }
             except Exception:
                 import traceback

@@ -333,3 +333,34 @@ def test_streaming_dict_encode_on_hardware(tpu):
     for k, (d, s) in enumerate(cases):
         ref = native.encode(s, 0, dictionary=d, geometry="dense")
         assert out[k, : clens[k]].tobytes() == ref, k
+
+
+def test_streaming_encode_residency_redo_on_hardware(tpu):
+    """Round 5: the raw candidate-verify's stale-exit + ensured-redo path
+    under REAL Mosaic codegen (interpret-mode coverage lives in
+    test_pallas_encode_stream).  stale_test=True makes the residency
+    oracle lie for ~1/256 positions; bytes must match the host canonical
+    engine exactly."""
+    import jax.numpy as jnp
+
+    from lz4_tpu import native
+    from lz4_tpu.ops.encode_pallas_stream import pallas_encode_stream
+
+    rng = random.Random(77)
+    bcap = 131072
+    words = [rng.randbytes(rng.randint(3, 9)) for _ in range(25)]
+    d = (
+        b" ".join(rng.choice(words) for _ in range(30_000))[: bcap - 20_000]
+        + rng.randbytes(20_000)
+    )
+    bufs = np.zeros((1, bcap), np.uint8)
+    bufs[0, : len(d)] = np.frombuffer(d, np.uint8)
+    out, meta = pallas_encode_stream(
+        jnp.asarray(bufs), jnp.asarray([len(d)], jnp.int32), bcap, 0,
+        stale_test=True,
+    )
+    meta = np.asarray(meta).reshape(-1, 8)
+    assert int(meta[0, 1]) == 0
+    words_out = np.ascontiguousarray(np.asarray(out).reshape(1, -1))
+    comp = words_out.view(np.uint8)[0, : int(meta[0, 0])].tobytes()
+    assert comp == native.encode(d, 0), "stale-redo path diverged"
