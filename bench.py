@@ -176,9 +176,18 @@ def _decode_ceiling_mbps(enc_u8, enc_lens, raw_per_block, max_sample=32):
     see the ceiling-model comment above)."""
     nb_total = int(enc_u8.shape[0])
     # stride the sample across the batch: the corpus quarters differ in
-    # sequence density, so a head-only sample would bias the floor
+    # sequence density, so a head-only sample would bias the floor.  The
+    # counter is a pure-python token walk, so ALSO cap the sampled
+    # compressed bytes — large-block streams (4 MiB blocks, ~556k
+    # seqs/block) would otherwise cost tens of untimed seconds per row.
     step = max(1, nb_total // max_sample)
-    sample = range(0, nb_total, step)
+    budget = 4 << 20
+    sample = []
+    for b in range(0, nb_total, step):
+        sample.append(b)
+        budget -= int(enc_lens[b])
+        if budget <= 0:
+            break
     nseq = sum(
         _count_sequences(enc_u8[b, : int(enc_lens[b])].tobytes())
         for b in sample
@@ -1113,10 +1122,12 @@ def main():
             and os.environ.get("LZ4TPU_BENCH_L12") != "0"
         ):
             # device optimal parse — in the DEFAULT run since round 5
-            # (VERDICT item #3).  Guarded: a cold-cache kernel compile can
-            # take 10-20 min, so a failure/timeout drops only this row
-            # (logged on stderr), never the driver-contract line.
-            # LZ4TPU_BENCH_L12=0 opts out.
+            # (VERDICT item #3).  A FAILURE drops only this row (logged
+            # on stderr), never the driver-contract line.  A COLD compile
+            # cache is not a failure: it stalls this row 10-20 min before
+            # the JSON prints (no in-process timeout exists for a remote
+            # compile) — LZ4TPU_BENCH_L12=0 opts out when that latency is
+            # unacceptable; /tmp/jax_cache makes warm reruns ~1 s.
             try:
                 e12, d12, r12, x12 = _device_config(
                     block_size, max(block_size, total // 16), 2, uniq + 4,

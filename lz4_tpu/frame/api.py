@@ -264,7 +264,7 @@ def _try_host_parallel_compress(data, settings, workers):
     n_workers = workers if workers is not None else min(8, os.cpu_count() or 1)
     if n_workers <= 1:
         return None
-    from ..pool import shared_pool
+    from ..pool import map_all, shared_pool
 
     if not isinstance(data, bytes):
         data = bytes(data)
@@ -290,10 +290,14 @@ def _try_host_parallel_compress(data, settings, workers):
             geometry=geometry,
         )
 
-    ex = shared_pool(n_workers)  # persistent: no per-call thread spawn
-    # content checksum overlaps with the compression workers
-    csum_f = ex.submit(xxh32, data) if d.content_checksum else None
-    list(ex.map(one, range(nb)))
+    # persistent pool: no per-call thread spawn; map_all joins workers
+    # before any unwind (they write `scratch` through raw addresses)
+    csum_f = (
+        shared_pool(n_workers).submit(xxh32, data)
+        if d.content_checksum
+        else None
+    )  # content checksum overlaps with the compression workers
+    map_all(n_workers, one, range(nb))
     csum = csum_f.result() if csum_f is not None else None
     sview = memoryview(scratch.data)
     return _assemble_frame(
@@ -366,7 +370,7 @@ def _try_host_chained_compress(data, settings, workers):
     n_workers = workers if workers is not None else min(8, os.cpu_count() or 1)
     if n_workers <= 1:
         return None
-    from ..pool import shared_pool
+    from ..pool import map_all, shared_pool
 
     data = _as_bytes(data)
     level = settings.compression_level
@@ -384,9 +388,13 @@ def _try_host_chained_compress(data, settings, workers):
             dict_len=min(off, 65536), geometry="dense",
         )
 
-    ex = shared_pool(n_workers)  # persistent: no per-call thread spawn
-    csum_f = ex.submit(xxh32, data) if d.content_checksum else None
-    list(ex.map(one, range(nb)))
+    # persistent pool + join-before-unwind (see _try_host_parallel_compress)
+    csum_f = (
+        shared_pool(n_workers).submit(xxh32, data)
+        if d.content_checksum
+        else None
+    )
+    map_all(n_workers, one, range(nb))
     csum = csum_f.result() if csum_f is not None else None
     sview = memoryview(scratch.data)
     return _assemble_frame(
@@ -414,7 +422,14 @@ def _prefault_async(base: int, length: int):
     if _LIBC is None:
         try:
             _LIBC = ctypes.CDLL("libc.so.6", use_errno=True)
-        except OSError:
+            # explicit size_t length: without argtypes ctypes passes a
+            # 32-bit c_int, silently truncating >= 2 GiB buffers (and
+            # madvise(addr, 0, ...) "succeeds" doing nothing)
+            _LIBC.madvise.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+            ]
+            _LIBC.madvise.restype = ctypes.c_int
+        except (OSError, AttributeError):
             _LIBC = False
     if not _LIBC:
         return None
@@ -463,25 +478,36 @@ def _try_host_chained_decompress(data, settings):
         base = native._waddr(scratch)
         cap_total = nb * bs
     pf = _prefault_async(base, cap_total)  # overlaps the serial pass
-    wrote = 0
-    for off, length, stored in blocks:
-        if stored:
-            if wrote + length > cap_total:
-                raise LZ4FormatError("decoded content exceeds declared size")
-            ctypes.memmove(base + wrote, native._addr(data) + off, length)
-            wrote += length
-        else:
-            dl = min(wrote, 65536)
-            try:
-                wrote += native.decode_span(
-                    data, off, length, base, wrote,
-                    min(bs, cap_total - wrote),
-                    dict_addr=base + wrote - dl, dict_len=dl,
+    try:
+        wrote = 0
+        for off, length, stored in blocks:
+            if stored:
+                if wrote + length > cap_total:
+                    raise LZ4FormatError(
+                        "decoded content exceeds declared size"
+                    )
+                ctypes.memmove(
+                    base + wrote, native._addr(data) + off, length
                 )
-            except Exception as e:  # malformed block or lying content size
-                raise LZ4FormatError(f"chained block decode failed: {e}")
-    if pf is not None:
-        pf.result()  # harmless rc either way; keeps the buffer's lifetime
+                wrote += length
+            else:
+                dl = min(wrote, 65536)
+                try:
+                    wrote += native.decode_span(
+                        data, off, length, base, wrote,
+                        min(bs, cap_total - wrote),
+                        dict_addr=base + wrote - dl, dict_len=dl,
+                    )
+                except Exception as e:  # malformed block / lying size
+                    raise LZ4FormatError(
+                        f"chained block decode failed: {e}"
+                    )
+    finally:
+        if pf is not None:
+            try:  # join on EVERY path: the madvise must not outlive the
+                pf.result()  # buffer; never mask the body's exception
+            except Exception:
+                pass
     if known is not None:
         if wrote != known:
             raise LZ4FormatError(
@@ -557,11 +583,14 @@ def _try_host_parallel_decompress(data, settings, workers):
             # or memset holding the lock)
             lens[i] = native.decode_span(data, off, length, base, i * bs, bs)
 
-    from ..pool import shared_pool
+    from ..pool import map_all
 
     # persistent pool: per-call thread spawn costs ~0.6 ms on this VM —
-    # ~8% of a 16 MiB threaded frame decode
-    list(shared_pool(n_workers).map(one, range(nb - 1)))
+    # ~8% of a 16 MiB threaded frame decode.  map_all JOINS the workers
+    # before unwinding on a malformed block: they write the fresh
+    # `result` object through its raw address, so an early unwind would
+    # free it under them (round-5 review finding)
+    map_all(n_workers, one, range(nb - 1))
     if not all(lens[i] == bs for i in range(nb - 1)):
         # spec-legal short interior blocks: compact (rare; the partially
         # written `result` is discarded, never exposed)
@@ -831,9 +860,11 @@ def decompress_into(
                 )
 
         if n_workers > 1 and nb > 1:
-            from ..pool import shared_pool
+            from ..pool import map_all
 
-            list(shared_pool(n_workers).map(one, range(nb)))
+            # join-before-unwind: workers write the CALLER's buffer via
+            # its raw address; do not return/raise while they still run
+            map_all(n_workers, one, range(nb))
         else:
             for i in range(nb):
                 one(i)

@@ -119,10 +119,16 @@ class FrameWriter:
                 self._write_block(raw)
             return
         import os
-        from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(min(8, os.cpu_count() or 1, len(blocks))) as ex:
-            comps = list(ex.map(self._encoder.encode_block, blocks))
+        from ..pool import map_all
+
+        # persistent shared pool (round 5); encode_block takes/returns
+        # bytes objects the futures reference, so the buffer-lifetime
+        # hazard of the raw-address paths does not apply here
+        comps = map_all(
+            min(8, os.cpu_count() or 1, len(blocks)),
+            self._encoder.encode_block, blocks,
+        )
         for raw, comp in zip(blocks, comps):
             self._emit_block(raw, comp)
 

@@ -284,7 +284,7 @@ def _host_encode_batch(bufs_np, lens_np, bcap: int, level: int,
         return None
     import os
 
-    from ..pool import shared_pool
+    from ..pool import map_all
 
     bufs = np.asarray(bufs_np)
     lens = np.asarray(lens_np)
@@ -300,7 +300,7 @@ def _host_encode_batch(bufs_np, lens_np, bcap: int, level: int,
         out[b, : len(comp)] = np.frombuffer(comp, np.uint8)
         out_lens[b] = len(comp)
 
-    list(shared_pool(min(8, os.cpu_count() or 1)).map(one, range(nb)))
+    map_all(min(8, os.cpu_count() or 1), one, range(nb))
     return out, out_lens
 
 
@@ -690,7 +690,13 @@ def decode_blocks(
             jax.device_put(jnp.asarray(clens), sh),
         )
     else:
-        outs, out_lens, errs = decode_blocks_device(comps, clens, block_size)
+        # mode picked from the REAL rows only: the 1-byte pad rows would
+        # dilute the batch-ratio signal (nb=17 -> 32 pads ~halve it) and
+        # flip FAST-shaped batches to full2v (round-5 review finding)
+        outs, out_lens, errs = decode_blocks_device(
+            comps, clens, block_size,
+            mode=_pick_decode_mode(clens[:nb], block_size),
+        )
     outs = np.asarray(outs)
     out_lens = np.asarray(out_lens)
     errs = np.asarray(errs)

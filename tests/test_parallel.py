@@ -155,3 +155,44 @@ def test_dict_decode_routes_to_streaming_kernel(monkeypatch):
     monkeypatch.delenv("LZ4TPU_STAGED_DICT_DECODE")
     pb.decode_blocks_device(comps, clens, 4096)
     assert calls[-1] == "staged", "no-dict small blocks stay staged"
+
+
+def test_decode_blocks_mode_pick_ignores_pad_rows(monkeypatch):
+    """Round-5 review: the fast-arm mode must be picked from the REAL
+    rows' compressed ratio — 1-byte pad rows (nb=17 -> bucket 32) would
+    dilute it below the 0.40 threshold and flip FAST batches to full2v."""
+    from lz4_tpu import native
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    seen = {}
+
+    def fake_device(comps, clens, cap, dicts=None, dls=None, mode=None):
+        seen["mode"] = mode
+        seen["nb"] = np.asarray(comps).shape[0]
+        b = np.asarray(comps).shape[0]
+        out = np.zeros((b, cap), np.uint8)
+        olens = np.zeros((b,), np.int64)
+        for k in range(b):
+            blk = np.asarray(comps)[k, : int(np.asarray(clens)[k])]
+            raw = native.decode(blk.tobytes(), capacity=cap)
+            out[k, : len(raw)] = np.frombuffer(raw, np.uint8)
+            olens[k] = len(raw)
+        return out, olens, np.zeros((b,), np.int64)
+
+    monkeypatch.setattr(pb, "decode_blocks_device", fake_device)
+    # 17 FAST-ish blocks (ratio ~0.5): real ratio above the 0.40 threshold
+    rng = np.random.default_rng(5)
+    blocks, datas = [], []
+    for k in range(17):
+        d = (rng.bytes(2200) + b"the quick brown fox " * 120)[:3500]
+        datas.append(d)
+        blocks.append(native.encode(d, 0))
+    ratio = sum(map(len, blocks)) / (17 * 4096)
+    assert ratio >= 0.40, "fixture must be FAST-shaped"
+    out = pb.decode_blocks(blocks, 4096)
+    assert out == b"".join(datas)
+    assert seen["nb"] == 32, "bucketed batch reaches the device layer"
+    assert seen["mode"] == "full2", (
+        "pad rows diluted the mode-pick ratio", seen
+    )
