@@ -25,7 +25,7 @@ from .pickler import pickle, pickle_into, unpickle, unpickle_into
 from .pickler import unpickled_size
 from .xxh32 import XXH32, xxh32
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "LZ4Level",
