@@ -218,3 +218,42 @@ def test_fuzz_streaming_canonical_byu32_interpret(seed, monkeypatch):
             assert hostref.decode_block(got, len(d)) == d, (seed, k)
     finally:
         ES.pallas_encode_stream.clear_cache()
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_fuzz_corrupted_blocks_streaming_decoder(seed, monkeypatch):
+    """Round 5: the corrupted-block fuzz's analog for the RING-STREAMED
+    decoder (the production route for >64 KB blocks and dict batches):
+    random corruptions must yield a clean error flag or an in-range
+    decode — never a crash, bad DMA, or hang."""
+    import functools
+
+    import numpy as np
+    from jax.experimental import pallas as pl
+
+    from lz4_tpu.ops import decode_pallas_stream as DS
+    from lz4_tpu.parallel.blocks import comp_capacity
+
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    DS.pallas_decode_stream.clear_cache()
+    try:
+        rng = random.Random(11000 + seed)
+        n = 100 * 1024  # forces the ring path (above the staged cap)
+        data = _random_structured(rng, n)
+        comp = bytearray(hostref.encode_fast(data))
+        for _ in range(rng.randrange(1, 6)):
+            comp[rng.randrange(len(comp))] ^= 1 << rng.randrange(8)
+        cap = comp_capacity(n)
+        comps = np.zeros((1, cap), np.uint8)
+        comps[0, : len(comp)] = np.frombuffer(bytes(comp), np.uint8)
+        clens = np.asarray([len(comp)], np.int32)
+        for mode in ("full", "full2v"):
+            out, olens, errs = DS.decode_blocks_pallas_stream(
+                comps, clens, n, mode=mode
+            )
+            if errs[0] == 0:
+                assert 0 <= int(olens[0]) <= n, (seed, mode)
+    finally:
+        DS.pallas_decode_stream.clear_cache()
