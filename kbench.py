@@ -18,7 +18,12 @@ e5cf (canonical find-only profile),
 e5hc/e5hx (L9 serial-walk baseline / flat-miss production walk),
 e5opts/e5opt (L12 serial / flat-miss), e5hr/e5optr (fused-run walk —
 negative result, see PERFORMANCE.md), e5ef (fused token+literal emit —
-negative result).
+negative result).  Round-5 legs: es/esv (streaming canonical, raw vs
+ensured candidate verify — measured neutral; escf/esvcf find-only),
+e5opt1k/e5opt256 (L12 reduced-depth probes — refuted the search-depth
+lever), e5hpx/e5hpl/e5hpc (L9 marginal-cost injections: +store /
++2 loads / +flat cond per walk attempt — all ~free, proving the walk
+dependency-bound).
 """
 
 import os

@@ -90,3 +90,37 @@ def test_threaded_decompress_malformed_block_raises_cleanly():
     # the pool remains healthy for subsequent work
     assert frame.decompress(frame.compress(data, settings=s, workers=8),
                             workers=8) == data
+
+
+def test_concurrent_threaded_frame_calls():
+    """The shared pools serve CONCURRENT frame calls from multiple user
+    threads: results must be correct and isolated (per-call scratch, no
+    cross-talk through the reused executors)."""
+    import threading
+
+    from lz4_tpu import frame, native
+    from lz4_tpu.frame.descriptor import EncoderSettings
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    s = EncoderSettings(chain_blocks=False, block_size=1 << 16)
+    payloads = [
+        (bytes([65 + i]) * 150_000 + bytes(range(256)) * ((i + 1) * 40))
+        for i in range(6)
+    ]
+    errors = []
+
+    def worker(i):
+        try:
+            for _ in range(3):
+                blob = frame.compress(payloads[i], settings=s, workers=4)
+                assert frame.decompress(blob, workers=4) == payloads[i]
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append((i, repr(e)))
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    assert not errors, errors
