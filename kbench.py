@@ -376,6 +376,19 @@ def main():
                 )
                 return out, meta.reshape(meta.shape[0], 8)
             return runf
+        if name in ("e5cpx", "e5cpl", "e5cpc"):
+            # round-5 marginal-cost injections for the canonical FAST find
+            # (+store / +2 loads / +flat cond per probe; byte-identical —
+            # deltas vs e5 price the find loop's free issue slots)
+            from lz4_tpu.ops.encode_pallas5 import pallas_encode5
+
+            cp = {"e5cpx": "xstore", "e5cpl": "xload",
+                  "e5cpc": "xcond"}[name]
+
+            def runcp(bufs, lens, cp=cp):
+                out, meta = pallas_encode5(bufs, lens, bs, 0, cf_prof=cp)
+                return out, meta.reshape(meta.shape[0], 8)
+            return runcp
         if name == "e5cf":
             # canonical FAST, find-only profile (no byte emission)
             from lz4_tpu.ops.encode_pallas5 import pallas_encode5

@@ -292,6 +292,8 @@ def encode_fast_canonical(src: bytes, acceleration: int = 1) -> bytes:
         step = 1
         ramp = acceleration << 6
         while True:
+            if CANON_STATS is not None:
+                CANON_STATS["probes"] += 1
             h = fh
             ip = fwd
             fwd += step
@@ -306,6 +308,8 @@ def encode_fast_canonical(src: bytes, acceleration: int = 1) -> bytes:
             if not u16 and mi + DISTANCE_MAX < ip:
                 continue
             if _read4(src, mi) == _read4(src, ip):
+                if CANON_STATS is not None:
+                    CANON_STATS["matches"] += 1
                 match = mi
                 break
         while ip > anchor and match > 0 and src[ip - 1] == src[match - 1]:
@@ -458,6 +462,11 @@ def _count_back_pattern(buf, p: int, low: int, pattern: int) -> int:
 # and searches; used by the round-3 device-HC ceiling analysis in
 # PERFORMANCE.md).  None = zero overhead beyond one comparison.
 WALK_STATS = None
+
+# optional canonical-FAST scan census (round 5): set to a dict with
+# "probes"/"matches" keys to count find-loop iterations — used to convert
+# kbench marginal-cost deltas into cycles/probe
+CANON_STATS = None
 
 
 class _ChainFinder:

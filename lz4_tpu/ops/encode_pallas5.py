@@ -85,7 +85,8 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                  fast_schedule: str = "canonical",
                  canon_u16=True, canon_carry_w: bool = False,
                  emit_fuse: bool = False, resident=None,
-                 canon_raw_verify: bool = True, hc_prof: str = ""):
+                 canon_raw_verify: bool = True, hc_prof: str = "",
+                 cf_prof: str = ""):
     """The complete FAST/HC/OPT encoder over caller-supplied accessors.
 
     W(p)        -> int32 LE word of source bytes p..p+3 (any byte offset)
@@ -1444,6 +1445,30 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
             # staged kernel (not windowed) has no ring, so W is already a
             # plain SMEM read there and nothing changes.
             raw_verify = windowed and canon_raw_verify
+            if cf_prof:
+                # marginal-cost injection legs for the FAST find (round 5,
+                # mirror of the HC hc_prof legs): opt_tab is a dead (4, 8)
+                # stub at FAST levels, so the consuming store is inert and
+                # output stays byte-identical
+                assert not opt_sufficient and not attempts
+
+            def _cf_inject(mi, ip2, rd, lim):
+                if cf_prof == "xstore":
+                    opt_tab[0, ip2 & 7] = ip2
+                elif cf_prof == "xload":
+                    v = rd(jnp.minimum(ip2 + 2, lim))
+                    v2 = rd(jnp.minimum(ip2 + (v & 7), lim))
+                    opt_tab[0, v2 & 7] = v2
+                elif cf_prof == "xcond":
+                    dmy = jax.lax.cond(
+                        (mi & 1) == 0,
+                        lambda _: mi + 1,
+                        lambda _: mi - 1,
+                        None,
+                    )
+                    opt_tab[0, dmy & 7] = dmy
+                elif cf_prof:
+                    raise ValueError(f"unknown cf_prof {cf_prof!r}")
             if u16:
                 def hash_w(w, w1):
                     prod = (w * jnp.int32(-1640531535)).astype(jnp.uint32)
@@ -1535,6 +1560,7 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                     wn, w1n = read_hw(jnp.minimum(fwd2, lim), rd)
                     fh2 = hash_w(wn, w1n)
                     htab[h] = jnp.where(bail, mi, ip2)
+                    _cf_inject(mi, ip2, rd, lim)
                     ok = cand_ok(mi, ip2)
                     res = cand_res(mi, ip2)
                     good = (~bail) & ok & res & (cand_w(mi, ip2) == w)
@@ -1567,6 +1593,7 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                     mi = htab[h]
                     fh2 = chash(jnp.minimum(fwd2, lim), rd=rd)
                     htab[h] = jnp.where(bail, mi, ip2)
+                    _cf_inject(mi, ip2, rd, lim)
                     ok = cand_ok(mi, ip2)
                     res = cand_res(mi, ip2)
                     good = (~bail) & ok & res & (
@@ -1819,7 +1846,8 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
                 pair_probe: bool = False, hc_flat: bool = True,
                 hc_run: bool = False, fast_schedule: str = "canonical",
                 canon_u16=True, canon_carry_w: bool = False,
-                emit_fuse: bool = False, hc_prof: str = ""):
+                emit_fuse: bool = False, hc_prof: str = "",
+                cf_prof: str = ""):
     """Staged whole-block wrapper around `_encode_body`.
 
     src_s:   SMEM i32[1, 1, CAP]  per-byte LE words
@@ -1841,7 +1869,7 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
         pair_probe=pair_probe, hc_flat=hc_flat, hc_run=hc_run,
         fast_schedule=fast_schedule, canon_u16=canon_u16,
         canon_carry_w=canon_carry_w, emit_fuse=emit_fuse,
-        hc_prof=hc_prof,
+        hc_prof=hc_prof, cf_prof=cf_prof,
     )
     meta_ref[0, 0, 0] = op
     meta_ref[0, 0, 1] = errv
@@ -1854,7 +1882,7 @@ def _encode_one(n, acc0, src_s, htab, prev, nti, opt_tab, out_ref, meta_ref,
     static_argnames=("bcap", "attempts", "opt_sufficient", "opt_full",
                      "profile", "pair_probe", "hc_flat", "hc_run",
                      "fast_schedule", "canon_carry_w", "emit_fuse",
-                     "hc_prof"),
+                     "hc_prof", "cf_prof"),
 )
 def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
                    opt_sufficient: int = 0, opt_full: bool = False,
@@ -1862,7 +1890,8 @@ def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
                    hc_flat: bool = True, hc_run: bool = False,
                    fast_schedule: str = "canonical",
                    canon_carry_w: bool = False,
-                   emit_fuse: bool = False, hc_prof: str = ""):
+                   emit_fuse: bool = False, hc_prof: str = "",
+                   cf_prof: str = ""):
     """src_i32: i32[B, CAP] block bytes (CAP % 128 == 0, >= bcap + pad).
 
     Returns (out_words i32[B, 1, OW] packed, meta i32[B, 1, 8]).
@@ -1921,7 +1950,7 @@ def pallas_encode5(src_i32, lens, bcap: int, attempts: int = 0, accs=None,
             pair_probe=pair_probe, hc_flat=hc_flat, hc_run=hc_run,
             fast_schedule=fast_schedule, canon_u16=canon_u16,
             canon_carry_w=canon_carry_w, emit_fuse=emit_fuse,
-            hc_prof=hc_prof,
+            hc_prof=hc_prof, cf_prof=cf_prof,
         )
 
     out, meta = pl.pallas_call(

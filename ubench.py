@@ -415,6 +415,29 @@ def m_merged_seq(n):
     return k
 
 
+def m_store_load_dep(n):
+    """Dependent-ADDRESS store->load round trip on ONE SMEM ref — the
+    FAST find's hash-table pattern (load mi = t[h]; store t[h] = ip;
+    the NEXT h depends on the loaded value).  Mosaic cannot disambiguate
+    dynamic SMEM addresses, so each load orders after the previous
+    store; this measures that serialization as a carried per-iteration
+    cost (the independent-address pair measures ~5 cyc total —
+    `smem_store_then_load`)."""
+    def k(seed, out, sc):
+        def body(s):
+            i, h = s
+            mi = sc[h]
+            sc[h] = i
+            return i + 1, (mi * 7 + i) & 63
+
+        _, h = jax.lax.while_loop(
+            lambda s: s[0] < n, body, (seed[0, 0], jnp.int32(0))
+        )
+        out[:] = jnp.full((1, 128), h, jnp.int32)
+
+    return k
+
+
 def m_mxu_gather(n):
     """One 128-byte dynamic gather per iteration via the one-hot-matmul
     trick (round-4 VERDICT item #4: price the MXU — the one TPU unit the
@@ -474,6 +497,8 @@ BENCHES = {
     "when_vec_untaken": (m_when_vec_untaken, VM),
     "merged_seq": (m_merged_seq, VM),
     "mxu_gather128": (m_mxu_gather, VMF),
+    "smem_store_load_dep": (m_store_load_dep,
+                            (pltpu.SMEM((64,), jnp.int32),)),
 }
 
 
