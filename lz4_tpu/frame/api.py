@@ -196,7 +196,10 @@ def compress(
         or len(data) <= settings.block_size
     ):
         sink = io.BytesIO()
-        w = FrameWriter(sink, settings, backend=backend)
+        # pass workers through: the writer's independent-block batches
+        # parallelize by default, and workers=0 must stay single-threaded
+        # on this fallthrough too
+        w = FrameWriter(sink, settings, backend=backend, workers=workers)
         w.write(data)
         w.close()
         return sink.getvalue()
@@ -326,7 +329,6 @@ def _host_chained_canonical_compress(data, settings):
         # flipped such frames to independent mode); defend anyway
         return None
     d = settings.to_descriptor()
-    nb = max(1, -(-len(data) // bs)) if data else 1
 
     payloads: list[bytes] = []
     use_native = False

@@ -160,6 +160,14 @@ class FrameReader:
                 # next frame begins; legacy frames have no end mark
                 self._in_frame = False
                 return self._reenter_after_legacy(word)
+            if word > block_api.compress_bound(_LEGACY_BLOCK_SIZE):
+                # same allocation-amplification bound the non-legacy path
+                # enforces: a crafted length word must fail fast, not
+                # buffer gigabytes from a slow source
+                raise LZ4FormatError(
+                    f"legacy block length {word} exceeds the 8 MiB "
+                    "legacy block bound"
+                )
             data = self._read_exact(word)
             if len(data) < word:
                 raise LZ4FormatError("truncated legacy block")

@@ -13,9 +13,11 @@ kernels for large blocks, host codec for small tails.
 
 from __future__ import annotations
 
+import os
 import struct
 
 from ..block.incremental import create_encoder
+from ..constants import _as_bytes
 from ..xxh32 import XXH32, xxh32
 from .descriptor import EncoderSettings
 from .header import build_header
@@ -35,8 +37,12 @@ class FrameWriter:
         settings: EncoderSettings | None = None,
         backend: str = "auto",
         dictionary: bytes = b"",
+        workers: int | None = None,
     ):
         self._sink = sink
+        # None = auto (min(8, cores)); 0/1 = strictly single-threaded —
+        # honors frame.compress(workers=0)'s contract on the fallthrough
+        self._workers = workers
         self._settings = settings or EncoderSettings()
         self._descriptor = self._settings.to_descriptor()
         self._backend = backend
@@ -113,12 +119,17 @@ class FrameWriter:
         """Encode a batch of independent blocks concurrently, emit in order
         (byte-identical to the sequential path)."""
         self._ensure_header()
-        if len(blocks) == 1 or self._encoder.chaining:
-            # chained blocks carry the 64 KB dict serially — never parallel
+        n_workers = (
+            self._workers
+            if self._workers is not None
+            else min(8, os.cpu_count() or 1)
+        )
+        if len(blocks) == 1 or self._encoder.chaining or n_workers <= 1:
+            # chained blocks carry the 64 KB dict serially — never
+            # parallel; workers<=1 honors the single-threaded contract
             for raw in blocks:
                 self._write_block(raw)
             return
-        import os
 
         from ..pool import map_all
 
@@ -126,7 +137,7 @@ class FrameWriter:
         # bytes objects the futures reference, so the buffer-lifetime
         # hazard of the raw-address paths does not apply here
         comps = map_all(
-            min(8, os.cpu_count() or 1, len(blocks)),
+            min(n_workers, len(blocks)),
             self._encoder.encode_block, blocks,
         )
         for raw, comp in zip(blocks, comps):
@@ -144,7 +155,7 @@ class FrameWriter:
     def write(self, data) -> int:
         if self._closed:
             raise ValueError("writer is closed")
-        data = bytes(memoryview(data).cast("B"))
+        data = _as_bytes(data)  # zero-copy for actual bytes payloads
         if self._content_hash is not None:
             self._content_hash.update(data)
         self._content_bytes += len(data)

@@ -110,6 +110,19 @@ def available() -> bool:
     return _load() is not None
 
 
+def _require():
+    """_load() or a clear error.  Direct callers of this module's codec
+    functions (benches, scripts) get 'native codec unavailable' instead of
+    an AttributeError on None when the on-demand cc build failed."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native codec unavailable: the on-demand C build failed or no "
+            "compiler exists (gate with lz4_tpu.native.available())"
+        )
+    return lib
+
+
 def encode(
     data: bytes, level: int = 0, dictionary: bytes = b"",
     acceleration: int = 1, geometry: str = "canonical",
@@ -122,7 +135,7 @@ def encode(
     "dense" keeps the 15-bit table (~1-3% smaller output, ~2x slower)."""
     from ..constants import DISTANCE_MAX, compress_bound
 
-    lib = _load()
+    lib = _require()
     dictionary = bytes(dictionary[-(DISTANCE_MAX + 1) :])
     buf = dictionary + bytes(data)
     out_cap = compress_bound(len(data))
@@ -163,7 +176,7 @@ def encode_into(
     compressed length."""
     from ..constants import DISTANCE_MAX, compress_bound
 
-    lib = _load()
+    lib = _require()
     dictionary = bytes(dictionary[-(DISTANCE_MAX + 1) :])
     buf = dictionary + bytes(data)
     view = memoryview(dst).cast("B")
@@ -209,7 +222,7 @@ def chained_canonical_blocks(
 
     from ..constants import compress_bound
 
-    lib = _load()
+    lib = _require()
     data = bytes(data)
     if len(data) > (1 << 31) - (64 << 20):
         # upstream renormalizes its stream state near 2 GiB; this engine
@@ -244,7 +257,7 @@ def decode(
 ) -> bytes:
     from ..block.hostref import LZ4Error
 
-    lib = _load()
+    lib = _require()
     data = bytes(data)
     if not data:
         raise LZ4Error("empty input")
@@ -305,7 +318,7 @@ def decode_into(data, dst, dictionary: bytes = b"") -> int:
     malformed input or an undersized buffer."""
     from ..block.hostref import LZ4Error
 
-    lib = _load()
+    lib = _require()
     data = bytes(data)
     if not data:
         raise LZ4Error("empty input")
@@ -323,7 +336,7 @@ def decode_into(data, dst, dictionary: bytes = b"") -> int:
 
 
 def xxh32(data: bytes, seed: int = 0) -> int:
-    lib = _load()
+    lib = _require()
     return int(lib.lz4tpu_xxh32(bytes(data), len(data), seed & 0xFFFFFFFF))
 
 
@@ -371,7 +384,7 @@ def decode_span(
     carries its window with zero copies.  Returns the decoded length."""
     from ..block.hostref import LZ4Error
 
-    lib = _load()
+    lib = _require()
     if src_off < 0 or src_len <= 0 or src_off + src_len > len(src):
         raise LZ4Error("source span out of range")
     base = dst if isinstance(dst, int) else _waddr(dst)
@@ -397,7 +410,7 @@ def encode_span(
     one contiguous buffer the previous 64 KB is already in place, so chained
     encode is zero-copy too.  Returns the compressed length (may exceed
     src_len up to compress_bound; size the span accordingly)."""
-    lib = _load()
+    lib = _require()
     if src_off < 0 or src_len < 0 or src_off + src_len > len(src):
         raise ValueError("source span out of range")
     if dict_len > src_off:

@@ -219,30 +219,16 @@ def encode_blocks_device(bufs_np, lens_np, bcap: int, level: int = 0,
     """
     nb = np.asarray(bufs_np).shape[0]
     if bcap > PALLAS_MAX_BLOCK and _on_tpu():
-        if _prefer_device_stream_encode():
-            # streaming encoder: same body as the staged kernel over
-            # SMEM rings + HBM DMA, any block size (ops/encode_pallas_stream)
-            from ..ops.encode_pallas_stream import (
-                encode_blocks_pallas_stream,
-            )
-
-            bufs_p, lens_p = _pad_batch(
-                np.asarray(bufs_np), lens_np, _bucket_batch(nb)
-            )
-            out, out_lens, errs = encode_blocks_pallas_stream(
-                bufs_p, lens_p, bcap, int(level),
-                acceleration, fast_schedule=geometry,
-            )
-            if errs.any():
-                raise RuntimeError("pallas stream encoder overflow")
-            return out[:nb], out_lens[:nb]
         # default: the native host engine is ~20x faster per chip than the
         # scalar device pipeline for big-block encode; route honestly and
         # leave LZ4TPU_DEVICE_STREAM_ENCODE=1 for device-resident pipelines
         # that want to avoid the host round-trip
-        host = _host_encode_batch(bufs_np, lens_np, bcap, level, geometry)
-        if host is not None:
-            return host
+        if not _prefer_device_stream_encode():
+            host = _host_encode_batch(bufs_np, lens_np, bcap, level, geometry)
+            if host is not None:
+                return host
+        # streaming encoder: same body as the staged kernel over SMEM
+        # rings + HBM DMA, any block size (ops/encode_pallas_stream)
         from ..ops.encode_pallas_stream import encode_blocks_pallas_stream
 
         bufs_p, lens_p = _pad_batch(
@@ -468,9 +454,9 @@ def stage_decode_chunks(comps, comp_lens, out_cap: int):
         c = np.asarray(comps[i : i + cap])
         l = np.asarray(comp_lens[i : i + cap])
         if c.shape[0] < cap:
-            pad = cap - c.shape[0]
-            c = np.concatenate([c, np.tile(c[:1], (pad, 1))])
-            l = np.concatenate([l, np.tile(l[:1], (pad,))])
+            # 1-byte empty-block pads (0x00 token: len 0, err 0) — near
+            # zero cost, vs re-decoding row 0 once per pad row
+            c, l = _pad_batch(c, l, cap, fill_empty_block=True)
         chunks.append((jax.device_put(jnp.asarray(c)), jax.device_put(jnp.asarray(l))))
     jax.block_until_ready([c[0] for c in chunks])
     return chunks, nb
@@ -510,13 +496,12 @@ def decode_chunked(comps, comp_lens, out_cap: int):
     cap = _batch_cap(out_cap)
     outs = []
     for i in range(0, nb, cap):
-        c = jnp.asarray(comps[i : i + cap])
-        l = jnp.asarray(comp_lens[i : i + cap])
+        c = np.asarray(comps[i : i + cap])
+        l = np.asarray(comp_lens[i : i + cap])
         if c.shape[0] < cap:
-            pad = cap - c.shape[0]
-            c = jnp.concatenate([c, jnp.tile(c[:1], (pad, 1))])
-            l = jnp.concatenate([l, jnp.tile(l[:1], (pad,))])
-        outs.append(batched_decode(c, l, out_cap))
+            # empty-block pads: see stage_decode_chunks
+            c, l = _pad_batch(c, l, cap, fill_empty_block=True)
+        outs.append(batched_decode(jnp.asarray(c), jnp.asarray(l), out_cap))
     jax.block_until_ready(outs)
     out = np.concatenate([np.asarray(o[0]) for o in outs])[:nb]
     ol = np.concatenate([np.asarray(o[1]) for o in outs])[:nb]

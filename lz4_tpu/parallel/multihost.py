@@ -176,8 +176,10 @@ def compress_distributed(
         all_lens, all_stored, all_lanes = lane_lens, stored, lanes
 
     # --- frame assembly (identical on every process) -------------------
+    # empty content: header + EndMark only (the canonical LZ4F empty
+    # frame) — a zero-length stored-block word is a frame-spec gray zone
     parts = [build_header(d)]
-    for b in range(n_blocks):
+    for b in range(n_blocks if n else 0):
         ln = int(all_lens[b])
         payload = all_lanes[b, :ln].tobytes()
         word = ln | (0x80000000 if all_stored[b] else 0)

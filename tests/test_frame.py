@@ -441,3 +441,36 @@ def test_canonical_chain_guards(lorem, rng):
     )
     blob = frame.compress(data, settings=s9, workers=0)
     assert frame.decompress(blob) == data
+
+
+def test_workers_zero_is_single_threaded(monkeypatch):
+    """Round-5 review: workers=0 must stay single-threaded on EVERY path,
+    including the FrameWriter fallthrough whose block batches otherwise
+    parallelize over the shared pool."""
+    from lz4_tpu import frame, pool
+    from lz4_tpu.frame.descriptor import EncoderSettings
+
+    def boom(*a, **k):  # any pool use under workers=0 is a bug
+        raise AssertionError("thread pool used despite workers=0")
+
+    monkeypatch.setattr(pool, "map_all", boom)
+    monkeypatch.setattr(pool, "shared_pool", boom)
+    data = (b"threadless " * 40000)[: 5 * 65536]
+    s = EncoderSettings(chain_blocks=False, block_size=65536)
+    blob = frame.compress(data, settings=s, workers=0)
+    assert frame.decompress(blob, workers=0) == data
+
+
+def test_legacy_block_length_bounded():
+    """Round-5 review: a crafted legacy stream with a huge length word
+    must fail fast (allocation-amplification bound), like the non-legacy
+    path — not buffer gigabytes from the source."""
+    import struct
+
+    from lz4_tpu.frame.header import LZ4FormatError
+    from lz4_tpu.frame.reader import FrameReader
+
+    blob = struct.pack("<II", 0x184C2102, 0x7F000000) + b"x" * 64
+    r = FrameReader(io.BytesIO(blob))
+    with pytest.raises(LZ4FormatError, match="legacy block length"):
+        r.read_all()
