@@ -98,3 +98,14 @@ def next_not_equal(flag_neq: jnp.ndarray, idx: jnp.ndarray, sentinel: int) -> jn
 
 def exclusive_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.cumsum(x) - x
+
+
+def bucket(n: int, floor: int = 1 << 12) -> int:
+    """Round ``n`` up to a power of two (>= ``floor``): the shared
+    jit-shape bucketing family for one-shot device calls (bounds the
+    per-shape executable count on remote-compile runtimes).  The single
+    source of truth — encode_jax/decode_jax re-export it."""
+    cap = floor
+    while cap < n:
+        cap <<= 1
+    return cap

@@ -43,6 +43,7 @@ import numpy as np
 from ..constants import MIN_MATCH
 from .chain import materialize_chain
 from .common import (
+    bucket,
     ceil_log2,
     exclusive_cumsum,
     gather,
@@ -202,12 +203,9 @@ def decode_block_fixed(comp_u8, comp_len, dict_u8, dict_len, out_cap: int):
     return _parse_and_decode(comp, comp_len, dictionary, dict_len, out_cap)
 
 
-def _bucket(n: int, floor: int = 1 << 12) -> int:
-    """Round capacity up to a power of two to bound jit cache size."""
-    c = floor
-    while c < n:
-        c <<= 1
-    return c
+# single source of truth in ops/common.py; kept as a module alias for
+# existing importers (block/api.py reaches for encode_jax._bucket)
+_bucket = bucket
 
 
 def decode_block_bytes(

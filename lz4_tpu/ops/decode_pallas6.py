@@ -95,7 +95,12 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
     def W(p):
         """Bytes p..p+3 of the compressed stream as one LE word (uint32).
 
-        Unclamped: callers keep p < clen + 4 and the buffer is padded."""
+        Unclamped: the fused modes read SPECULATIVELY up to ~clen + 16
+        (the offset/VLE word at ip+1 with a 15-nibble token near the end
+        of input), so the staged buffer must carry >= 20 bytes of slack
+        past the largest clen.  Every production caller stages at
+        align1024(compress_bound(out_cap)) (slack >= ~700);
+        decode_blocks_pallas6 enforces the bound for direct callers."""
         return _u(comp_s[0, 0, p])
 
     def OUTW(q):
@@ -559,6 +564,9 @@ def _decode_one(clen, dict_len, comp_s, dict_w, out_ref, meta_ref, sem,
         meta_ref[0, 0, k] = 0
 
 
+_DECODE6_MODES = ("full", "full2", "full2v", "parse", "parse2", "lit")
+
+
 @functools.partial(jax.jit, static_argnames=("out_cap", "with_dict", "mode"))
 def pallas_decode6(comps_i32, comp_lens, out_cap: int, dicts_i32=None,
                    dict_lens=None, with_dict: bool = False,
@@ -572,6 +580,12 @@ def pallas_decode6(comps_i32, comp_lens, out_cap: int, dicts_i32=None,
     (inside this jit), so the host->device transfer ships 1 byte per
     byte instead of 4 (the tunnel moves ~35 MB/s — measured 2.9x faster
     ingestion for 8 MB payloads)."""
+    if mode not in _DECODE6_MODES:
+        # an unknown mode would otherwise FALL THROUGH to the 'lit'
+        # profiling arm and return corrupt output with err=0
+        raise ValueError(
+            f"unknown decode mode {mode!r}; expected one of {_DECODE6_MODES}"
+        )
     comps_i32 = comps_i32.astype(jnp.int32)
     b, cap = comps_i32.shape
     assert cap % _LANES == 0, cap
@@ -655,6 +669,16 @@ def decode_blocks_pallas6(
     `mode`: "full2" (fused-run fast arm, the L00 headline) or "full2v"
     (fast arm also covers single-extension-byte match VLE — +8% on
     HC/OPT-shaped streams, -2.5% on L00; see PERFORMANCE.md)."""
+    comp_lens_np = np.asarray(comp_lens)
+    if comp_lens_np.size and (
+        int(comp_lens_np.max()) + 20 > np.asarray(comps_u8).shape[1]
+    ):
+        # the kernel's fused parse reads speculatively up to ~clen + 16
+        # (see W()'s contract); production staging always satisfies this
+        raise ValueError(
+            "compressed rows need >= 20 bytes of padding past the "
+            "largest comp_len (stage at comp_capacity(out_cap))"
+        )
     comps_i32 = jnp.asarray(comps_u8)  # u8: widened on device
     if dicts_u8 is not None:
         out, meta, dcapw = pallas_decode6(

@@ -657,6 +657,11 @@ def decode_blocks_pallas_stream(
 
     `mode`: "full" (fused windowed run) or "full2v" (run also covers
     single-extension-byte match VLE — the HC/OPT stream shape)."""
+    if mode not in ("full", "full2v"):
+        raise ValueError(
+            f"unknown streaming decode mode {mode!r}; "
+            "expected 'full' or 'full2v'"
+        )
     comps_i32 = jnp.asarray(comps_u8)  # u8: widened on device
     if dicts_u8 is not None:
         out, meta = pallas_decode_stream(

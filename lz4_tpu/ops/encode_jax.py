@@ -47,7 +47,7 @@ import numpy as np
 
 from ..constants import LAST_LITERALS, MF_LIMIT, MIN_MATCH, compress_bound
 from .chain import materialize_chain
-from .common import align1024, gather, reverse_cummin, word_le
+from .common import bucket, align1024, gather, reverse_cummin, word_le
 
 # Trailing pad: the static word-scan reads up to ~72 B past a position, and
 # padding to a 1024 multiple keeps every buffer extent aligned (unaligned
@@ -308,11 +308,9 @@ def encode_block_fixed(buf_u8, n, dict_len, dcap: int, bcap: int, k_depth: int):
     return _encode_core(buf_u8, n, dict_len, dcap, bcap, k_depth)
 
 
-def _bucket(n: int, floor: int = 1 << 12) -> int:
-    c = floor
-    while c < n:
-        c <<= 1
-    return c
+# single source of truth in ops/common.py; kept as a module alias for
+# existing importers (block/api.py reaches for encode_jax._bucket)
+_bucket = bucket
 
 
 def level_to_depth(level: int) -> int:

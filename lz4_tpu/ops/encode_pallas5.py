@@ -664,6 +664,45 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
 
             return measure
 
+        def chain_swap_scan(cand_w, co_w, longest):
+            """OPT chain-swap machinery, verbatim reference semantics
+            (the ONE copy — both walk arms call it): scan the match
+            region for the largest chain delta; after a jump the walk
+            continues along the chain of the in-match position that
+            jumped (chain_off = bo), exactly as the host engines keep
+            chain_off after `cand -= best_jump`; with no jump it resets
+            to 0 (swap-block entry reset)."""
+
+            def scan_cond(st):
+                q, step, accel, bj, bo = st
+                return q < longest - MIN_MATCH + 1
+
+            def scan_body(st):
+                q, step, accel, bj, bo = st
+                d = chain_d(cand_w + q)
+                step2 = accel >> 4
+                better = d > bj
+                return (
+                    q + step2,
+                    step2,
+                    jnp.where(better, jnp.int32(1 << 4), accel + 1),
+                    jnp.where(better, d, bj),
+                    jnp.where(better, q, bo),
+                )
+
+            _, _, _, bj, bo = jax.lax.while_loop(
+                scan_cond, scan_body,
+                (jnp.int32(0), jnp.int32(1), jnp.int32(1 << 4),
+                 jnp.int32(1), jnp.int32(0)),
+            )
+            jumped = bj > 1
+            nc = jnp.where(
+                jumped,
+                jnp.where(bj > cand_w, jnp.int32(-100000), cand_w - bj),
+                cand_w,
+            )
+            return (nc, jnp.where(jumped, bo, jnp.int32(0)), jumped)
+
         def general_at(cand, ok_pre):
             """The full attempt arm at `cand`: would-extend measure,
             chain-swap scan (OPT), then chain advance.  ``ok_pre`` is the
@@ -692,47 +731,9 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
                     return (nc, longest, m_start, m_pos, rt, rc, spl,
                             co2)
 
-                # chain-swap (OPT) machinery, verbatim semantics
+                # chain-swap (OPT) machinery: the shared chain_swap_scan
                 def swap(args):
-                    cand_w, co_w = args
-
-                    def scan_cond(st):
-                        q, step, accel, bj, bo = st
-                        return q < longest - MIN_MATCH + 1
-
-                    def scan_body(st):
-                        q, step, accel, bj, bo = st
-                        d = chain_d(cand_w + q)
-                        step2 = accel >> 4
-                        better = d > bj
-                        return (
-                            q + step2,
-                            step2,
-                            jnp.where(better, jnp.int32(1 << 4),
-                                      accel + 1),
-                            jnp.where(better, d, bj),
-                            jnp.where(better, q, bo),
-                        )
-
-                    _, _, _, bj, bo = jax.lax.while_loop(
-                        scan_cond, scan_body,
-                        (jnp.int32(0), jnp.int32(1), jnp.int32(1 << 4),
-                         jnp.int32(1), jnp.int32(0)),
-                    )
-                    jumped = bj > 1
-                    nc = jnp.where(
-                        jumped,
-                        jnp.where(bj > cand_w, jnp.int32(-100000),
-                                  cand_w - bj),
-                        cand_w,
-                    )
-                    # after a jump the walk continues along the chain of
-                    # the in-match position that jumped (chain_off = bo),
-                    # exactly as the host engines keep chain_off after
-                    # `cand -= best_jump`; with no jump it resets to 0
-                    # (swap-block entry reset)
-                    return (nc, jnp.where(jumped, bo, jnp.int32(0)),
-                            jumped)
+                    return chain_swap_scan(args[0], args[1], longest)
 
                 do_swap = (mlen == longest) & (mlen > 0) & (
                     cand + longest <= ip
@@ -904,42 +905,7 @@ def _encode_body(n, acc0, W, store, flush, htab, prev, nti, opt_tab,
 
             if chain_swap:
                 def swap(args):
-                    cand, co = args
-
-                    def scan_cond(st):
-                        q, step, accel, bj, bo = st
-                        return q < longest - MIN_MATCH + 1
-
-                    def scan_body(st):
-                        q, step, accel, bj, bo = st
-                        d = chain_d(cand + q)
-                        step2 = accel >> 4
-                        better = d > bj
-                        return (
-                            q + step2,
-                            step2,
-                            jnp.where(better, jnp.int32(1 << 4), accel + 1),
-                            jnp.where(better, d, bj),
-                            jnp.where(better, q, bo),
-                        )
-
-                    _, _, _, bj, bo = jax.lax.while_loop(
-                        scan_cond, scan_body,
-                        (jnp.int32(0), jnp.int32(1), jnp.int32(1 << 4),
-                         jnp.int32(1), jnp.int32(0)),
-                    )
-                    jumped = bj > 1
-                    nc = jnp.where(
-                        jumped,
-                        jnp.where(bj > cand, jnp.int32(-100000), cand - bj),
-                        cand,
-                    )
-                    # after a jump the walk continues along the chain of the
-                    # in-match position that jumped (chain_off = bo), exactly
-                    # as the host engines keep chain_off after `cand -=
-                    # best_jump`; with no jump it resets to 0 (swap-block
-                    # entry reset)
-                    return nc, jnp.where(jumped, bo, jnp.int32(0)), jumped
+                    return chain_swap_scan(args[0], args[1], longest)
 
                 do_swap = (mlen == longest) & (mlen > 0) & (
                     cand + longest <= ip

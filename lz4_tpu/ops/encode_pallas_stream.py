@@ -306,12 +306,18 @@ def encode_blocks_pallas_stream(
         dls = np.minimum(np.asarray(dict_lens, np.int32), 65535 + 1)
         b, cap = bufs_u8.shape
         dw = dicts.shape[1]
-        concat = np.zeros((b, dw + cap), np.uint8)
+        # np.empty + per-row slice copies (C-speed memcpy): a zeros()
+        # init would memset the whole (b, dw+cap) matrix — at this VM's
+        # ~2 GB/s that rivals the copies themselves.  Only the per-row
+        # tail gap needs zeroing (the kernel's clamped slack reads may
+        # touch it; values are dead but must be deterministic).
+        concat = np.empty((b, dw + cap), np.uint8)
         for k in range(b):
             dl = int(dls[k])
             if dl:
                 concat[k, :dl] = dicts[k, dw - dl:]
             concat[k, dl: dl + cap] = bufs_u8[k]
+            concat[k, dl + cap:] = 0
         bufs_u8 = concat
         src_offs = jnp.asarray(dls, jnp.int32)
         lens = jnp.asarray(dls + lens, jnp.int32)

@@ -19,6 +19,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import _words_le
+
 _LANES = 128
 
 # xxh32 primes as two's-complement int32 literals
@@ -32,14 +34,6 @@ _P5 = 374761393
 def _rotl(x, r):
     ux = x.astype(jnp.uint32)
     return ((ux << r) | (ux >> (32 - r))).astype(jnp.int32)
-
-
-def _words_le(x):
-    z = jnp.zeros((x.shape[0], 3), x.dtype)
-    x1 = jnp.concatenate([x[:, 1:], z[:, :1]], axis=1)
-    x2 = jnp.concatenate([x[:, 2:], z[:, :2]], axis=1)
-    x3 = jnp.concatenate([x[:, 3:], z], axis=1)
-    return x | (x1 << 8) | (x2 << 16) | (x3 << 24)
 
 
 def _xxh_kernel(len_ref, words, out_ref):
