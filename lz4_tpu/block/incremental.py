@@ -163,6 +163,12 @@ def create_encoder(
     and the dense family for chains; an explicit "canonical" on a CHAIN is
     rejected here — the continue-schedule stream state needs the whole
     buffer up front, which only the one-shot `frame.compress` path has."""
+    if geometry not in ("auto", "canonical", "dense"):
+        # a typo must not silently coerce to a different schedule
+        raise ValueError(
+            f"unknown FAST geometry {geometry!r}; "
+            "expected 'auto', 'canonical' or 'dense'"
+        )
     if chaining:
         if geometry == "canonical" and int(level) < 3:
             raise ValueError(

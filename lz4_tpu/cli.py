@@ -3,11 +3,16 @@ roundtrip timing, the analog of the lz4 CLI surface the reference tests
 against plus its manual harness (`RoundtripApp/Program.cs:8-60`).
 
 Usage:
-    python -m lz4_tpu compress   [-l LEVEL] [-B {4,5,6,7}] [-BD] [-BX] [--C] IN [OUT]
-    python -m lz4_tpu decompress IN [OUT]
-    python -m lz4_tpu roundtrip  [-l LEVEL] FILES...
-    python -m lz4_tpu pickle     IN [OUT]
+    python -m lz4_tpu compress   [-l LEVEL] [-B {4,5,6,7}] [-BD] [-BX]
+                                 [--no-content-checksum] [--store-size]
+                                 [-T WORKERS] [--backend B] IN [OUT]
+    python -m lz4_tpu decompress [--backend B] IN [OUT]
+    python -m lz4_tpu roundtrip  [-l LEVEL] [--backend B] FILES...
+    python -m lz4_tpu pickle     [-l LEVEL] IN [OUT]
     python -m lz4_tpu unpickle   IN [OUT]
+
+IN/OUT accept "-" for stdin/stdout; with IN="-" and no OUT the result
+goes to stdout.
 """
 
 from __future__ import annotations
@@ -92,7 +97,8 @@ def main(argv=None) -> int:
             store_size=a.store_size,
             workers=a.workers,
         )
-        _write(a.output, blob, a.input + ".lz4")
+        # stdin input with no explicit output defaults to STDOUT
+        _write(a.output, blob, "-" if a.input == "-" else a.input + ".lz4")
         print(
             f"{a.input}: {len(data)} -> {len(blob)} bytes "
             f"({100.0 * len(blob) / max(1, len(data)):.2f}%)",
@@ -101,7 +107,11 @@ def main(argv=None) -> int:
     elif a.cmd == "decompress":
         blob = _read(a.input)
         data = frame.decompress(blob, backend=a.backend)
-        default = a.input[:-4] if a.input.endswith(".lz4") else a.input + ".out"
+        default = (
+            "-"
+            if a.input == "-"
+            else a.input[:-4] if a.input.endswith(".lz4") else a.input + ".out"
+        )
         _write(a.output, data, default)
         print(f"{a.input}: {len(blob)} -> {len(data)} bytes", file=sys.stderr)
     elif a.cmd == "roundtrip":
@@ -131,10 +141,10 @@ def main(argv=None) -> int:
     elif a.cmd == "pickle":
         data = _read(a.input)
         blob = pickler.pickle(data, level=a.level)
-        _write(a.output, blob, a.input + ".lz4pickle")
+        _write(a.output, blob, "-" if a.input == "-" else a.input + ".lz4pickle")
     elif a.cmd == "unpickle":
         blob = _read(a.input)
-        _write(a.output, pickler.unpickle(blob), a.input + ".out")
+        _write(a.output, pickler.unpickle(blob), "-" if a.input == "-" else a.input + ".out")
     return 0
 
 

@@ -43,6 +43,10 @@ class AsyncFrameWriter:
         self._buf = io.BytesIO()
         self._writer = _api.FrameWriter(self._buf, settings, backend=backend)
         self._sink = sink
+        # serialize write/close: a second task's encoder appending to
+        # _buf between another task's getvalue() and truncate() would be
+        # silently DISCARDED (corrupt frame, no error) — round-5 review
+        self._lock = asyncio.Lock()
 
     async def _drain(self):
         data = self._buf.getvalue()
@@ -52,15 +56,17 @@ class AsyncFrameWriter:
             await self._sink.write(data)
 
     async def write(self, data) -> int:
-        loop = asyncio.get_running_loop()
-        n = await loop.run_in_executor(None, self._writer.write, data)
-        await self._drain()
-        return n
+        async with self._lock:
+            loop = asyncio.get_running_loop()
+            n = await loop.run_in_executor(None, self._writer.write, data)
+            await self._drain()
+            return n
 
     async def close(self):
-        loop = asyncio.get_running_loop()
-        await loop.run_in_executor(None, self._writer.close)
-        await self._drain()
+        async with self._lock:
+            loop = asyncio.get_running_loop()
+            await loop.run_in_executor(None, self._writer.close)
+            await self._drain()
 
     async def __aenter__(self):
         return self

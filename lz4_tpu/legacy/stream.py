@@ -160,6 +160,17 @@ class LegacyStreamReader:
             raise LZ4Error("truncated legacy chunk header")
         if stored > original:
             raise LZ4Error("corrupted legacy chunk (stored > original)")
+        # allocation-amplification guards (the frame reader's analog,
+        # frame/reader.py): LZ4's worst-case expansion is < 256x, so a
+        # compressed chunk claiming more is provably corrupt; and no
+        # single chunk may demand a multi-GB buffer from a 12-byte
+        # header (lz4net writers emit MB-scale chunks)
+        if compressed and original > stored * 255 + 64:
+            raise LZ4Error(
+                "corrupted legacy chunk (impossible expansion ratio)"
+            )
+        if original > (1 << 30) or stored > (1 << 30):
+            raise LZ4Error("legacy chunk exceeds the 1 GiB sanity bound")
         payload = self._read_exact(stored)
         if len(payload) < stored:
             raise LZ4Error("truncated legacy chunk payload")

@@ -45,8 +45,9 @@ def unwrap(data, backend: str = "auto") -> bytes:
     payload = data[_HEADER : _HEADER + stored]
     if len(payload) < stored:
         raise LZ4Error("wrapped blob truncated")
-    if stored == original:
+    if stored >= original:
+        # reference `LZ4Wrapper.Unwrap` semantics (`LZ4Wrapper.cs:130-136`):
+        # any stored >= original means the payload was stored verbatim —
+        # tolerant producers may emit stored > original, so accept it
         return payload
-    if stored > original:
-        raise LZ4Error("corrupted wrap header")
     return block_api.decode(payload, target_length=original, backend=backend)

@@ -147,7 +147,13 @@ def unpickle(blob, backend: str = "auto") -> bytes:
     payload = blob[off:]
     if rlen == dlen:  # stored
         return payload
-    out = block_api.decode(payload, target_length=rlen, backend=backend)
+    try:
+        out = block_api.decode(payload, target_length=rlen, backend=backend)
+    except Exception as e:
+        # the module's exception contract (reference CorruptedPickle
+        # analog): corruption surfaces as PickleError, not the inner
+        # block decoder's error type
+        raise PickleError(f"corrupted pickle payload: {e}") from e
     if len(out) != rlen:
         raise PickleError(f"unpickled size {len(out)} != expected {rlen}")
     return out
@@ -175,7 +181,10 @@ def unpickle_into(blob, dest, backend: str = "auto") -> int:
     if rlen == dlen:  # stored
         view[:rlen] = payload
         return rlen
-    n = block_api.decode_into(payload, view[:rlen], backend=backend)
+    try:
+        n = block_api.decode_into(payload, view[:rlen], backend=backend)
+    except Exception as e:
+        raise PickleError(f"corrupted pickle payload: {e}") from e
     if n != rlen:
         raise PickleError(f"unpickled size {n} != expected {rlen}")
     return n

@@ -30,8 +30,18 @@ from concurrent.futures import ThreadPoolExecutor, wait
 _pools: dict[int, ThreadPoolExecutor] = {}
 _lock = threading.Lock()
 
+def _after_fork_in_child():
+    # a child inherits (a) executors whose worker threads died with the
+    # fork and (b) possibly a LOCKED _lock if another thread was inside
+    # shared_pool() at fork time — reset both so the child can lazily
+    # build fresh pools
+    global _lock
+    _lock = threading.Lock()
+    _pools.clear()
+
+
 if hasattr(os, "register_at_fork"):  # POSIX
-    os.register_at_fork(after_in_child=_pools.clear)
+    os.register_at_fork(after_in_child=_after_fork_in_child)
 
 
 def shared_pool(n_workers: int) -> ThreadPoolExecutor:

@@ -70,7 +70,8 @@ class XXH32:
         if type(data) is not bytes:
             data = bytes(memoryview(data).cast("B"))
         self._total += len(data)
-        data = self._buf + data
+        if self._buf:  # usually empty: skip a full-payload copy per update
+            data = self._buf + data
         n_stripes = len(data) // 16
         if n_stripes:
             if _native_stripes(self._acc, data, n_stripes):

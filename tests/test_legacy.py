@@ -45,8 +45,8 @@ def test_wrap_corrupted():
     with pytest.raises(LZ4Error):
         legacy.unwrap(b"\x01\x02\x03")
     with pytest.raises(LZ4Error):
-        # stored > original
-        legacy.unwrap(struct.pack("<II", 1, 9) + b"123456789")
+        # payload shorter than the stored length claims
+        legacy.unwrap(struct.pack("<II", 1, 9) + b"1234")
 
 
 def test_stream_roundtrip(corpus):
@@ -103,3 +103,41 @@ def test_interop_third_party_chained_blocks():
         out += last
         pos += 12 + csize
     assert bytes(out) == expected
+
+
+def test_legacy_stream_bounds_crafted_chunk_lengths():
+    """Round-5 review: a tiny crafted stream must not trigger a huge
+    allocation — impossible expansion ratios and multi-GB chunk claims
+    fail fast (the frame reader's allocation-amplification analog)."""
+    import io
+    import struct
+
+    from lz4_tpu.block.hostref import LZ4Error
+    from lz4_tpu.legacy.stream import LegacyStreamReader, _write_varint
+
+    def varint(v):
+        buf = io.BytesIO()
+        _write_varint(buf, v)
+        return buf.getvalue()
+
+    # compressed chunk claiming a 2^40 original from 10 stored bytes
+    blob = varint(0x03) + varint(1 << 40) + varint(10) + b"x" * 10
+    with pytest.raises(LZ4Error, match="expansion|sanity"):
+        LegacyStreamReader(io.BytesIO(blob)).read()
+    # stored (uncompressed) chunk claiming 2 GiB: flags 0x00
+    blob2 = varint(0x00) + varint(1 << 31) + b"x" * 8
+    with pytest.raises(LZ4Error, match="sanity"):
+        LegacyStreamReader(io.BytesIO(blob2)).read()
+
+
+def test_wrap_unwrap_tolerates_stored_longer_than_original():
+    """Reference LZ4Wrapper.Unwrap returns the stored payload whenever
+    stored >= original (LZ4Wrapper.cs:130-136); tolerant producers may
+    emit stored > original and we must accept it like the reference."""
+    import struct
+
+    from lz4_tpu import legacy
+
+    payload = b"123456789"
+    blob = struct.pack("<II", 5, len(payload)) + payload
+    assert legacy.unwrap(blob) == payload

@@ -89,3 +89,21 @@ def test_pickle_into_stored_and_empty(rng):
     assert pickler.unpickle_into(blob, out, backend="host") == len(raw)
     assert bytes(out[: len(raw)]) == raw
     assert pickler.unpickle_into(b"", out, backend="host") == 0
+
+
+def test_corrupt_payload_raises_pickle_error():
+    """Round-5 review: corruption surfaces as PickleError (the reference
+    CorruptedPickle analog), not the inner block decoder's error type."""
+    import numpy as np
+
+    from lz4_tpu import pickler
+
+    blob = pickler.pickle(b"abcdefgh" * 64)
+    # replace the compressed payload with a literal-run overrun: the
+    # decoder must fail, and the failure must surface as PickleError
+    hdr = blob[:2]
+    bad = hdr + b"\xff" * (len(blob) - 2)
+    with pytest.raises(pickler.PickleError):
+        pickler.unpickle(bad)
+    with pytest.raises(pickler.PickleError):
+        pickler.unpickle_into(bad, np.empty(4096, np.uint8))
