@@ -870,7 +870,9 @@ def decompress_into(
         else:
             for i in range(nb):
                 one(i)
-        if not all(lens[i] == bs for i in range(nb - 1)):
+        if nb == 0:
+            wrote = 0  # empty frame: header + EndMark, no blocks
+        elif not all(lens[i] == bs for i in range(nb - 1)):
             # spec-legal short interior blocks: compact left in place
             w = lens[0]
             for i in range(1, nb):

@@ -474,3 +474,26 @@ def test_legacy_block_length_bounded():
     r = FrameReader(io.BytesIO(blob))
     with pytest.raises(LZ4FormatError, match="legacy block length"):
         r.read_all()
+
+
+def test_decompress_into_empty_frame():
+    """Round-5 soak finding: an EMPTY frame (header + EndMark, zero
+    blocks) crashed decompress_into with IndexError on the independent
+    path (lens[-1] with no blocks).  Both block modes, both checksum
+    flags, must return 0."""
+    import numpy as np
+
+    from lz4_tpu import frame
+    from lz4_tpu.frame.descriptor import EncoderSettings
+
+    dst = np.empty(8, np.uint8)
+    for chain in (False, True):
+        for cs in (False, True):
+            blob = frame.compress(
+                b"",
+                settings=EncoderSettings(
+                    chain_blocks=chain, content_checksum=cs
+                ),
+            )
+            assert frame.decompress(blob) == b""
+            assert frame.decompress_into(blob, dst) == 0, (chain, cs)
